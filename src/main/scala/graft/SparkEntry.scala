@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AggQueries, CoreQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every declared operator key from SURVEY.md §2;
+  * `oracleSql` carries the DuckDB-equivalent SQL for each SQL-expressible
+  * key (column names aliased identically on both sides; every query ends
+  * in a deterministic total order).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The fact ⟕ dim enrichment join + staging projection + aggregate —
+    * the `fact_savings_transaction` analog (SURVEY §7.2 step 1). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables(spark, d, "lineitem")
+    val o = Tables(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ AggQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check. */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ AggQueries.oracle
 }

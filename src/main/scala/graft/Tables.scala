@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (repo:TESTDATA.md).
+  *
+  * All declared queries receive `(spark, sfDir)` and must read inputs
+  * through here so the same code path serves sf0.001 (smoke), sf0.01
+  * (DuckDB-oracle correctness) and sf0.1 (bench) — and, at production
+  * scale, any parquet directory layout.
+  */
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as raw longs and convert (integer
+    // `div` — floor, matching DuckDB's ns→µs truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else acc
+    }
+  }
+
+  /** Register every table as a temp view so spark.sql(...) queries can
+    * use the same names the DuckDB oracle sees. Idempotent. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      apply(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregations, windows and joins — SURVEY.md §2.3, §2.4, §2.5.
+  *
+  * Scale notes (100 TB design):
+  *  - groupBy aggregates get map-side partial aggregation from Spark
+  *    automatically (HashAggregate partial → shuffle → final).
+  *  - Small dimensions (customer/supplier/part at any realistic scale
+  *    relative to the fact) are `broadcast()` so the fact table never
+  *    shuffles for the join.
+  *  - Window argmax (latest-per-key) shuffles once on the key — same
+  *    cost as the groupBy formulation but avoids the self-join.
+  */
+object AggQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Flagship aggregate (prompt's q1_agg, TPC-H Q1 shape): partial agg
+    // map-side, 4 groups out — shuffle is a few KB regardless of input.
+    "q1_agg" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A2/C7 — MAX(tracking_column) watermark over the destination.
+    "q_agg_max_watermark" -> { (s, d) =>
+      Tables(s, d, "events").agg(max("ts").as("watermark"))
+    },
+
+    // A3 — GROUP BY + HAVING duplicate detection (base_loader.py:409-420).
+    "q_groupby_having" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1)
+        .orderBy("l_orderkey")
+    },
+
+    // A4 — group-by argmax: latest tracking value per key.
+    "q_groupby_max" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
+        .orderBy("l_orderkey")
+    },
+
+    // P7/A5 — dbt incremental filter: scalar subquery over destination.
+    "q_filter_scalar_subquery" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT * FROM lineitem
+          |WHERE l_shipdate > (SELECT max(l_shipdate) - INTERVAL 90 DAYS FROM lineitem)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
+    // Extension §7.5 — exact distinct counts (dedup cardinalities).
+    "q_agg_distinct" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    // Extension §7.5 — approximate distinct (HLL++; constant memory per
+    // group at any scale — the 100 TB path). Non-deterministic vs the
+    // oracle → rows-only check + tolerance unit test.
+    "q_agg_approx_distinct" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
+        approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+    },
+
+    // §2.5 — ranking window: row_number per key (latest-row machinery).
+    "q_window_row_number" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .withColumn("rn", row_number().over(w))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.5 — analytic window: lag over per-key event time (the SCD2
+    // validity-interval rebuild primitive).
+    "q_window_lag_scd2" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("ts"), 1).over(w).as("valid_from_prev"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // Extension §7.5 — rolling frame aggregate over events.
+    "q_window_rolling_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(sum(col("value")).over(w), 2).as("rolling_value"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // J1 — fact ⟕ dim enrichment join (fact_savings_transaction.sql:21-23).
+    // orders:lineitem ≈ 1:4 → not broadcastable at scale; shuffle join on
+    // the key, AQE may still pick broadcast at small SF.
+    "q_join_left_fact_dim" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderdate"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("o_custkey"), col("o_orderstatus"), col("o_orderdate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J2 — dim ⟕ dim join; customer is genuinely small → broadcast so
+    // orders never shuffles (dim_savings_plan.sql:24-26).
+    "q_join_left_dim_dim" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    },
+
+    // J3 — upsert phase 1: keep only destination rows whose key is NOT
+    // in the incoming batch (left_anti ≡ DELETE WHERE key IN (...)).
+    "q_join_anti_upsert" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val dest = o.where(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      val incoming = o.where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey")
+      dest.join(incoming, Seq("o_orderkey"), "left_anti").orderBy("o_orderkey")
+    },
+
+    // J4/C2 — keep-latest-per-key dedup as window argmax (the idiomatic
+    // form of DELETE WHERE (key,track) NOT IN (SELECT key, MAX(track)...)).
+    // Tie-break is a total order over all columns — (key, track) alone is
+    // not unique in this data, and an arbitrary pick would be
+    // nondeterministic across engines.
+    "q_dedup_latest_per_key" -> { (s, d) =>
+      val tieBreak = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").desc +: tieBreak.map(col(_).desc): _*)
+      Tables(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .drop("rn")
+        .orderBy("l_orderkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_max_watermark" -> "SELECT max(ts) AS watermark FROM events",
+    "q_groupby_having" ->
+      """SELECT l_orderkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+    "q_groupby_max" ->
+      """SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem
+        |GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+    "q_filter_scalar_subquery" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate > (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    // q_agg_approx_distinct: intentionally no oracle (approximate).
+    "q_window_row_number" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lag_scd2" ->
+      """SELECT user_id, event_id, ts,
+        |  lag(ts, 1) OVER w AS valid_from_prev,
+        |  lead(ts, 1) OVER w AS valid_to
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_window_rolling_sum" ->
+      """SELECT user_id, event_id, ts,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_value
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_join_left_fact_dim" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  o_custkey, o_orderstatus, o_orderdate
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_left_dim_dim" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_anti_upsert" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        |  AND o_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dedup_latest_per_key" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC,
+        |      l_suppkey DESC, l_quantity DESC, l_extendedprice DESC,
+        |      l_discount DESC, l_tax DESC, l_returnflag DESC, l_linestatus DESC
+        |  ) AS rn FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scans, projections, filters, sorts, limits and scalar functions —
+  * SURVEY.md §2.1, §2.2, §2.6, §2.8.
+  *
+  * Every query is a declarative DataFrame plan (Catalyst pushes the
+  * filters/projections into the parquet scan — verified via
+  * `.explain("formatted")`: `PushedFilters`/`ReadSchema`). Each query
+  * ends in a deterministic total order so the driver's row-hash
+  * compare is stable.
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S2 — incremental relational scan: predicate on the tracking column
+    // pushed down to the source (reference: postgres_loader.py:73-153).
+    "q_scan_incremental" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1998-06-30 00:00:00").cast("timestamp"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // S3/A1 — pre-scan count (reference: postgres_loader.py:84-93).
+    "q_count_star" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+    },
+
+    // S8 — append as UNION ALL (reference: base_loader.py:301-306).
+    "q_union_append" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val before = o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val after  = o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      before.unionByName(after).orderBy("o_orderkey")
+    },
+
+    // P1 — rename/reorder staging projection (reference: stg_*.sql).
+    "q_project_rename" -> { (s, d) =>
+      Tables(s, d, "orders").select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("amount"),
+        col("o_orderdate").as("created_at")
+      ).orderBy("order_id")
+    },
+
+    // P2 — column-projection pushdown: narrow select prunes the scan.
+    "q_project_prune" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P5 — strict `>` watermark (PG path; ties at watermark dropped).
+    "q_filter_gt_watermark" -> { (s, d) =>
+      Tables(s, d, "events")
+        .where(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp"))
+        .orderBy("event_id")
+    },
+
+    // P6 — inclusive `>=` watermark (Mongo $gte path; boundary re-read).
+    "q_filter_gte_watermark" -> { (s, d) =>
+      Tables(s, d, "events")
+        .where(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp"))
+        .orderBy("event_id")
+    },
+
+    // P9 — arbitrary caller-supplied predicate passthrough.
+    "q_filter_pred" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P8 — IS NULL current-row filter, exercised through a left join
+    // (orders with no lineitems → joined keys null).
+    "q_filter_is_null" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey")).distinct()
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .where(col("l_orderkey").isNull)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // C8 — soft-delete carried, opt-in exclusion view (deleted_at
+    // analog derived deterministically from the key).
+    "q_filter_soft_delete" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("deleted_at",
+          when(col("doc_id") % 10 === 0, lit("2024-01-31").cast("timestamp")))
+        .where(col("deleted_at").isNull)
+        .select("doc_id", "lang", "source", "n_chars", "deleted_at")
+        .orderBy("doc_id")
+    },
+
+    // O1 — sort by tracking column ascending (CDC arrival order).
+    "q_sort_asc" -> { (s, d) =>
+      Tables(s, d, "events").orderBy("ts", "event_id")
+    },
+
+    // O5 — top-k = orderBy + limit (Spark plans TakeOrderedAndProject —
+    // per-partition heap + driver merge, no global sort at scale).
+    "q_topk_limit" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // O3 — monthly partition key derivation (reference: PARTITION BY
+    // toStartOfMonth(txn_timestamp), init-clickhouse.sql:37).
+    "q_partition_month" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("ship_month")
+    },
+
+    // F1 — concat full-name (reference: dim_users.sql:8).
+    "q_fn_concat" -> { (s, d) =>
+      Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" "), col("c_mktsegment")).as("full_name"))
+        .orderBy("c_custkey")
+    },
+
+    // F2 — UTC → Africa/Lagos display timezone (fixed +01:00, no DST).
+    "q_fn_timezone" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          from_utc_timestamp(col("ts"), "Africa/Lagos").as("ts_lagos"))
+        .orderBy("event_id")
+    },
+
+    // F3 — derived snapshot-date column (fixed literal for determinism;
+    // production path takes `asOf` as a parameter — SURVEY §7.4).
+    "q_fn_current_date" -> { (s, d) =>
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), lit("2026-02-20").cast("date").as("snapshot_date"))
+        .orderBy("c_custkey")
+    },
+
+    // F5 — strftime-style formatting "%Y-%m-%d %H:%M:%S".
+    "q_fn_date_format" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+        .orderBy("event_id")
+    },
+
+    // F6 — regex match (the date-detection pattern from schema
+    // inference, base_loader.py:818-822).
+    "q_fn_regexp_like" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          col("text").rlike("^the ").as("starts_the"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("doc_id")
+    },
+
+    // F8 — CASE WHEN (simulator status rewrite, simulate_cdc.py:43;
+    // deterministic predicate instead of random()).
+    "q_fn_case_when" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 250000, lit("large"))
+            .when(col("o_totalprice") > 100000, lit("medium"))
+            .otherwise(lit("small")).as("size_band"))
+        .orderBy("o_orderkey")
+    },
+
+    // F9 — JSON extraction from events.props.
+    "q_fn_json_extract" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+        .orderBy("event_id")
+    },
+
+    // F11 — arithmetic + round (simulator amount*rate math). Per-row
+    // IEEE products are bit-identical across engines so the raw product
+    // needs no rounding; the rounded column uses /7 (never lands on a
+    // .xx5 boundary → round() is engine-agnostic — see tools/check.py).
+    "q_fn_arith_round" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+          round(col("l_quantity") / 7.0, 2).as("qty_sevenths"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_incremental" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_union_append" ->
+      """SELECT * FROM (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |) ORDER BY o_orderkey""".stripMargin,
+    "q_project_rename" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        |  o_orderstatus AS status, o_totalprice AS amount,
+        |  o_orderdate AS created_at
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q_project_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_gt_watermark" ->
+      """SELECT * FROM events
+        |WHERE ts > TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id""".stripMargin,
+    "q_filter_gte_watermark" ->
+      """SELECT * FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT * FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_is_null" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_orderkey IS NULL ORDER BY o_orderkey""".stripMargin,
+    "q_filter_soft_delete" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2024-01-31' END AS deleted_at
+        |FROM documents WHERE doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin,
+    "q_sort_asc" -> "SELECT * FROM events ORDER BY ts, event_id",
+    "q_topk_limit" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q_partition_month" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q_fn_concat" ->
+      """SELECT c_custkey, c_name || ' ' || c_mktsegment AS full_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_timezone" ->
+      """SELECT event_id, ts + INTERVAL 1 HOUR AS ts_lagos
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_current_date" ->
+      """SELECT c_custkey, DATE '2026-02-20' AS snapshot_date
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_date_format" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(ts, '%Y-%m-%d') AS date_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_regexp_like" ->
+      """SELECT doc_id, regexp_matches(text, '^the ') AS starts_the,
+        |  coalesce(regexp_extract(text, '^(\w+)', 1), '') AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fn_case_when" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 250000 THEN 'large'
+        |       WHEN o_totalprice > 100000 THEN 'medium'
+        |       ELSE 'small' END AS size_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_arith_round" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price,
+        |  round(l_quantity / 7.0, 2) AS qty_sevenths
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
