@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.Tables
+import graft.cdc.{DedupLatest, Scd2, Upsert}
+
+/** C1–C6 CDC load-mode kernels as declared queries — SURVEY.md §2.9.
+  *
+  * Each query derives a deterministic (dest, incoming) pair from the
+  * testdata, runs the actual `graft.cdc` kernel, and is checked against
+  * a DuckDB oracle that restates the semantics in plain SQL CTEs. The
+  * file/TableStore behavior of the same kernels is covered by ScalaTest.
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+
+  /** Incoming batch for the upsert queries: later orders, mutated. */
+  private def ordersIncoming(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+
+  val queries: Map[String, Q] = Map(
+    // C1 — delete+insert upsert (base_loader.py:275-338).
+    "q_cdc_upsert" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      Upsert(dest, ordersIncoming(s, d), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // C2 — upsert + global keep-latest-per-key dedup (base_loader.py:340-475).
+    "q_cdc_upsert_dedup" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val dest = li
+      val incoming = li.where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .withColumn("l_quantity", col("l_quantity") + 100.0)
+      val tieBreak = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+      Upsert.withDedup(dest, incoming, Seq("l_orderkey"), "l_shipdate", tieBreak)
+        .orderBy("l_orderkey")
+    },
+
+    // C3 — full load: truncate + insert ≡ the new snapshot IS the source
+    // (base_loader.py:477-516; empty-source quirk covered in FullLoadSpec).
+    "q_cdc_full_load" -> { (s, d) =>
+      Tables(s, d, "orders").orderBy("o_orderkey")
+    },
+
+    // C4 — snapshot load: dynamic partition overwrite on the derived
+    // date column; re-running a day replaces exactly that day
+    // (base_loader.py:518-584).
+    "q_cdc_snapshot_load" -> { (s, d) =>
+      val ev = Tables(s, d, "events").withColumn("day", to_date(col("ts")))
+      val dest = ev.where(col("day") < lit("2024-01-15").cast("date"))
+      val rerun = ev.where(col("day") === lit("2024-01-15").cast("date"))
+        .withColumn("value", col("value") * 2.0)
+      dest.join(rerun.select("day").distinct(), Seq("day"), "left_anti")
+        .unionByName(rerun)
+        .orderBy("event_id")
+    },
+
+    // C6 — SCD2 check-strategy snapshot (users_snapshot.sql:1-18):
+    // staged changes c_mktsegment for key%3=0 and adds new keys for
+    // key%5=0; kernel must close+insert changed, insert new, keep rest.
+    "q_cdc_scd2" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val cur = c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .withColumn(Scd2.ValidFrom, lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn(Scd2.ValidTo, lit(null).cast(TimestampType))
+      val staged = c.select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 3 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(
+          c.where(col("c_custkey") % 5 === 0).select(
+            (col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("new_"), col("c_name")).as("c_name"),
+            lit("NEW").as("c_mktsegment")))
+      Scd2(cur, staged, Seq("c_custkey"), Seq("c_mktsegment"), asOf)
+        .orderBy("c_custkey", Scd2.ValidFrom)
+    },
+
+    // P8 companion — current-row view over the SCD2 result.
+    "q_cdc_scd2_current" -> { (s, d) =>
+      val snapshot = queries("q_cdc_scd2")(s, d)
+      Scd2.currentRows(snapshot).orderBy("c_custkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_upsert" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_cdc_upsert_dedup" ->
+      """WITH inc AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    l_quantity + 100.0 AS l_quantity, l_extendedprice, l_discount,
+        |    l_tax, l_returnflag, l_linestatus, l_shipdate
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+        |merged AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT l_orderkey FROM inc)
+        |  UNION ALL SELECT * FROM inc)
+        |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC,
+        |      l_suppkey DESC, l_quantity DESC, l_extendedprice DESC,
+        |      l_discount DESC, l_tax DESC, l_returnflag DESC, l_linestatus DESC
+        |  ) AS rn FROM merged)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_cdc_full_load" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "q_cdc_snapshot_load" ->
+      """WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+        |dest AS (SELECT * FROM ev WHERE day < DATE '2024-01-15'),
+        |rerun AS (
+        |  SELECT event_id, ts, user_id, event_type, value * 2.0 AS value,
+        |    props, day FROM ev WHERE day = DATE '2024-01-15')
+        |SELECT day, event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT * FROM dest WHERE day NOT IN (SELECT DISTINCT day FROM rerun)
+        |  UNION ALL SELECT * FROM rerun)
+        |ORDER BY event_id""".stripMargin,
+    "q_cdc_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT * FROM cur WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, valid_from,
+        |    TIMESTAMP '2024-02-01' FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'MOVED', TIMESTAMP '2024-02-01',
+        |    CAST(NULL AS TIMESTAMP) FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new_' || c_name, 'NEW',
+        |    TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP)
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_cdc_scd2_current" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT * FROM cur WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'MOVED', TIMESTAMP '2024-02-01',
+        |    CAST(NULL AS TIMESTAMP) FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new_' || c_name, 'NEW',
+        |    TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP)
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+
+/** CDC kernel behavior — upsert idempotency, dedup invariant, full-load
+  * quirk, snapshot-partition overwrite, SCD2 scenario (the reference's
+  * manual verification recipe, README.md:69-88), TableStore atomicity.
+  */
+class CdcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  import scala.collection.JavaConverters._
+  private def df(rows: Seq[(Long, String, String)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("attr", StringType),
+      StructField("track", StringType)))
+    spark.createDataFrame(
+      rows.map { case (i, a, t) => org.apache.spark.sql.Row(i, a, t) }.asJava,
+      schema)
+  }
+
+  test("upsert replaces matching keys and appends new ones") {
+    val dest = df(Seq((1L, "a", "t1"), (2L, "b", "t1")))
+    val inc = df(Seq((2L, "b2", "t2"), (3L, "c", "t2")))
+    val out = Upsert(dest, inc, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("upsert is idempotent: merge(merge(s,b),b) == merge(s,b)") {
+    val dest = df(Seq((1L, "a", "t1"), (2L, "b", "t1")))
+    val inc = df(Seq((2L, "b2", "t2"), (3L, "c", "t2")))
+    val once = Upsert(dest, inc, Seq("id"))
+    val twice = Upsert(once, inc, Seq("id"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("upsert with empty incoming returns dest unchanged") {
+    val dest = df(Seq((1L, "a", "t1")))
+    val inc = df(Nil)
+    assert(Upsert(dest, inc, Seq("id")).count() == 1)
+  }
+
+  test("dedup-latest keeps exactly one row per key, the max track") {
+    val d = df(Seq((1L, "old", "t1"), (1L, "new", "t3"), (1L, "mid", "t2"),
+      (2L, "only", "t1")))
+    val out = DedupLatest(d, Seq("id"), "track", Seq("attr")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("C2 invariant: after withDedup every key has exactly one row") {
+    val dest = df(Seq((1L, "a", "t1"), (1L, "dup", "t0"), (2L, "b", "t1")))
+    val inc = df(Seq((1L, "a2", "t2"), (3L, "c", "t1")))
+    val out = Upsert.withDedup(dest, inc, Seq("id"), "track", Seq("attr"))
+    assert(out.groupBy("id").count().where(col("count") > 1).isEmpty)
+  }
+
+  test("TableStore: versioned writes, atomic pointer, vacuum") {
+    val root = tmpDir("tstore")
+    val store = new TableStore(spark, root)
+    assert(store.read().isEmpty && !store.exists)
+    store.write(df(Seq((1L, "a", "t1"))))
+    assert(store.read().get.count() == 1)
+    store.write(df(Seq((1L, "a", "t1"), (2L, "b", "t1"))))
+    assert(store.read().get.count() == 2)
+    // previous version still intact until vacuum
+    assert(new java.io.File(root, "v_00000001").exists())
+    store.vacuum(keep = 1)
+    assert(!new java.io.File(root, "v_00000001").exists())
+    assert(store.read().get.count() == 2)
+  }
+
+  test("full load empty-source quirk: stale data survives by default") {
+    val root = tmpDir("fullload")
+    val store = new TableStore(spark, root)
+    store.write(df(Seq((1L, "stale", "t1"))))
+    FullLoad(store, df(Nil))                    // reference behavior: no-op
+    assert(store.read().get.count() == 1)
+    FullLoad(store, df(Nil), strictEmpty = true) // fixed behavior: truncate
+    assert(store.read().get.count() == 0)
+  }
+
+  test("snapshot load: same-day rerun is idempotent, other days untouched") {
+    val path = tmpDir("snap") + "/t"
+    val day1 = java.time.LocalDate.parse("2024-01-01")
+    val day2 = java.time.LocalDate.parse("2024-01-02")
+    SnapshotLoad(spark, path, df(Seq((1L, "d1", "t1"))), "snap_date", day1)
+    SnapshotLoad(spark, path, df(Seq((2L, "d2", "t1"))), "snap_date", day2)
+    // rerun day2 with different content → replaces only day2
+    SnapshotLoad(spark, path, df(Seq((3L, "d2-rerun", "t2"))), "snap_date", day2)
+    val out = SnapshotLoad.read(spark, path)
+    assert(out.count() == 2)
+    assert(out.where(col("snap_date") === "2024-01-01").head().getLong(0) == 1L)
+    assert(out.where(col("snap_date") === "2024-01-02").head().getLong(0) == 3L)
+  }
+
+  test("watermark: max over dest; None for missing/empty table") {
+    assert(Watermark.lastLoaded(None, "track").isEmpty)
+    assert(Watermark.lastLoaded(Some(df(Nil)), "track").isEmpty)
+    assert(Watermark.lastLoaded(Some(df(Seq((1L, "a", "t1"), (2L, "b", "t9")))),
+      "track").contains("t9"))
+    val d = df(Seq((1L, "a", "t1"), (2L, "b", "t2"), (3L, "c", "t3")))
+    assert(Watermark.strictAfter(d, "track", "t2").count() == 1)
+    assert(Watermark.inclusiveFrom(d, "track", "t2").count() == 2)
+  }
+
+  test("SCD2 scenario (README.md:69-88): change one row -> two versions") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val staged1 = df(Seq((1L, "lagos", "x"), (2L, "abuja", "x"))).drop("track")
+    val snap1 = Scd2.init(staged1, t1)
+    assert(snap1.where(col(Scd2.ValidTo).isNull).count() == 2)
+
+    // user 1 changes attr; user 3 is new; user 2 unchanged
+    val staged2 = df(Seq((1L, "kano", "x"), (2L, "abuja", "x"),
+      (3L, "ibadan", "x"))).drop("track")
+    val snap2 = Scd2(snap1, staged2, Seq("id"), Seq("attr"), t2)
+
+    val u1 = snap2.where(col("id") === 1).orderBy(Scd2.ValidFrom).collect()
+    assert(u1.length == 2, "changed key must have old + new version")
+    assert(u1(0).getAs[java.sql.Timestamp](Scd2.ValidTo) == t2)
+    assert(u1(0).getAs[String]("attr") == "lagos")
+    assert(u1(1).getAs[java.sql.Timestamp](Scd2.ValidTo) == null)
+    assert(u1(1).getAs[String]("attr") == "kano")
+
+    assert(snap2.where(col("id") === 2).count() == 1)
+    val u3 = snap2.where(col("id") === 3).collect()
+    assert(u3.length == 1 && u3(0).getAs[java.sql.Timestamp](Scd2.ValidTo) == null)
+
+    // current-row view = latest state
+    val cur = Scd2.currentRows(snap2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(cur.toSeq == Seq((1L, "kano"), (2L, "abuja"), (3L, "ibadan")))
+  }
+
+  test("SCD2 is stable when nothing changed (idempotent re-run)") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val staged = df(Seq((1L, "a", "x"), (2L, "b", "x"))).drop("track")
+    val snap1 = Scd2.init(staged, t1)
+    val snap2 = Scd2(snap1, staged, Seq("id"), Seq("attr"), t2)
+    assert(snap1.exceptAll(snap2).isEmpty && snap2.exceptAll(snap1).isEmpty)
+  }
+}
