@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines — language ID,
+  * quality scoring, token counting, shingling. All native Column
+  * expressions (codegen'd; no UDFs in the hot path).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty string → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alternating letter-runs / digit-runs /
+    * single punctuation, the shape of a byte-level BPE pre-tokenizer. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  private val stopwordsEn = Seq("the", "a", "an", "of", "to", "and", "in",
+    "is", "that", "it", "was", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sw = filter(t, x => x.isInCollection(stopwordsEn))
+    when(size(t) === 0, 0.0).otherwise(size(sw).cast("double") / size(t))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1] — the C4/Gopher-style cheap
+    * heuristics: reasonable length, some stopwords, not punctuation
+    * soup, sane mean word length. Deterministic integer/exact-division
+    * arithmetic only (oracle-parity safe). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 4.0)
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
+    (lenScore + swScore + punctScore + mtlScore) / 4.0
+  }
+
+  // Per-language function-word profiles for the n-gram/stopword
+  // language-ID heuristic. Small closed-class word lists are the
+  // standard cheap signal (textcat-style).
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "de", "y", "en", "un", "que", "por", "con", "para"))
+
+  /** Language ID: CJK codepoint presence → zh; otherwise argmax of
+    * function-word hits (ties broken by profile order); no hits → und. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, x => x.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests en's `when` outermost → earlier profiles win ties.
+    val firstWins = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(firstWins)
+  }
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]; documents shorter
+    * than n words get a single whole-text shingle. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) <= n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+  }
+
+  /** Character n-gram shingles via substring sweep. */
+  def charShingles(text: Column, n: Int = 5): Column =
+    when(length(text) <= n, array(text)).otherwise(
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+}

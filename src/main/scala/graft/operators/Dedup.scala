@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExpressions, TextFunctions}
+
+/** Document deduplication for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant is
+  * `per-row sketch (map-only, codegen/custom-expression) → one shuffle
+  * on a bucket key → per-bucket pair verification`. No O(n²) stage ever
+  * touches the full corpus; candidate generation bounds the quadratic
+  * work to LSH buckets (MinHash bands / SimHash prefixes / blocking
+  * keys), which stay small under any corpus size for fixed
+  * band/threshold parameters.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical text. One
+    * hash-shuffle; the text itself never shuffles twice (group on
+    * xxhash64, tie-break inside the bucket). */
+  def exact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
+    *
+    * shingle → minhash signature (custom expression, one pass) → split
+    * signature into `bands` bands → explode (band_idx, band_hash) →
+    * self-join per bucket → exact-Jaccard verify ≥ `threshold`.
+    * Collision probability ≈ 1-(1-s^r)^b (s = true Jaccard, r rows/band).
+    */
+  def minhashLsh(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
+    val rows = k / bands
+    val withSig = docs.select(
+      col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleWords).as("__sh"))
+      .withColumn("__sig", TextExpressions.minhashSig(col("__sh"), k))
+
+    val banded = withSig.select(col(idCol), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)), b)))
+        .as(Seq("__band", "__bh")))
+
+    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+      col("__band"), col("__bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+      col("__band"), col("__bh"))
+    val cand = a.join(b, Seq("__band", "__bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+
+    cand
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard over two shingle arrays (set semantics). */
+  def jaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val u = size(array_union(a, b)).cast("double")
+    when(u === 0.0, 0.0).otherwise(i / u)
+  }
+
+  /** SimHash near-dup: 64-bit sketch per doc, bucketed by bit blocks.
+    * Pigeonhole: splitting 64 bits into `blocks > maxHamming` blocks
+    * guarantees any pair within Hamming ≤ maxHamming shares ≥1 block
+    * verbatim — so candidate generation has recall 1 at the chosen
+    * radius; verification is exact `bit_count(xor) <= maxHamming`. */
+  def simhashDup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("__sim"))
+    val blocks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val blockExprs = (0 until blocks).map { i =>
+      struct(lit(i).as("blk"),
+        shiftright(col("__sim"), i * width).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = sh.select(col(idCol), col("__sim"),
+        explode(array(blockExprs: _*)).as("__b"))
+      .select(col(idCol), col("__sim"),
+        col("__b.blk").as("__blk"), col("__b.bv").as("__bv"))
+    val a = banded.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
+      col("__blk"), col("__bv"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sim").as("sim_b"),
+      col("__blk"), col("__bv"))
+    a.join(b, Seq("__blk", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs within deterministic blocking buckets
+    * (metadata blocking bounds the quadratic stage; the probabilistic
+    * unblocked path is [[minhashLsh]]). */
+  def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val withSh = docs.select((idCol +: blockCols).map(col) :+
+      TextFunctions.wordShingles(col(textCol), n).as("__sh"): _*)
+    val a = withSh.select(col(idCol).as("id_a") +: col("__sh").as("sh_a") +:
+      blockCols.map(col): _*)
+    val b = withSh.select(col(idCol).as("id_b") +: col("__sh").as("sh_b") +:
+      blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select((blockCols :+ "id_a" :+ "id_b" :+ "jaccard").map(col): _*)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocking buckets. Vectors
+    * are L2-normalized once per row before the join, so the pair stage
+    * pays one dot product (SURVEY §7.5; REPOSE-style normalize-early). */
+  def embeddingCosinePairs(embs: DataFrame, blockCols: Seq[String],
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.35): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val normed = embs.select((idCol +: blockCols).map(col) :+
+      l2Normalize(toDouble(col(vecCol))).as("__v"): _*)
+    val a = normed.select(col(idCol).as("id_a") +: col("__v").as("v_a") +:
+      blockCols.map(col): _*)
+    val b = normed.select(col(idCol).as("id_b") +: col("__v").as("v_b") +:
+      blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
+  }
+}

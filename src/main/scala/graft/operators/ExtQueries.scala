@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextExpressions, TextFunctions}
+
+/** LLM-training-data extension operators (SURVEY §7.5, BASELINE.json
+  * scope): text analysis, dedup family, similarity search.
+  *
+  * Oracle strategy: everything built from integer counts and exact
+  * divisions gets a DuckDB oracle (bit-stable across engines); the
+  * sketch-based operators (minhash/simhash/LSH/fingerprint) are
+  * engine-specific hashes → rows-only driver check + ScalaTest coverage
+  * with planted duplicates (ExtSpec).
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Text statistics: whitespace tokens, BPE-ish subwords, punctuation,
+    // mean token length.
+    "q_text_stats" -> { (s, d) =>
+      val t = col("text")
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        TextFunctions.tokenCount(t).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(t).as("n_bpeish"),
+        TextFunctions.punctCount(t).as("n_punct"),
+        TextFunctions.meanTokenLen(t).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Composite quality score (C4/Gopher-style cheap heuristics).
+    "q_text_quality" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID over function-word profiles + CJK codepoint check.
+    "q_text_langid" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("lang").as("lang_labeled"),
+        TextFunctions.langId(col("text")).as("lang_detected"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowed rolling-hash fingerprint (custom Catalyst expression) —
+    // engine-specific hash values → rows-only check + ExtSpec.
+    "q_text_fingerprint" -> { (s, d) =>
+      val fp = TextExpressions.winnowFingerprint(col("text"))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(fp).as("n_fingerprints"),
+        element_at(fp, 1).as("fp_min"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: lowest doc_id survives per identical text.
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables(s, d, "documents"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // MinHash+LSH near-dup pairs (probabilistic candidates, exact
+    // Jaccard verify) — rows-only check; recall proven in ExtSpec.
+    "q_dedup_minhash" -> { (s, d) =>
+      Dedup.minhashLsh(Tables(s, d, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit sketches) —
+    // rows-only check; planted-dup behavior in ExtSpec.
+    "q_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashDup(Tables(s, d, "documents"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact word-3-gram Jaccard pairs within language blocks.
+    "q_dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
+        blockCols = Seq("lang"), threshold = 0.1)
+        .select("lang", "id_a", "id_b", "jaccard")
+        .orderBy("lang", "id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    "q_dedup_embed_cosine" -> { (s, d) =>
+      Dedup.embeddingCosinePairs(Tables(s, d, "embeddings"),
+        blockCols = Seq("label"), threshold = 0.35)
+        .orderBy("label", "id_a", "id_b")
+    },
+
+    // Brute-force cosine top-k: exact baseline for similarity search.
+    "q_sim_topk" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN: the scale path — rows-only check; recall vs
+    // brute force asserted in ExtSpec.
+    "q_sim_ann_lsh" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      Similarity.annTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .select("query_id", "rank", "nbr_id")
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  private val stopEn =
+    "'the','a','an','of','to','and','in','is','that','it','was','for','on','with','as'"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, len(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+        |  len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\\s+') AS toks,
+        |    len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks, x -> x IN ($stopEn))) AS DOUBLE) AS nsw,
+        |    CAST(np AS DOUBLE) AS npunct,
+        |    CAST(len(text) AS DOUBLE) AS nchar,
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |      / len(toks) AS mtl
+        |  FROM t)
+        |SELECT doc_id,
+        |  (least(ntok / 64.0, 1.0)
+        |   + least(nsw / ntok * 4.0, 1.0)
+        |   + greatest(0.0, 1.0 - npunct / greatest(nchar, 1.0) * 4.0)
+        |   + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0
+        |  AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS lang_labeled, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang_labeled, text,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des','une','est','dans','que','pour'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','de','y','en','un','que','por','con','para'))) AS s_es
+        |  FROM t)
+        |SELECT doc_id, lang_labeled,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_detected
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) <= 3
+        |      THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))
+        |    END AS grams
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(a.grams || b.grams)) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(a.grams || b.grams)) >= 0.1
+        |ORDER BY a.lang, id_a, id_b""".stripMargin,
+    "q_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY a.label, id_a, id_b""".stripMargin,
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS nbr_id,
+        |    list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM q JOIN e ON q.query_id <> e.vec_id)
+        |SELECT query_id, rank, nbr_id FROM (
+        |  SELECT query_id, nbr_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, nbr_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}

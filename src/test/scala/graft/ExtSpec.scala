@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextExpressions, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Extension operators: dedup family with planted duplicates, ANN
+  * recall vs brute force, language-ID fixtures, fingerprint robustness.
+  */
+class ExtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to hide from all the hunters"
+
+  test("exact dedup keeps lowest id per identical text") {
+    val docs = Seq((1L, base), (2L, base), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated") {
+    val nearDup = base.replace("lazy", "sleepy") // one word changed
+    val unrelated = "completely different content about spark query engines " +
+      "processing large parquet tables with catalyst optimizer rules applied"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash finds planted near-duplicates, skips unrelated") {
+    // SimHash needs enough tokens for stable per-bit votes — use a
+    // longer doc (~75 tokens) with a single-word edit.
+    val long = (base + " ") * 3
+    val nearDup = ((base.replace("lazy", "sleepy")) + " ") * 3
+    val unrelated = ("completely different content about spark query engines " +
+      "processing large parquet tables with catalyst optimizer rules " +
+      "applied during execution ") * 3
+    val docs = Seq((1L, long), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDup(docs, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near-dups high") {
+    val docs = Seq((1L, "b", base), (2L, "b", base),
+      (3L, "b", base.replace("lazy", "sleepy")))
+      .toDF("doc_id", "blk", "text")
+    val out = Dedup.ngramJaccardPairs(docs, Seq("blk"), threshold = 0.1)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.7 && out((1L, 3L)) < 1.0)
+  }
+
+  test("embedding cosine pairs: planted duplicate vector found") {
+    val v1 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.map(x => (x * 1.001f)) // same direction
+    val v3 = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val embs = Seq((1L, v1, 0), (2L, v2, 0), (3L, v3, 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(embs, Seq("label"), threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ANN recall >= 0.8 vs brute force on clustered vectors") {
+    // LSH recall is only meaningful when near neighbors actually exist:
+    // plant 40 clusters of 15 vectors (deterministic pseudo-noise).
+    import graft.functions.Hashing.splitmix64
+    def unit(seed: Long, dim: Int): Array[Double] = {
+      val v = Array.tabulate(dim)(i =>
+        splitmix64(seed * dim + i).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val rows = for {
+      c <- 0 until 40
+      m <- 0 until 15
+    } yield {
+      val center = unit(c + 1, dim)
+      val noise = unit(1000L + c * 15 + m, dim)
+      val vec = center.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat }
+      ((c * 15 + m).toLong, vec, c)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val q = embs.where(col("vec_id") % 15 === 0) // one query per cluster
+    val brute = Similarity.bruteForceTopK(embs, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(embs, q, k = 5, dim = dim)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall $recall too low")
+  }
+
+  test("language ID on real-language fixtures") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy"),
+      (2L, "der Hund und die Katze sind nicht mit dem Auto"),
+      (3L, "le chat est dans la maison et les chiens"),
+      (4L, "el perro y los gatos en la casa con un amigo"),
+      (5L, "今天天气很好"),
+      (6L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+    assert(out(5L) == "zh"); assert(out(6L) == "und")
+  }
+
+  test("winnow fingerprint: stable under distant edit, detects overlap") {
+    val df = Seq((1L, base), (2L, base + " with a tiny suffix appended"),
+      (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      TextExpressions.winnowFingerprint(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val overlap12 = (fps(1L).toSet & fps(2L).toSet).size.toDouble / fps(1L).size
+    val overlap13 = (fps(1L).toSet & fps(3L).toSet).size.toDouble / fps(1L).size
+    assert(overlap12 > 0.8, s"prefix-shared docs should share fingerprints: $overlap12")
+    assert(overlap13 < 0.1, s"unrelated docs should not: $overlap13")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq((1L, "hello world  foo"), (2L, "a1b2!c"), (3L, "   x   "))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("ws"),
+      TextFunctions.bpeishTokenCount(col("text")).as("bpe"))
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (3, 3))
+    assert(out(2L) == (1, 6)) // a,1,b,2,!,c
+    assert(out(3L) == (1, 1))
+  }
+
+  test("quality score in [0,1] and ranks clean text above punctuation soup") {
+    val df = Seq((1L, base), (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+}
