@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.CdcMicroBatch
+
+/** Streaming-semantics and multimodal query keys — SURVEY §2.10, §7.5.
+  * The tumbling aggregation is the same code path the streaming query
+  * runs (batch/stream parity of Structured Streaming); the live-stream
+  * behavior (watermark, AvailableNow drain, foreachBatch upsert) is
+  * covered in StreamSpec.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time window counts (batch-expressible for oracle).
+    "q_stream_tumbling_count" -> { (s, d) =>
+      CdcMicroBatch.tumblingCounts(Tables(s, d, "events"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    // Multimodal metadata pass over binary payloads (documents' text
+    // encoded as the stand-in payload; plumbing identical for real
+    // image/audio bytes).
+    "q_multimodal_meta" -> { (s, d) =>
+      val media = Tables(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.describePayloads(media)
+        .select("media_id", "kind", "n_bytes", "magic")
+        .orderBy("media_id")
+    },
+
+    // STUB-decode feature extraction (mapPartitions batch shape) —
+    // engine-specific stub values → rows-only check + MultimodalSpec.
+    "q_multimodal_features" -> { (s, d) =>
+      val media = Tables(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          element_at(col("feature"), 1).as("f0"))
+        .orderBy("media_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling_count" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  substr(text, 1, 4) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc.{Scd2, TableStore, Upsert, Watermark}
+
+/** The reference's end-to-end DAG (SURVEY §3) restated on the testdata
+  * star schema: raw CDC upsert → staging projections → SCD2 snapshot →
+  * dimensional marts. Each materialization lands in a [[TableStore]];
+  * run order mirrors the dbt lineage (extract → snapshot → dims →
+  * fact). Reruns are idempotent (delete+insert upsert + SCD2 check).
+  */
+object Staging {
+
+  /** stg analog of stg_savings_plan.sql:9-19 — rename + display TZ. */
+  def stgOrders(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("amount"),
+      from_utc_timestamp(col("o_orderdate"), "Africa/Lagos").as("created_at_lagos"),
+      col("o_orderdate").as("created_at"))
+
+  /** stg analog of stg_savings_transaction.sql:11-21. */
+  def stgLineitem(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").as("line_no"),
+      col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("amount"),
+      col("l_discount").as("discount"),
+      col("l_shipdate").as("ship_ts"))
+}
+
+object Marts {
+
+  /** dim_users analog (dim_users.sql:8-15): SCD2 current rows +
+    * derived full_name. */
+  def dimCustomer(snapshot: DataFrame): DataFrame =
+    Scd2.currentRows(snapshot).select(
+      col("c_custkey").as("customer_id"),
+      concat(col("c_name"), lit(" "), col("c_mktsegment")).as("full_name"),
+      col("c_mktsegment").as("segment"),
+      col(Scd2.ValidFrom).as("member_since"))
+
+  /** fact analog (fact_savings_transaction.sql:21-23): fact ⟕ dim with
+    * a month partition key for pruned storage (O3). */
+  def factLineitem(stgLi: DataFrame, stgOrders: DataFrame): DataFrame =
+    stgLi.join(stgOrders.select("order_id", "customer_id", "status"),
+        Seq("order_id"), "left")
+      .withColumn("ship_month", date_trunc("month", col("ship_ts")))
+}
+
+object Runner {
+
+  final case class Result(rawEvents: Long, dimCustomers: Long, factRows: Long)
+
+  /** One full pipeline run against `sfDir`, materializing into
+    * TableStores under `workRoot`. `asOf` parameterizes the SCD2
+    * snapshot time (determinism — SURVEY §7.4). */
+  def runAll(spark: SparkSession, sfDir: String, workRoot: String,
+      asOf: java.sql.Timestamp): Result = {
+    // 1. raw extract+load: incremental upsert of events on watermark
+    //    (C1+C7: the destination is the checkpoint).
+    val rawStore = new TableStore(spark, s"$workRoot/raw_events")
+    val events = Tables(spark, sfDir, "events")
+    val incoming = Watermark.lastLoaded(rawStore.read(), "ts") match {
+      case Some(wm) => Watermark.strictAfter(events, "ts", wm)
+      case None => events
+    }
+    rawStore.write(Upsert(rawStore.read().getOrElse(events.limit(0)),
+      incoming, Seq("event_id")))
+
+    // 2. SCD2 snapshot of the customer dimension (C6).
+    val snapStore = new TableStore(spark, s"$workRoot/customer_snapshot")
+    val staged = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val snapshot = snapStore.read() match {
+      case Some(cur) => Scd2(cur, staged, Seq("c_custkey"),
+        Seq("c_mktsegment"), asOf)
+      case None => Scd2.init(staged, asOf)
+    }
+    snapStore.write(snapshot)
+
+    // 3. staging + marts (dbt model layer), fact partitioned by month.
+    val dim = Marts.dimCustomer(snapStore.read().get)
+    val dimStore = new TableStore(spark, s"$workRoot/dim_customer")
+    dimStore.write(dim)
+
+    val fact = Marts.factLineitem(
+      Staging.stgLineitem(Tables(spark, sfDir, "lineitem")),
+      Staging.stgOrders(Tables(spark, sfDir, "orders")))
+    val factStore = new TableStore(spark, s"$workRoot/fact_lineitem",
+      partitionByCols = Seq("ship_month"))
+    factStore.write(fact)
+
+    Result(
+      rawEvents = rawStore.read().get.count(),
+      dimCustomers = dimStore.read().get.count(),
+      factRows = factStore.read().get.count())
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.{TableStore, Upsert}
+
+/** §2.10 — the reference's pull-based micro-batch CDC restated as
+  * Structured Streaming.
+  *
+  * The reference polls on cron (all_schedules.py:12-52) and merges each
+  * batch with delete+insert (C1). Spark-first: `readStream` over the
+  * landing directory, `foreachBatch` running the same [[Upsert]] kernel
+  * into a [[TableStore]], `Trigger.AvailableNow` for the cron-style
+  * "drain what's there and stop" run (or ProcessingTime for continuous).
+  * Exactly-once: checkpoint tracks consumed files; the upsert kernel is
+  * idempotent per batch (delete+insert), so replays converge — the same
+  * guarantee the reference gets from its delete+insert (SURVEY §2.10).
+  */
+object CdcMicroBatch {
+
+  /** Drain all available input once (cron-run analog), upserting each
+    * micro-batch into the store. Blocks until done. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: TableStore, keys: Seq[String],
+      checkpoint: String): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dest = store.read().getOrElse(batch.limit(0))
+        store.write(Upsert(dest, batch, keys))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Tumbling event-time counts with watermarking — works identically
+    * over a stream (append mode after watermark) and a batch frame
+    * (used by q_stream_tumbling_count's oracle parity). */
+  def tumblingCounts(events: DataFrame, tsCol: String = "ts",
+      width: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** Continuous variant: start a ProcessingTime-triggered upsert stream
+    * (the reference's 15-min cadence analog); caller manages lifecycle. */
+  def runContinuous(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: TableStore, keys: Seq[String],
+      checkpoint: String, interval: String = "15 minutes"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dest = store.read().getOrElse(batch.limit(0))
+        store.write(Upsert(dest, batch, keys))
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.TableStore
+import graft.operators.Multimodal
+import graft.pipeline.Runner
+import graft.streaming.CdcMicroBatch
+
+/** Structured-Streaming CDC (AvailableNow drain + foreachBatch upsert),
+  * streaming windowed aggregation, multimodal plumbing, pipeline DAG.
+  */
+class StreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("streaming upsert: two micro-batch drains converge to batch merge") {
+    val src = tmp("stream-src")
+    val store = new TableStore(spark, tmp("stream-store") + "/t")
+    val ckpt = tmp("stream-ckpt")
+    val schema = Seq((1L, "a", "2024-01-01")).toDF("id", "attr", "track").schema
+
+    // batch 1 lands → drain
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+      .toDF("id", "attr", "track").write.mode("append").parquet(src)
+    CdcMicroBatch.runAvailableNow(spark, src, schema, store, Seq("id"), ckpt)
+    assert(store.read().get.count() == 2)
+
+    // batch 2 lands (update id=2, insert id=3) → drain again
+    Seq((2L, "b2", "2024-01-02"), (3L, "c", "2024-01-02"))
+      .toDF("id", "attr", "track").write.mode("append").parquet(src)
+    CdcMicroBatch.runAvailableNow(spark, src, schema, store, Seq("id"), ckpt)
+
+    val state = store.read().get.select("id", "attr").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(state.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("streaming tumbling window agg matches the batch computation") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val batchResult = CdcMicroBatch.tumblingCounts(events)
+      .orderBy("hour_start", "event_type").collect()
+
+    // stream the same rows from parquet through the identical code path
+    val dir = tmp("stream-ev")
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(events.schema).parquet(dir)
+    val q = CdcMicroBatch.tumblingCounts(streamed)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamResult = spark.table("tumbling_out")
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamResult.toSeq == batchResult.toSeq)
+  }
+
+  test("multimodal: stub decode is deterministic, batch shape preserved") {
+    val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
+      (2L, "audio", "fake-wav-bytes".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val out1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val out2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out1.map(_.feature.toSeq).toSeq == out2.map(_.feature.toSeq).toSeq)
+    assert(out1(0).n_bytes == "fake-jpeg-bytes-here".getBytes.length)
+    assert(out1.forall(f => f.width >= 16 && f.feature.length == 8))
+    val meta = Multimodal.describePayloads(media)
+    assert(meta.columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "content_hash", "magic"))
+  }
+
+  test("pipeline runner: full DAG lands all marts; rerun is stable") {
+    val root = tmp("pipeline")
+    val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val r1 = Runner.runAll(spark, "/root/testdata/sf0.001", root, asOf)
+    assert(r1.rawEvents == 1000)
+    assert(r1.dimCustomers == 150)
+    assert(r1.factRows == 6000)
+    // rerun: nothing changed upstream → same counts (idempotent)
+    val r2 = Runner.runAll(spark, "/root/testdata/sf0.001", root,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(r2 == r1)
+    // fact store is month-partitioned on disk (partition pruning works)
+    val factDir = new java.io.File(s"$root/fact_lineitem")
+    val versions = factDir.listFiles().filter(_.getName.startsWith("v_"))
+    assert(versions.nonEmpty &&
+      versions.head.listFiles().exists(_.getName.startsWith("ship_month=")))
+  }
+}
