@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // Testdata tables are single ~MB parquet files; the 128m default
+      // would scan them on one core. Split small files so per-row
+      // compute (sketches, shingles) parallelizes. Cluster deployments
+      // with real multi-file inputs keep the default.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

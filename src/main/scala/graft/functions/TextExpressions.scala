@@ -64,6 +64,111 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** DISTINCT hashed word n-gram shingles of a text in ONE primitive pass:
+  * whitespace-tokenize the UTF-8 bytes, xxhash64 each token in place
+  * (no substring allocation), combine n consecutive token hashes.
+  * Equivalent as a SET to hashing the joined shingle strings (two
+  * shingles collide iff their token sequences match, modulo 2^-64
+  * hash collisions). Docs with ≤ n tokens yield one whole-doc shingle.
+  * Replaces a split+transform+slice+concat_ws HOF chain that was ~10×
+  * slower (interpreted closure per element). */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // token boundaries over ASCII whitespace (UTF-8 safe: multibyte
+    // chars never contain 0x09-0x20 bytes)
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    var start = -1
+    while (i <= len) {
+      val isWs = i == len || {
+        val b = org.apache.spark.unsafe.Platform.getByte(bytes, off + i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+      }
+      if (isWs) {
+        if (start >= 0) {
+          tokHashes += XXH64.hashUnsafeBytes(bytes, off + start, i - start, 42L)
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val m = tokHashes.length
+    val out =
+      if (m == 0) Array.empty[Long]
+      else if (m <= n) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < m) { h = h * 31 + tokHashes(j); j += 1 }
+        Array(h)
+      } else {
+        val res = new Array[Long](m - n + 1)
+        var j = 0
+        while (j <= m - n) {
+          var h = 1125899906842597L
+          var t = j
+          while (t < j + n) { h = h * 31 + tokHashes(t); t += 1 }
+          res(j) = h
+          j += 1
+        }
+        res
+      }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < out.length) { set.add(out(j)); j += 1 }
+    val distinct = new Array[Long](set.size)
+    val it = set.iterator()
+    var idx = 0
+    while (it.hasNext) { distinct(idx) = it.next(); idx += 1 }
+    new GenericArrayData(distinct)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedShingles =
+    copy(child = c)
+}
+
+/** MinHash signature over pre-hashed shingles (see [[HashedShingles]]):
+  * skips the per-shingle string hash of [[MinHashSig]]. */
+case class MinHashSigFromHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_hashed"
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(k)(j => Hashing.splitmix64(2L * j) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(k)(j => Hashing.splitmix64(2L * j + 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = as(j) * h + bs(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigFromHashes =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a token multiset (Charikar 2002): per-bit vote of
   * each token's xxhash64, sign → bit. One pass, O(n·64). */
 case class SimHash64(child: Expression)
@@ -150,6 +255,12 @@ object TextExpressions {
 
   def minhashSig(shingles: Column, k: Int = 128): Column =
     column(MinHashSig(expression(shingles), k))
+
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    column(HashedShingles(expression(text), n))
+
+  def minhashSigFromHashes(shingleHashes: Column, k: Int = 128): Column =
+    column(MinHashSigFromHashes(expression(shingleHashes), k))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 

@@ -83,15 +83,26 @@ object TextFunctions {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(firstWins)
   }
 
-  /** Word n-gram shingles: ["a b c", "b c d", ...]; documents shorter
-    * than n words get a single whole-text shingle. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) <= n, array(concat_ws(" ", t)))
+  /** Word n-gram shingles from an already-projected token ARRAY column.
+    *
+    * IMPORTANT: pass an attribute (a column projected in a previous
+    * select), not an inline `split(...)` expression — a non-attribute
+    * referenced inside the `transform` lambda is re-evaluated per
+    * element (O(tokens²) splits per row; measured 6.7s → 0.3s on 5k
+    * docs). [[wordShingles]] wraps this for convenience at small scale.
+    */
+  def wordShinglesFromTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) <= n, array(concat_ws(" ", toks)))
       .otherwise(transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-  }
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]; documents shorter
+    * than n words get a single whole-text shingle. Prefer projecting
+    * [[tokens]] first and calling [[wordShinglesFromTokens]] (see
+    * perf note there). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Character n-gram shingles via substring sweep. */
   def charShingles(text: Column, n: Int = 5): Column =

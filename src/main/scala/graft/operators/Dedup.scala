@@ -19,6 +19,13 @@ import graft.functions.{TextExpressions, TextFunctions}
   */
 object Dedup {
 
+  /** Spread a low-parallelism scan (few files / single row group)
+    * across the cluster before CPU-heavy per-row sketching. Explicit
+    * partition count → AQE keeps it. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get(
+      "spark.sql.shuffle.partitions", "32").toInt)
+
   /** Exact dedup: keep the lowest-id row per identical text. One
     * hash-shuffle; the text itself never shuffles twice (group on
     * xxhash64, tie-break inside the bucket). */
@@ -40,10 +47,10 @@ object Dedup {
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
     val rows = k / bands
-    val withSig = docs.select(
-      col(idCol),
-      TextFunctions.wordShingles(col(textCol), shingleWords).as("__sh"))
-      .withColumn("__sig", TextExpressions.minhashSig(col("__sh"), k))
+    val withSig = spread(docs)
+      .select(col(idCol),
+        TextExpressions.hashedShingles(col(textCol), shingleWords).as("__sh"))
+      .withColumn("__sig", TextExpressions.minhashSigFromHashes(col("__sh"), k))
 
     val banded = withSig.select(col(idCol), col("__sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -79,7 +86,7 @@ object Dedup {
     * radius; verification is exact `bit_count(xor) <= maxHamming`. */
   def simhashDup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
+    val sh = spread(docs).select(col(idCol),
       TextExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("__sim"))
     val blocks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
     val width = 64 / blocks
@@ -104,21 +111,37 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs within deterministic blocking buckets
-    * (metadata blocking bounds the quadratic stage; the probabilistic
-    * unblocked path is [[minhashLsh]]). */
+  /** Exact n-gram Jaccard pairs via an inverted-index join (AllPairs/
+    * PPJoin family): explode each doc's DISTINCT shingle hashes, join
+    * on the shingle, count shared shingles per pair, and derive
+    * `jaccard = shared / (|a| + |b| - shared)` from counts alone.
+    *
+    * Scale: never materializes a blocked cross product — only pairs
+    * that actually share a shingle exist after the join, and the
+    * per-pair cost is a counter, not an array intersection. `blockCols`
+    * additionally scope candidate pairs (metadata blocking). At 100 TB
+    * the one heavy shuffle is on the shingle hash; a frequency cutoff
+    * on pathological hot shingles is the standard extension. */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val withSh = docs.select((idCol +: blockCols).map(col) :+
-      TextFunctions.wordShingles(col(textCol), n).as("__sh"): _*)
-    val a = withSh.select(col(idCol).as("id_a") +: col("__sh").as("sh_a") +:
-      blockCols.map(col): _*)
-    val b = withSh.select(col(idCol).as("id_b") +: col("__sh").as("sh_b") +:
-      blockCols.map(col): _*)
-    a.join(b, blockCols)
+    val sh = spread(docs)
+      .select((idCol +: blockCols).map(col) :+
+        TextExpressions.hashedShingles(col(textCol), n).as("__sh"): _*)
+      .withColumn("__sz", size(col("__sh")))
+    val inv = sh.select((blockCols :+ "__sz").map(col) :+ col(idCol) :+
+      explode(col("__sh")).as("__g"): _*)
+    val a = inv.select(col(idCol).as("id_a") +: col("__sz").as("sz_a") +:
+      col("__g") +: blockCols.map(col): _*)
+    val b = inv.select(col(idCol).as("id_b") +: col("__sz").as("sz_b") +:
+      col("__g") +: blockCols.map(col): _*)
+    a.join(b, blockCols :+ "__g")
       .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy((blockCols :+ "id_a" :+ "id_b").map(col) :+
+        col("sz_a") :+ col("sz_b"): _*)
+      .agg(count(lit(1)).as("__shared"))
+      .withColumn("jaccard", col("__shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("__shared")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select((blockCols :+ "id_a" :+ "id_b" :+ "jaccard").map(col): _*)
   }
@@ -130,7 +153,7 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.35): DataFrame = {
     import graft.functions.VectorFunctions._
-    val normed = embs.select((idCol +: blockCols).map(col) :+
+    val normed = spread(embs).select((idCol +: blockCols).map(col) :+
       l2Normalize(toDouble(col(vecCol))).as("__v"): _*)
     val a = normed.select(col(idCol).as("id_a") +: col("__v").as("v_a") +:
       blockCols.map(col): _*)
@@ -138,7 +161,7 @@ object Dedup {
       blockCols.map(col): _*)
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")))
+      .withColumn("cos", graft.functions.VectorExpressions.dotFast(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
   }

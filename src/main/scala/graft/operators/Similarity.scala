@@ -16,19 +16,23 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get(
+      "spark.sql.shuffle.partitions", "32").toInt)
+
   /** Exact top-k neighbors for each query vector by cosine, brute
     * force. `queries` is expected to be small — it is broadcast, so the
     * corpus never shuffles: one map-side pass + per-query top-k heap
     * (TakeOrdered via window on a bounded set). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"),
+    val c = spread(corpus).select(col(idCol).as("nbr_id"),
       l2Normalize(toDouble(col(vecCol))).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"),
       l2Normalize(toDouble(col(vecCol))).as("__qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("__qv"), col("__cv")))
+      .withColumn("cos", graft.functions.VectorExpressions.dotFast(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -36,42 +40,25 @@ object Similarity {
       .select("query_id", "rank", "nbr_id")
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: component c of
-    * plane p = splitmix64(p*dim+c) scaled to [-1,1]. Fixed seeds →
-    * reproducible across runs. */
-  private def hyperplane(p: Int, dim: Int) = {
-    import graft.functions.Hashing.splitmix64
-    array((0 until dim).map { c =>
-      lit(splitmix64(p.toLong * dim + c).toDouble / Long.MaxValue.toDouble)
-    }: _*)
-  }
-
-  /** Random-hyperplane LSH sketch: `bits` sign bits per table. */
-  private def lshKey(vec: org.apache.spark.sql.Column, table: Int, bits: Int,
-      dim: Int) = {
-    val bitCols = (0 until bits).map { b =>
-      val plane = hyperplane(table * bits + b, dim)
-      when(dot(vec, plane) >= 0.0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
   /** ANN top-k: candidates = corpus rows sharing an LSH bucket with the
     * query in any of `tables` tables; exact cosine + top-k only within
-    * candidates. Probabilistic recall (checked ≥ threshold in tests
-    * against [[bruteForceTopK]]). */
+    * candidates. Bucket keys come from the [[graft.functions.LshBuckets]]
+    * custom expression (all tables' sign-random-projections in one
+    * primitive pass per row). Probabilistic recall (checked ≥ threshold
+    * in tests against [[bruteForceTopK]]). */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       dim: Int = 64, tables: Int = 8, bits: Int = 8,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"),
+    import graft.functions.VectorExpressions.lshBuckets
+    val c = spread(corpus).select(col(idCol).as("nbr_id"),
       l2Normalize(toDouble(col(vecCol))).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"),
       l2Normalize(toDouble(col(vecCol))).as("__qv"))
 
     def bucketed(df: DataFrame, vec: String, id: String) =
       df.select(col(id), col(vec),
-        posexplode(array((0 until tables).map(t =>
-          lshKey(col(vec), t, bits, dim)): _*)).as(Seq("__tbl", "__bkt")))
+        posexplode(lshBuckets(col(vec), tables, bits, dim))
+          .as(Seq("__tbl", "__bkt")))
 
     val cb = bucketed(c, "__cv", "nbr_id")
     val qb = bucketed(q, "__qv", "query_id")
@@ -81,7 +68,7 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
-    cand.withColumn("cos", dot(col("__qv"), col("__cv")))
+    cand.withColumn("cos", graft.functions.VectorExpressions.dotFast(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cos")
