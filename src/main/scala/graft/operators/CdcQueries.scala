@@ -91,6 +91,20 @@ object CdcQueries {
     "q_cdc_scd2_current" -> { (s, d) =>
       val snapshot = queries("q_cdc_scd2")(s, d)
       Scd2.currentRows(snapshot).orderBy("c_custkey")
+    },
+
+    // J5 — the SCD2 change-detection join on its own (SURVEY §2.3):
+    // which staged rows differ from the open snapshot rows on the
+    // check columns (the inputs that C6 closes+inserts).
+    "q_scd2_check" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val open = c.select(col("c_custkey"), col("c_mktsegment"))
+      val staged = c.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment_new"))
+      open.join(staged, Seq("c_custkey"))
+        .where(xxhash64(col("c_mktsegment")) =!= xxhash64(col("c_mktsegment_new")))
+        .orderBy("c_custkey")
     }
   )
 
@@ -168,6 +182,10 @@ object CdcQueries {
         |  SELECT c_custkey + 1000000, 'new_' || c_name, 'NEW',
         |    TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP)
         |  FROM customer WHERE c_custkey % 5 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scd2_check" ->
+      """SELECT c_custkey, c_mktsegment, 'MOVED' AS c_mktsegment_new
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_mktsegment <> 'MOVED'
         |ORDER BY c_custkey""".stripMargin
   )
 }

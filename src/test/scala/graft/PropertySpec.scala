@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{DedupLatest, Upsert, Watermark}
+import graft.operators.Skew
+
+/** Property-based invariants (SURVEY §5): upsert idempotency and
+  * key-uniqueness, dedup invariant, watermark split completeness,
+  * salted-join equivalence — over generated datasets.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, String, Int)]] =
+    Gen.listOfN(30, for {
+      id <- Gen.chooseNum(0L, 9L)
+      attr <- Gen.alphaStr.map(_.take(4))
+      track <- Gen.chooseNum(0, 99)
+    } yield (id, attr, track))
+
+  /** Deterministic property driver: 10 samples per generator from
+    * fixed seeds (no scalatestplus bridge in the offline dep cache). */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 10).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 10).foreach { i =>
+      f(g1.apply(Gen.Parameters.default, Seed(i.toLong)).get,
+        g2.apply(Gen.Parameters.default, Seed(1000L + i)).get)
+    }
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  test("upsert: result keys = dest ∪ incoming; incoming rows win") {
+    forAll(rowsGen, rowsGen) { (destRows, incRows) =>
+      whenever(destRows.nonEmpty || incRows.nonEmpty) {
+        val dest = DedupLatest(destRows.toDF("id", "attr", "track"),
+          Seq("id"), "track", Seq("attr"))
+        val inc = incRows.toDF("id", "attr", "track")
+        val out = Upsert(dest, inc, Seq("id"))
+        val outKeys = out.select("id").as[Long].collect().toSet
+        val expected = dest.select("id").as[Long].collect().toSet ++
+          incRows.map(_._1)
+        assert(outKeys == expected)
+        // rows for incoming keys come only from incoming
+        val incKeys = incRows.map(_._1).toSet
+        val fromInc = out.where(col("id").isInCollection(
+          if (incKeys.isEmpty) Set(-1L) else incKeys))
+        assert(fromInc.count() == incRows.size)
+      }
+    }
+  }
+
+  test("dedup-latest: exactly one row per key, track = max(track)") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "attr", "track")
+        val out = DedupLatest(df, Seq("id"), "track", Seq("attr"))
+        assert(out.groupBy("id").count().where(col("count") > 1).isEmpty)
+        val maxes = rows.groupBy(_._1).map { case (k, g) =>
+          k -> g.map(_._3).max }
+        val got = out.select("id", "track").as[(Long, Int)].collect().toMap
+        assert(got == maxes)
+      }
+    }
+  }
+
+  test("watermark split: strict-after + ties-at + before == everything") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "attr", "track")
+        val wm = rows.map(_._3).min + (rows.map(_._3).max - rows.map(_._3).min) / 2
+        val after = Watermark.strictAfter(df, "track", wm).count()
+        val from = Watermark.inclusiveFrom(df, "track", wm).count()
+        val ties = rows.count(_._3 == wm)
+        assert(from - after == ties) // >= re-reads exactly the boundary
+        assert(after + rows.count(_._3 <= wm) == rows.size)
+      }
+    }
+  }
+
+  test("salted join ≡ plain join") {
+    forAll(rowsGen, rowsGen) { (probeRows, buildRows) =>
+      val probe = probeRows.toDF("id", "attr", "track")
+      val build = DedupLatest(buildRows.toDF("id", "attr", "track"),
+          Seq("id"), "track", Seq("attr"))
+        .select(col("id"), col("attr").as("battr"))
+      val plain = probe.join(build, Seq("id"), "left")
+      val salted = Skew.saltedLeftJoin(probe, build, "id", saltFactor = 4)
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    }
+  }
+}
