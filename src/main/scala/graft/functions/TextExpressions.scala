@@ -1,16 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the sketch primitives Spark lacks —
-  * single-pass, allocation-light, evaluated on InternalRow (no UDF
-  * serialization). Used by graft.operators.Dedup / Text.
+  * single-pass primitive loops over InternalRow data (bodies in
+  * [[Kernels]]), with `doGenCode` emitting a static call so the
+  * enclosing whole-stage-codegen span stays intact (no CodegenFallback
+  * row boxing).
   *
   * Determinism: all seeds are compile-time constants derived via
   * splitmix64, so signatures are reproducible across runs/engines.
@@ -24,182 +25,67 @@ object Hashing {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-
-  def xx64(s: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
 
-/** MinHash signature of a shingle set: k minimums of pairwise-independent
-  * affine transforms of one base xxhash64 per shingle. O(n·k), one pass.
-  * (Broder's minwise hashing; k=128 default per common MinHash-LSH use.)
-  */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
+/** MinHash signature of a string-shingle set (Broder minwise hashing):
+  * k minimums of pairwise-independent affine transforms of one base
+  * xxhash64 per shingle. O(n·k), one pass. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
-
-  private lazy val as: Array[Long] =
-    Array.tabulate(k)(j => Hashing.splitmix64(2L * j) | 1L) // odd → bijective
-  private lazy val bs: Array[Long] =
-    Array.tabulate(k)(j => Hashing.splitmix64(2L * j + 1))
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      val h = Hashing.xx64(arr.getUTF8String(i), 42L)
-      var j = 0
-      while (j < k) {
-        val v = as(j) * h + bs(j)
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
-
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
-}
-
-/** DISTINCT hashed word n-gram shingles of a text in ONE primitive pass:
-  * whitespace-tokenize the UTF-8 bytes, xxhash64 each token in place
-  * (no substring allocation), combine n consecutive token hashes.
-  * Equivalent as a SET to hashing the joined shingle strings (two
-  * shingles collide iff their token sequences match, modulo 2^-64
-  * hash collisions). Docs with ≤ n tokens yield one whole-doc shingle.
-  * Replaces a split+transform+slice+concat_ws HOF chain that was ~10×
-  * slower (interpreted closure per element). */
-case class HashedShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "hashed_shingles"
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val bytes = s.getBaseObject
-    val off = s.getBaseOffset
-    val len = s.numBytes
-    // token boundaries over ASCII whitespace (UTF-8 safe: multibyte
-    // chars never contain 0x09-0x20 bytes)
-    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
-    var i = 0
-    var start = -1
-    while (i <= len) {
-      val isWs = i == len || {
-        val b = org.apache.spark.unsafe.Platform.getByte(bytes, off + i)
-        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
-      }
-      if (isWs) {
-        if (start >= 0) {
-          tokHashes += XXH64.hashUnsafeBytes(bytes, off + start, i - start, 42L)
-          start = -1
-        }
-      } else if (start < 0) start = i
-      i += 1
-    }
-    val m = tokHashes.length
-    val out =
-      if (m == 0) Array.empty[Long]
-      else if (m <= n) {
-        var h = 1125899906842597L
-        var j = 0
-        while (j < m) { h = h * 31 + tokHashes(j); j += 1 }
-        Array(h)
-      } else {
-        val res = new Array[Long](m - n + 1)
-        var j = 0
-        while (j <= m - n) {
-          var h = 1125899906842597L
-          var t = j
-          while (t < j + n) { h = h * 31 + tokHashes(t); t += 1 }
-          res(j) = h
-          j += 1
-        }
-        res
-      }
-    val set = new java.util.TreeSet[java.lang.Long]()
-    var j = 0
-    while (j < out.length) { set.add(out(j)); j += 1 }
-    val distinct = new Array[Long](set.size)
-    val it = set.iterator()
-    var idx = 0
-    while (it.hasNext) { distinct(idx) = it.next(); idx += 1 }
-    new GenericArrayData(distinct)
-  }
-
-  override protected def withNewChildInternal(c: Expression): HashedShingles =
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashFromStrings(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.minhashFromStrings($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
 
-/** MinHash signature over pre-hashed shingles (see [[HashedShingles]]):
-  * skips the per-shingle string hash of [[MinHashSig]]. */
+/** MinHash signature over pre-hashed shingles (see [[HashedShingles]]). */
 case class MinHashSigFromHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig_hashed"
-
-  private lazy val as: Array[Long] =
-    Array.tabulate(k)(j => Hashing.splitmix64(2L * j) | 1L)
-  private lazy val bs: Array[Long] =
-    Array.tabulate(k)(j => Hashing.splitmix64(2L * j + 1))
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = as(j) * h + bs(j)
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
-
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashFromHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.minhashFromHashes($c, $k)")
   override protected def withNewChildInternal(c: Expression): MinHashSigFromHashes =
+    copy(child = c)
+}
+
+/** DISTINCT hashed word n-gram shingles of a text in ONE primitive
+  * pass: whitespace-tokenize the UTF-8 bytes, xxhash64 each token in
+  * place (no substring allocation), combine n consecutive token hashes.
+  * Equivalent as a SET to hashing the joined shingle strings. Docs with
+  * ≤ n tokens yield one whole-doc shingle. Replaces a split+transform+
+  * slice+concat_ws HOF chain that was ~10× slower (interpreted closure
+  * per element). */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hashedShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): HashedShingles =
     copy(child = c)
 }
 
 /** 64-bit SimHash of a token multiset (Charikar 2002): per-bit vote of
   * each token's xxhash64, sign → bit. One pass, O(n·64). */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      val h = Hashing.xx64(arr.getUTF8String(i), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
-
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.simhash64(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
 }
 
 /** Winnowed rolling-hash document fingerprint (Schleimer et al., MOSS,
@@ -207,16 +93,28 @@ case class SimHash64(child: Expression)
   * `window`-hash sliding window (rightmost on ties), distinct + sorted.
   * Robust to local edits; sub-linear output size. */
 case class WinnowFingerprint(child: Expression, gram: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.eval(input.asInstanceOf[UTF8String], gram, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprint.eval($c, $gram, $window)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+}
+
+object WinnowFingerprint {
+  /** Static body (callable from generated code). */
+  def eval(input: UTF8String, gram: Int, window: Int): ArrayData = {
+    val s = input.toString
     val n = s.length
     if (n < gram) return new GenericArrayData(Array.empty[Long])
-    // polynomial rolling hashes of all grams
     val m = n - gram + 1
     val hs = new Array[Long](m)
     var h = 0L
@@ -245,9 +143,6 @@ case class WinnowFingerprint(child: Expression, gram: Int, window: Int)
     }
     new GenericArrayData(selected.toArray)
   }
-
-  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
-    copy(child = c)
 }
 
 object TextExpressions {

@@ -2,52 +2,32 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for vector math where higher-order
   * functions are too slow: the HOF path (`zip_with`+`aggregate`)
-  * interprets a closure per element (~µs/element); these evaluate a
-  * primitive loop per ROW (~ns/element). Measured 3–6× on the LSH
-  * bucket sweep. */
+  * interprets a closure per element (~µs/element); these run a
+  * primitive loop per ROW via [[Kernels]] and stay inside whole-stage
+  * codegen (static-call `doGenCode`). Measured 3–6× on the LSH sweep.
+  */
 
 /** All `tables` random-hyperplane LSH bucket keys of a vector in one
   * pass (Charikar 2002 sign-random-projection). Plane components are
-  * deterministic splitmix64 pseudo-noise — identical to
-  * Similarity.hyperplane's values. */
+  * deterministic splitmix64 pseudo-noise. */
 case class LshBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
-  // plane (t*bits+b) component c, scaled to [-1, 1]
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(tables * bits)(p => Array.tabulate(dim)(c =>
-      Hashing.splitmix64(p.toLong * dim + c).toDouble / Long.MaxValue.toDouble))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.lshBuckets(input.asInstanceOf[ArrayData], tables, bits, dim)
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(v.length, dim)
-    val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var key = 0L
-      var b = 0
-      while (b < bits) {
-        val plane = planes(t * bits + b)
-        var d = 0.0
-        var c = 0
-        while (c < n) { d += v(c) * plane(c); c += 1 }
-        if (d >= 0.0) key |= (1L << b)
-        b += 1
-      }
-      out(t) = key
-      t += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.lshBuckets($c, $tables, $bits, $dim)")
 
   override protected def withNewChildInternal(c: Expression): LshBuckets =
     copy(child = c)
@@ -55,20 +35,17 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
 
 /** Dot product of two double arrays — primitive loop, no closures. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    java.lang.Double.valueOf(s)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      Kernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dot($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : DotProduct = copy(left = l, right = r)
