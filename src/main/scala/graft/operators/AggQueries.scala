@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.AsOfJoin
 
 /** Aggregations, windows and joins — SURVEY.md §2.3, §2.4, §2.5.
   *
@@ -149,6 +150,39 @@ object AggQueries {
       dest.join(incoming, Seq("o_orderkey"), "left_anti").orderBy("o_orderkey")
     },
 
+    // Hierarchical subtotals via rollup/cube (free from Catalyst's
+    // Expand; partial aggregation still applies per grouping set).
+    "q_agg_rollup" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+    "q_agg_cube" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Backward as-of join (time-series enrichment): every event carries
+    // the latest purchase value at-or-before its timestamp per user.
+    "q_join_asof" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = purchases.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"))
+      AsOfJoin.backward(
+        ev.select("event_id", "user_id", "ts"), right,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("last_purchase_value"))
+        .orderBy("event_id")
+    },
+
     // J4/C2 — keep-latest-per-key dedup as window argmax (the idiomatic
     // form of DELETE WHERE (key,track) NOT IN (SELECT key, MAX(track)...)).
     // Tie-break is a total order over all columns — (key, track) alone is
@@ -225,6 +259,28 @@ object AggQueries {
         |    SELECT o_orderkey FROM orders
         |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
         |ORDER BY o_orderkey""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_join_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
     "q_dedup_latest_per_key" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row (key, ts), attach the most
+  * recent right row with the same key and rightTs ≤ ts (inclusive) —
+  * the time-series enrichment operator (trade↔quote style) the
+  * reference lacks and Spark has no built-in for.
+  *
+  * Composed from built-ins (preference (a) of the custom-operator
+  * ladder — no custom SparkPlan needed): tag and union both sides on
+  * (key, time), then a single `last(ignoreNulls)` running window per
+  * key carries the latest right payload forward onto each left row.
+  * ONE shuffle on the key, O(n log n) within partitions — no per-key
+  * loops, no range cross product; survives any fact:quote ratio.
+  *
+  * Equal timestamps: the right row sorts before the left row at the
+  * same instant (tag ordering), matching inclusive `l.ts >= r.ts`
+  * ASOF semantics.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1)) // left sorts after right at equal ts
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c => last(col(s"__p_$c"), ignoreNulls = true)
+          .over(w).as(c)): _*)
+      .where(col("__side") === 1) // keep only left rows
+      .drop("__t", "__side")
+  }
+}
