@@ -23,6 +23,13 @@ object StreamQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    // Gap-based sessionization (batch formulation; streaming parity via
+    // flatMapGroupsWithState asserted in StreamSpec).
+    "q_sessionize" -> { (s, d) =>
+      graft.streaming.Sessionize.batch(Tables(s, d, "events"), gapSec = 1800)
+        .orderBy("user_id", "session_start")
+    },
+
     // Multimodal metadata pass over binary payloads (documents' text
     // encoded as the stand-in payload; plumbing identical for real
     // image/audio bytes).
@@ -55,6 +62,21 @@ object StreamQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  octet_length(encode(text)) AS n_bytes,

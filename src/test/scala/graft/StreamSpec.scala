@@ -68,6 +68,42 @@ class StreamSpec extends AnyFunSuite {
     assert(streamResult.toSeq == batchResult.toSeq)
   }
 
+  test("stateful sessionize: streaming (flatMapGroupsWithState) == batch") {
+    import graft.streaming.Sessionize
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val batchResult = Sessionize.batch(events, gapSec = 1800)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    // stream the same rows + a far-future sentinel per user so the
+    // watermark passes every real session's close (AvailableNow has no
+    // extra trigger to fire timeouts otherwise)
+    val dir = tmp("sess-ev")
+    val sentinel = events.groupBy("user_id")
+      .agg(max("ts").as("ts")).withColumn("ts",
+        col("ts") + expr("INTERVAL 100 DAYS")).withColumn("value", lit(0.0))
+      .select("user_id", "ts", "value")
+    events.select("user_id", "ts", "value").unionByName(sentinel)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(events.select("user_id", "ts", "value").schema)
+      .parquet(dir)
+      .withWatermark("ts", "1 second")
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.streaming(src, gapSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamResult = spark.table("sessions_out")
+      .where(col("n_events") > 0)
+      // drop the sentinel's own single-event sessions
+      .where(!(col("n_events") === 1 && col("sum_value") === 0.0))
+      .collect().map(_.toSeq).toSet
+    assert(streamResult == batchResult)
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
