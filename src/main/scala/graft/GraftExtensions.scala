@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions hook: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * kernels as the DataFrame API:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  * }}}
+  *
+  * No custom optimizer rules or strategies are injected — SURVEY §4:
+  * every optimization the reference relies on is native Catalyst; the
+  * extension surface here is function registration only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens ARRAY<STRING>) - 64-bit SimHash"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles",
+        "hashed_shingles(text, n) - distinct hashed word n-gram shingles"),
+      (args: Seq[Expression]) => HashedShingles(args.head,
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles ARRAY<STRING>, k) - MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(text, gram, window) - winnowed rolling-hash fingerprints"),
+      (args: Seq[Expression]) => WinnowFingerprint(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(vec ARRAY<DOUBLE>, tables, bits, dim) - sign-random-projection buckets"),
+      (args: Seq[Expression]) => LshBuckets(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+        args(3).eval().asInstanceOf[Int])))
+  }
+}

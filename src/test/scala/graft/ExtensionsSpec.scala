@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-facing function registration via SparkSessionExtensions. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("custom expressions are callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  simhash64(split('the quick brown fox', ' ')) AS sh,
+        |  size(hashed_shingles('a b c d e', 3)) AS nsh,
+        |  size(minhash_sig(split('a b c d e', ' '), 16)) AS nmh,
+        |  size(winnow_fingerprint('abcdefghijklmnopqrstuvwxyz', 8, 16)) AS nwf,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  size(lsh_buckets(array(0.1d, 0.2d), 4, 4, 2)) AS nlsh
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[Int]("nsh") == 3)
+    assert(row.getAs[Int]("nmh") == 16)
+    assert(row.getAs[Int]("nwf") >= 1)
+    assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getAs[Int]("nlsh") == 4)
+  }
+
+  test("SQL and DataFrame APIs produce identical sketches") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions
+    val viaSql = spark.sql(
+      "SELECT simhash64(split('hello world foo bar', ' ')) AS s").head().getLong(0)
+    val viaDf = spark.range(1).select(
+      TextExpressions.simhash64(split(lit("hello world foo bar"), " ")).as("s"))
+      .head().getLong(0)
+    assert(viaSql == viaDf)
+  }
+}
