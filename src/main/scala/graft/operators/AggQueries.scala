@@ -90,7 +90,7 @@ object AggQueries {
         .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
       Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 

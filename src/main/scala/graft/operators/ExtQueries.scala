@@ -26,10 +26,10 @@ object ExtQueries {
       val t = col("text")
       Tables(s, d, "documents").select(
         col("doc_id"),
-        length(t).as("n_chars"),
-        TextFunctions.tokenCount(t).as("n_tokens"),
-        TextFunctions.bpeishTokenCount(t).as("n_bpeish"),
-        TextFunctions.punctCount(t).as("n_punct"),
+        length(t).cast("long").as("n_chars"),
+        TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+        TextFunctions.bpeishTokenCount(t).cast("long").as("n_bpeish"),
+        TextFunctions.punctCount(t).cast("long").as("n_punct"),
         TextFunctions.meanTokenLen(t).as("mean_tok_len"))
         .orderBy("doc_id")
     },
@@ -101,6 +101,7 @@ object ExtQueries {
     "q_sim_topk" -> { (s, d) =>
       val e = Tables(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
 

@@ -39,6 +39,7 @@ object StreamQueries {
         lit("text").as("kind"),
         encode(col("text"), "UTF-8").as("payload"))
       Multimodal.describePayloads(media)
+        .withColumn("n_bytes", col("n_bytes").cast("long"))
         .select("media_id", "kind", "n_bytes", "magic")
         .orderBy("media_id")
     },

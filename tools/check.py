@@ -64,6 +64,12 @@ def main():
             print(f"FAIL {name}: spark output error: {e}")
             n_fail += 1
             continue
+        # dtype parity (int32-vs-int64 etc. would break a typed hash)
+        stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        otypes = dict(zip(oracle.columns, [str(t) for t in oracle.types]))
+        for c in ocols:
+            if c in stypes and stypes[c] != otypes.get(c):
+                print(f"  WARN {name}.{c}: spark={stypes[c]} oracle={otypes.get(c)}")
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1
