@@ -51,6 +51,18 @@ final class TableStore(spark: SparkSession, root: String,
   def read(): Option[DataFrame] =
     currentVersion.map(v => spark.read.parquet(versionDir(v).toString))
 
+  /** Time travel: read a specific (un-vacuumed) version. */
+  def readVersion(v: Int): Option[DataFrame] = {
+    val dir = versionDir(v)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** Versions currently on disk (ascending). */
+  def versions(): Seq[Int] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toInt).sorted
+
   private def versionDir(v: Int) = new Path(rootPath, f"v_$v%08d")
 
   /** Write `df` as the next immutable version, then atomically advance

@@ -165,6 +165,31 @@ object AggQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // Exact median per group (linear interpolation at 0.5 is exact
+    // arithmetic on integer-valued quantities → oracle-stable).
+    "q_agg_median" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // Bucketed point-in-interval range join: events.value matched to
+    // value bands derived from nation (see operators.RangeJoin — the
+    // equi-shuffle formulation, not a nested-loop inequality join).
+    "q_join_range" -> { (s, d) =>
+      val points = Tables(s, d, "events").select("event_id", "value")
+      val bands = Tables(s, d, "nation").select(
+        col("n_name").as("band_name"),
+        (col("n_nationkey") * 20.0).as("lo"),
+        (col("n_nationkey") * 20.0 + 35.0).as("hi"))
+      RangeJoin.pointInterval(points, bands, "value", "lo", "hi",
+          bucketWidth = 25.0)
+        .select("event_id", "value", "band_name", "lo", "hi")
+        .orderBy("event_id", "band_name")
+    },
+
     // Backward as-of join (time-series enrichment): every event carries
     // the latest purchase value at-or-before its timestamp per user.
     "q_join_asof" -> { (s, d) =>
@@ -270,6 +295,19 @@ object AggQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_join_range" ->
+      """WITH b AS (
+        |  SELECT n_name AS band_name,
+        |    CAST(n_nationkey AS DOUBLE) * 20.0 AS lo,
+        |    CAST(n_nationkey AS DOUBLE) * 20.0 + 35.0 AS hi
+        |  FROM nation)
+        |SELECT event_id, value, band_name, lo, hi
+        |FROM events JOIN b ON value >= lo AND value < hi
+        |ORDER BY event_id, band_name""".stripMargin,
     "q_join_asof" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (

@@ -87,6 +87,20 @@ class CdcSpec extends AnyFunSuite {
     assert(store.read().get.count() == 2)
   }
 
+  test("TableStore time travel: past versions readable until vacuumed") {
+    val root = tmpDir("ttravel")
+    val store = new TableStore(spark, root)
+    store.write(df(Seq((1L, "v1", "t1"))))
+    store.write(df(Seq((1L, "v2", "t2"), (2L, "b", "t2"))))
+    assert(store.versions() == Seq(1, 2))
+    assert(store.readVersion(1).get.count() == 1)
+    assert(store.readVersion(2).get.count() == 2)
+    assert(store.readVersion(3).isEmpty)
+    store.vacuum(keep = 1)
+    assert(store.readVersion(1).isEmpty)
+    assert(store.read().get.count() == 2)
+  }
+
   test("full load empty-source quirk: stale data survives by default") {
     val root = tmpDir("fullload")
     val store = new TableStore(spark, root)
