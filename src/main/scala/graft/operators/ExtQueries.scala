@@ -112,6 +112,17 @@ object ExtQueries {
       Similarity.annTopK(e, e.where(col("vec_id") < 10), k = 5)
         .select("query_id", "rank", "nbr_id")
         .orderBy("query_id", "rank")
+    },
+
+    // IVF ANN: coarse-quantizer cells + nprobe probing — rows-only
+    // check; recall vs brute force asserted in ExtSpec.
+    "q_sim_ann_ivf" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val (assigned, centroids) = Ivf.build(e, nlist = 16, iters = 2)
+      Ivf.search(assigned, centroids, e.where(col("vec_id") < 10),
+          k = 5, nprobe = 4)
+        .select("query_id", "rank", "nbr_id")
+        .orderBy("query_id", "rank")
     }
   )
 

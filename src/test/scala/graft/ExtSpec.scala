@@ -110,6 +110,32 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall too low")
   }
 
+  test("IVF recall >= 0.8 vs brute force on clustered vectors") {
+    import graft.functions.Hashing.splitmix64
+    def unit(seed: Long, dim: Int): Array[Double] = {
+      val v = Array.tabulate(dim)(i =>
+        splitmix64(seed * dim + i).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val rows = for { c <- 0 until 40; m <- 0 until 15 } yield {
+      val center = unit(c + 1, dim)
+      val noise = unit(1000L + c * 15 + m, dim)
+      ((c * 15 + m).toLong,
+        center.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat }, c)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val q = embs.where(col("vec_id") % 15 === 0)
+    val brute = graft.operators.Similarity.bruteForceTopK(embs, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val (assigned, centroids) = graft.operators.Ivf.build(embs, nlist = 20, iters = 2)
+    val ivf = graft.operators.Ivf.search(assigned, centroids, q, k = 5, nprobe = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("language ID on real-language fixtures") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy"),
