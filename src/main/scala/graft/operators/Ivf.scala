@@ -31,17 +31,27 @@ object Ivf {
     val vecs = corpus.repartition(n).select(col(idCol),
       l2Normalize(toDouble(col(vecCol))).as("__v"))
 
-    // deterministic spread init: hash-order, take nlist
-    var centroids = vecs
+    // Centroids are MODEL state (nlist×dim doubles — KBs): they live on
+    // the driver between rounds and re-enter the plan as a broadcast
+    // literal frame each iteration. Keeping them as lazy lineage would
+    // re-run every previous round per action (and is how MLlib's
+    // k-means works too). The DATA never leaves the cluster.
+    import spark.implicits._
+    def toFrame(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF("cell", "__c")
+
+    var centroidSeq: Seq[(Long, Seq[Double])] = vecs
       .orderBy(xxhash64(col(idCol)))
       .limit(nlist)
-      .select(col("__v").as("__c"))
-      .withColumn("cell", row_number().over(
-        Window.orderBy(xxhash64(col("__c")))).cast("long") - 1)
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toSeq
 
-    var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      assigned = assign(vecs, centroids)
+      val assigned = assign(vecs, toFrame(centroidSeq))
       // Lloyd update: per-(cell, component) mean, re-assembled into an
       // ordered array; empty cells keep their previous centroid.
       val updated = assigned
@@ -50,10 +60,14 @@ object Ivf {
         .groupBy("cell").agg(array_sort(collect_list(struct(col("__i"),
           col("__m")))).as("__ms"))
         .select(col("cell"), transform(col("__ms"), s => s("__m")).as("__c"))
-      centroids = centroids.select("cell").join(updated, Seq("cell"), "left")
-        .join(centroids.select(col("cell"), col("__c").as("__prev")), Seq("cell"))
-        .select(col("cell"), coalesce(col("__c"), col("__prev")).as("__c"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        .toMap
+      centroidSeq = centroidSeq.map { case (cell, prev) =>
+        cell -> updated.getOrElse(cell, prev)
+      }
     }
+    val centroids = toFrame(centroidSeq)
     (assign(vecs, centroids), centroids)
   }
 
