@@ -165,6 +165,15 @@ object AggQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // Top-k per key via bounded-buffer typed Aggregator (map-side
+    // partial top-k; no per-key full sort — see operators.TopKPerKey).
+    "q_topk_per_key" -> { (s, d) =>
+      TopKPerKey(Tables(s, d, "lineitem"),
+          keyCol = "l_orderkey", scoreCol = "l_extendedprice",
+          payloadCol = "l_partkey", k = 2)
+        .orderBy("key", "rank")
+    },
+
     // Exact median per group (linear interpolation at 0.5 is exact
     // arithmetic on integer-valued quantities → oracle-stable).
     "q_agg_median" -> { (s, d) =>
@@ -295,6 +304,14 @@ object AggQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT l_orderkey AS key, CAST(rn AS BIGINT) AS rank,
+        |  l_extendedprice AS score, l_partkey AS payload
+        |FROM (SELECT l_orderkey, l_extendedprice, l_partkey,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_partkey DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2 ORDER BY key, rank""".stripMargin,
     "q_agg_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  count(*) AS cnt
