@@ -29,7 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * touched partitions.
   */
 final class TableStore(spark: SparkSession, root: String,
-    partitionByCols: Seq[String] = Nil) {
+    partitionByCols: Seq[String] = Nil,
+    clusterByCols: Seq[String] = Nil) {
 
   private val rootPath = new Path(root)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,7 +72,15 @@ final class TableStore(spark: SparkSession, root: String,
   def write(df: DataFrame): Unit = {
     val next = currentVersion.getOrElse(0) + 1
     val dir = versionDir(next)
-    val w = df.write.mode("overwrite")
+    // O2 clustering analog (MergeTree ORDER BY, init-clickhouse.sql:24):
+    // sort within partitions before write so parquet row-group min/max
+    // stats give the skip-index effect on the cluster keys.
+    val clustered =
+      if (clusterByCols.nonEmpty)
+        df.sortWithinPartitions(clusterByCols.map(org.apache.spark.sql
+          .functions.col): _*)
+      else df
+    val w = clustered.write.mode("overwrite")
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
       .parquet(dir.toString)
     val tmp = new Path(rootPath, s"_CURRENT.tmp.$next")

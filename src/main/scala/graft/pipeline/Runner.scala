@@ -94,7 +94,8 @@ object Runner {
       Staging.stgLineitem(Tables(spark, sfDir, "lineitem")),
       Staging.stgOrders(Tables(spark, sfDir, "orders")))
     val factStore = new TableStore(spark, s"$workRoot/fact_lineitem",
-      partitionByCols = Seq("ship_month"))
+      partitionByCols = Seq("ship_month"),
+      clusterByCols = Seq("order_id", "ship_ts")) // O2: MergeTree ORDER BY analog
     factStore.write(fact)
 
     Result(
