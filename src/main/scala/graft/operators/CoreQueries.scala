@@ -40,6 +40,22 @@ object CoreQueries {
       before.unionByName(after).orderBy("o_orderkey")
     },
 
+    // Set ops beyond append (free from Spark; not reference parity —
+    // SURVEY §2.7 — but part of a complete engine surface).
+    "q_set_intersect" -> { (s, d) =>
+      val o = Tables(s, d, "orders").select("o_custkey")
+      val early = o.where(col("o_custkey") % 2 === 0)
+      Tables(s, d, "customer").select(col("c_custkey").as("o_custkey"))
+        .intersect(early)
+        .orderBy("o_custkey")
+    },
+    "q_set_except" -> { (s, d) =>
+      val all = Tables(s, d, "orders").select("o_orderkey")
+      val shipped = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"))
+      all.except(shipped).orderBy("o_orderkey")
+    },
+
     // P1 — rename/reorder staging projection (reference: stg_*.sql).
     "q_project_rename" -> { (s, d) =>
       Tables(s, d, "orders").select(
@@ -211,6 +227,16 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |) ORDER BY o_orderkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey AS o_custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_orderkey FROM orders
+        |EXCEPT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |ORDER BY o_orderkey""".stripMargin,
     "q_project_rename" ->
       """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
         |  o_orderstatus AS status, o_totalprice AS amount,

@@ -51,6 +51,49 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: deterministic downsample of the payload bytes to a
+    * `target × target` grid (stride sampling). A real implementation
+    * swaps the body for a codec + interpolation kernel; the signature
+    * (bytes → bytes + new dims) and the per-partition batch shape are
+    * what the pipeline depends on. */
+  def stubResize(payload: Array[Byte], target: Int): Array[Byte] = {
+    val n = target * target
+    if (payload.isEmpty) new Array[Byte](n)
+    else Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
+  }
+
+  /** STUB frame sampling: split the payload into `frames` equal spans
+    * ("frames") and keep every `stride`-th one — the video path's
+    * batch shape (one row in, few rows out via flatMap). */
+  def stubFrameSample(payload: Array[Byte], frames: Int, stride: Int)
+      : Seq[(Int, Array[Byte])] = {
+    if (payload.isEmpty || frames <= 0) Nil
+    else {
+      val span = math.max(1, payload.length / frames)
+      (0 until frames by stride).map { f =>
+        val start = f * span
+        f -> payload.slice(start, math.min(start + span, payload.length))
+      }
+    }
+  }
+
+  final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  /** Frame extraction over a media frame table: flatMap through the
+    * stub sampler, preserving distributed batch shape. */
+  def sampleFrames(media: DataFrame, frames: Int = 8, stride: Int = 2)
+      : Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        stubFrameSample(payload, frames, stride).map { case (f, b) =>
+          Frame(id, f, b)
+        }
+      }
+  }
+
   /** Metadata pass over binary payloads — pure native expressions
     * (no decode): byte size, content hash, magic-byte sniffing. */
   def describePayloads(media: DataFrame): DataFrame =

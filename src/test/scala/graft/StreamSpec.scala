@@ -118,6 +118,20 @@ class StreamSpec extends AnyFunSuite {
       Seq("media_id", "kind", "n_bytes", "content_hash", "magic"))
   }
 
+  test("multimodal resize + frame sampling: deterministic, shape-correct") {
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    val resized = Multimodal.stubResize(payload, 16)
+    assert(resized.length == 256)
+    assert(resized.toSeq == Multimodal.stubResize(payload, 16).toSeq)
+    val frames = Multimodal.stubFrameSample(payload, frames = 8, stride = 2)
+    assert(frames.map(_._1) == Seq(0, 2, 4, 6))
+    assert(frames.forall(_._2.length == 125))
+    // distributed path: one row in → sampled frames out
+    val media = Seq((1L, "video", payload)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.sampleFrames(media).collect()
+    assert(out.length == 4 && out.forall(_.media_id == 1L))
+  }
+
   test("pipeline runner: full DAG lands all marts; rerun is stable") {
     val root = tmp("pipeline")
     val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
