@@ -84,6 +84,16 @@ object AggQueries {
         approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
     },
 
+    // Approximate quantiles (GK sketch — mergeable, constant memory;
+    // the 100 TB path for percentiles). Approximation → rows-only
+    // check + tolerance assertion in ExtSpec.
+    "q_agg_approx_quantile" -> { (s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+          .as("price_quantiles"))
+        .orderBy("l_returnflag")
+    },
+
     // §2.5 — ranking window: row_number per key (latest-row machinery).
     "q_window_row_number" -> { (s, d) =>
       val w = Window.partitionBy(col("l_orderkey"))

@@ -136,6 +136,23 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("approx quantile within 5% of exact; approx distinct within 5%") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables(spark, d, "lineitem")
+    val approxMedian = li.selectExpr(
+      "approx_percentile(l_extendedprice, 0.5, 1000) AS m").head().getDouble(0)
+    val exactMedian = li.selectExpr(
+      "percentile(l_extendedprice, 0.5) AS m").head().getDouble(0)
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05)
+
+    // rsd 0.01 → 1% std dev; default 0.05 can legitimately miss by >5%
+    val approxN = li.selectExpr("approx_count_distinct(l_orderkey, 0.01) AS n")
+      .head().getLong(0)
+    val exactN = li.selectExpr("count(DISTINCT l_orderkey) AS n")
+      .head().getLong(0)
+    assert(math.abs(approxN - exactN).toDouble / exactN < 0.05)
+  }
+
   test("language ID on real-language fixtures") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy"),
