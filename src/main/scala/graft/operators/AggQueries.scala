@@ -60,11 +60,32 @@ object AggQueries {
 
     // P7/A5 — dbt incremental filter: scalar subquery over destination.
     "q_filter_scalar_subquery" -> { (s, d) =>
-      Tables.registerAll(s, d)
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(
         """SELECT * FROM lineitem
           |WHERE l_shipdate > (SELECT max(l_shipdate) - INTERVAL 90 DAYS FROM lineitem)
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
+    // Multi-join analytic (TPC-H Q3 shape): selective dim filter →
+    // broadcast → two-join fact aggregation → top-k. The dims filter
+    // BEFORE the join (pushdown), the fact never shuffles for customer.
+    "q3_shipping_priority" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
     },
 
     // Extension §7.5 — exact distinct counts (dedup cardinalities).
@@ -261,6 +282,17 @@ object AggQueries {
     "q_groupby_max" ->
       """SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem
         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
     "q_filter_scalar_subquery" ->
       """SELECT * FROM lineitem
         |WHERE l_shipdate > (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
