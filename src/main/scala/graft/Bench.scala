@@ -18,6 +18,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup (executor threads, codegen pipeline, FS client) so
+    // the first measured query doesn't absorb one-time init cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextExpressions => TE, VectorExpressions => VE}
+
+/** Regression guard: every custom expression must evaluate under
+  * CODEGEN_ONLY (i.e. its doGenCode compiles and runs) — a silent
+  * fallback would break whole-stage fusion in the hot paths. */
+class CodegenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("custom expressions evaluate under forced codegen") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, "the quick brown fox jumps over the lazy dog",
+        Array(0.1, 0.2, 0.3, 0.4))).toDF("id", "text", "vec")
+      val row = df.select(
+        size(TE.hashedShingles(col("text"))).as("nsh"),
+        size(TE.minhashSigFromHashes(TE.hashedShingles(col("text")), 16)).as("nmh"),
+        size(TE.minhashSig(split(col("text"), " "), 16)).as("nms"),
+        TE.simhash64(split(col("text"), " ")).as("sim"),
+        size(TE.winnowFingerprint(col("text"))).as("nwf"),
+        size(VE.lshBuckets(col("vec"), 4, 4, 4)).as("nlsh"),
+        VE.dotFast(col("vec"), col("vec")).as("dp")).head()
+      assert(row.getAs[Int]("nsh") == 7)
+      assert(row.getAs[Int]("nmh") == 16 && row.getAs[Int]("nms") == 16)
+      assert(row.getAs[Long]("sim") != 0L)
+      assert(row.getAs[Int]("nwf") >= 1 && row.getAs[Int]("nlsh") == 4)
+      assert(math.abs(row.getAs[Double]("dp") - 0.3) < 1e-12)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+}
