@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AggQueries, CdcQueries, CoreQueries, ExtQueries, SchemaQueries, StreamQueries}
+import graft.operators.{AggQueries, CdcQueries, CoreQueries, ExtQueries, SchemaQueries, ShapeQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,11 +33,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AggQueries.queries ++ CdcQueries.queries ++
-      SchemaQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries
+      SchemaQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries ++
+      ShapeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ AggQueries.oracle ++ CdcQueries.oracle ++
-      SchemaQueries.oracle ++ ExtQueries.oracle ++ StreamQueries.oracle
+      SchemaQueries.oracle ++ ExtQueries.oracle ++ StreamQueries.oracle ++
+      ShapeQueries.oracle
 }
