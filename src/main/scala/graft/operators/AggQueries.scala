@@ -181,6 +181,16 @@ object AggQueries {
       dest.join(incoming, Seq("o_orderkey"), "left_anti").orderBy("o_orderkey")
     },
 
+    // Semi join ≡ EXISTS: orders that have at least one late-shipped
+    // line (left_semi keeps left columns only, dedup'd — no fan-out).
+    "q_join_semi_exists" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val late = Tables(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("2001-06-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(late, Seq("o_orderkey"), "left_semi").orderBy("o_orderkey")
+    },
+
     // Hierarchical subtotals via rollup/cube (free from Catalyst's
     // Expand; partial aggregation still applies per grouping set).
     "q_agg_rollup" -> { (s, d) =>
@@ -334,6 +344,12 @@ object AggQueries {
         |  AND o_orderkey NOT IN (
         |    SELECT o_orderkey FROM orders
         |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_semi_exists" ->
+      """SELECT * FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > TIMESTAMP '2001-06-01')
         |ORDER BY o_orderkey""".stripMargin,
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -23,6 +23,21 @@ class BucketingSpec extends AnyFunSuite {
 
   test("join of co-bucketed tables plans without shuffle exchanges") {
     val d = "/root/testdata/sf0.001"
+    // the session (and its warehouse dir) may be shared with other
+    // suites and prior runs — clear both catalog entries and locations
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     Tables(spark, d, "lineitem")
       .write.mode("overwrite").bucketBy(4, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
