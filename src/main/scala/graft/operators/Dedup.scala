@@ -146,6 +146,43 @@ object Dedup {
       .select((blockCols :+ "id_a" :+ "id_b" :+ "jaccard").map(col): _*)
   }
 
+  /** Duplicate clustering: near-dup PAIRS → transitive connected
+    * components, labeled by the minimum member id (the canonical
+    * survivor). Iterative min-label propagation: each round every node
+    * takes the min label over itself and its neighbors — one shuffle
+    * per round, converges in O(component diameter) rounds (near-dup
+    * components are clique-ish → 2-3 rounds in practice; `maxIters`
+    * bounds adversarial chains). The standard large-graph CC approach
+    * when a component can span partitions.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nl"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("__changed"))
+      updated.cache()
+      val changed = updated.where(col("__changed")).limit(1).isEmpty
+      labels = updated.select("id", "label")
+      converged = changed
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs within blocking buckets. Vectors
     * are L2-normalized once per row before the join, so the pair stage
     * pays one dot product (SURVEY §7.5; REPOSE-style normalize-early). */

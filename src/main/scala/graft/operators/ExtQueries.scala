@@ -90,6 +90,14 @@ object ExtQueries {
         .orderBy("lang", "id_a", "id_b")
     },
 
+    // Transitive duplicate clusters over the n-gram-Jaccard pairs:
+    // connected components labeled by the canonical (min) member.
+    "q_dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
+        blockCols = Seq("lang"), threshold = 0.1)
+      Dedup.clusters(pairs).orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs within label blocks.
     "q_dedup_embed_cosine" -> { (s, d) =>
       Dedup.embeddingCosinePairs(Tables(s, d, "embeddings"),
@@ -204,6 +212,31 @@ object ExtQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(a.grams || b.grams)) >= 0.1
         |ORDER BY a.lang, id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) <= 3
+        |      THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))
+        |    END AS grams
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(a.grams || b.grams)) >= 0.1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |  FROM embeddings)

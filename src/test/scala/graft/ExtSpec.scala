@@ -69,6 +69,15 @@ class ExtSpec extends AnyFunSuite {
     assert(out((1L, 3L)) > 0.7 && out((1L, 3L)) < 1.0)
   }
 
+  test("duplicate clusters: transitive components, min-id canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L) // chain a-b-c
+    assert(out(7L) == 7L && out(9L) == 7L)                   // separate pair
+    assert(out.size == 5)
+  }
+
   test("embedding cosine pairs: planted duplicate vector found") {
     val v1 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => (x * 1.001f)) // same direction
