@@ -76,6 +76,10 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L) // chain a-b-c
     assert(out(7L) == 7L && out(9L) == 7L)                   // separate pair
     assert(out.size == 5)
+    // distributed label-propagation path (driverThreshold=0) agrees
+    val dist = Dedup.clusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == out)
   }
 
   test("embedding cosine pairs: planted duplicate vector found") {
