@@ -64,8 +64,12 @@ object Runner {
   def runAll(spark: SparkSession, sfDir: String, workRoot: String,
       asOf: java.sql.Timestamp): Result = {
     // 1. raw extract+load: incremental upsert of events on watermark
-    //    (C1+C7: the destination is the checkpoint).
-    val rawStore = new TableStore(spark, s"$workRoot/raw_events")
+    //    (C1+C7: the destination is the checkpoint). The dest is stored
+    //    BUCKETED on the merge key: every repeated merge then reads the
+    //    big side pre-partitioned — no dest shuffle even when the
+    //    incoming batch is too large to broadcast (BucketingSpec, O2).
+    val rawStore = new TableStore(spark, s"$workRoot/raw_events",
+      bucketBy = Some((8, Seq("event_id"))))
     val events = Tables(spark, sfDir, "events")
     val incoming = Watermark.lastLoaded(rawStore.read(), "ts") match {
       case Some(wm) => Watermark.strictAfter(events, "ts", wm)
@@ -87,6 +91,11 @@ object Runner {
 
     // 3. staging + marts (dbt model layer), fact partitioned by month.
     val dim = Marts.dimCustomer(snapStore.read().get)
+    // dbt-build gate (schema.yml unique/not_null on the dim key): a
+    // violated rule aborts the run before the mart lands.
+    graft.quality.Check.enforce(dim, Seq(
+      graft.quality.Check.Unique(Seq("customer_id")),
+      graft.quality.Check.NotNull("customer_id")), "dim_customer")
     val dimStore = new TableStore(spark, s"$workRoot/dim_customer")
     dimStore.write(dim)
 

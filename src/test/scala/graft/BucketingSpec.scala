@@ -59,4 +59,54 @@ class BucketingSpec extends AnyFunSuite {
       Seq("l_orderkey"))
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("CDC merge over a bucketed TableStore dest: dest side never shuffles") {
+    import graft.cdc.{TableStore, Upsert}
+    val root = Files.createTempDirectory("bucketstore").toString + "/t"
+    val store = new TableStore(spark, root,
+      bucketBy = Some((4, Seq("o_orderkey"))))
+    val d = "/root/testdata/sf0.001"
+    val orders = Tables(spark, d, "orders")
+    store.write(orders)
+
+    // read goes through the catalog (a bare scan rightly reports
+    // "Bucketed: false (disabled by query planner)" — autoBucketedScan
+    // only engages when an operator needs the distribution)
+    val dest = store.read().get
+    assert(dest.queryExecution.executedPlan.toString.contains("graft_"),
+      "bucketed store read must go through the catalog")
+
+    // C1 merge with broadcast disabled (the big-incoming case where the
+    // anti-join can't build-side-broadcast): the SMJ must exchange ONLY
+    // the incoming key set — the bucketed dest side reads in place.
+    val incoming = orders.limit(500)
+      .withColumn("o_orderstatus", org.apache.spark.sql.functions.lit("U"))
+    val merged = Upsert(dest, incoming, Seq("o_orderkey"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"merge must engage the bucketed dest scan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"bucketed dest must not re-shuffle for the anti-join:\n$plan")
+    assert(merged.count() == orders.count())
+    // rerun-safe: the next version re-lands bucketed through the catalog
+    store.write(merged)
+    assert(store.read().get.queryExecution.executedPlan.toString
+      .contains("graft_"))
+  }
+
+  test("withDedupMaintained == withDedup when dest holds the invariant") {
+    import graft.cdc.Upsert
+    import spark.implicits._
+    val dest = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "attr", "track")
+    val incoming = Seq((2L, "b1", 21L), (2L, "b2", 22L), (4L, "d", 5L))
+      .toDF("id", "attr", "track")
+    val slow = Upsert.withDedup(dest, incoming, Seq("id"), "track", Seq("attr"))
+      .collect().map(_.toSeq).toSet
+    val fast = Upsert.withDedupMaintained(dest, incoming, Seq("id"), "track",
+      Seq("attr")).collect().map(_.toSeq).toSet
+    assert(fast == slow)
+    assert(fast.contains(Seq(2L, "b2", 22L)) && fast.contains(Seq(4L, "d", 5L)))
+  }
 }

@@ -164,6 +164,27 @@ class CdcSpec extends AnyFunSuite {
     assert(cur.toSeq == Seq((1L, "kano"), (2L, "abuja"), (3L, "ibadan")))
   }
 
+  test("SCD2 detects NULL-swap changes across multiple check columns") {
+    // Regression: a single xxhash64 over check columns skips NULL inputs,
+    // so open=(NULL,'x') vs staged=('x',NULL) would hash identically and
+    // the change would be silently missed. The per-column <=> fold must
+    // close + insert here.
+    import spark.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val staged1 = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("id", "a", "b")
+    val staged2 = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("id", "a", "b")
+    val snap = Scd2(Scd2.init(staged1, t1), staged2, Seq("id"), Seq("a", "b"), t2)
+    val versions = snap.orderBy(Scd2.ValidFrom).collect()
+    assert(versions.length == 2, "NULL-swap must close the old row and insert")
+    assert(versions(0).getAs[java.sql.Timestamp](Scd2.ValidTo) == t2)
+    assert(versions(1).getAs[String]("a") == "x"
+      && versions(1).getAs[String]("b") == null
+      && versions(1).getAs[java.sql.Timestamp](Scd2.ValidTo) == null)
+  }
+
   test("SCD2 is stable when nothing changed (idempotent re-run)") {
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")

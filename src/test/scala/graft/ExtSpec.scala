@@ -93,6 +93,59 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard hot-shingle cutoff: pairs preserved, hot buckets dropped") {
+    // 1-2 share everything; doc 3 shares only the one "hot" shingle that
+    // appears in every doc (df = 4 > cutoff 3) — with the cutoff the hot
+    // shingle stops generating candidates, so (1,3)/(2,3)/(3,4) vanish
+    // while the genuine near-dup pair (1,2) keeps jaccard 1.0.
+    val hot = "click here to"
+    val docs = Seq(
+      (1L, "b", s"$base $hot"), (2L, "b", s"$base $hot"),
+      (3L, "b", s"totally different text body $hot"),
+      (4L, "b", s"another unrelated document $hot"))
+      .toDF("doc_id", "blk", "text")
+    val all = Dedup.ngramJaccardPairs(docs, Seq("blk"), threshold = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((1L, 2L)) && all.contains((3L, 4L)))
+    val cut = Dedup.ngramJaccardPairs(docs, Seq("blk"), threshold = 0.01,
+        maxShingleDf = 3L)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // Sizes keep counting dropped shingles (conservative underestimate,
+    // no extra shuffle): identical ~25-shingle docs with 1 hot shingle
+    // dropped score 24/26 ≈ 0.92, not 1.0.
+    assert(cut((1L, 2L)) >= 0.9, "true near-dup pair must survive the cutoff")
+    assert(!cut.contains((3L, 4L)),
+      "pair sharing only the hot shingle must be dropped")
+  }
+
+  test("embed-cosine LSH recall >= 0.9 vs exact pairs on clustered vectors") {
+    import graft.functions.Hashing.splitmix64
+    def unit(seed: Long, dim: Int): Array[Double] = {
+      val v = Array.tabulate(dim)(i =>
+        splitmix64(seed * dim + i).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val rows = for { c <- 0 until 20; m <- 0 until 10 } yield {
+      val center = unit(c + 1, dim)
+      val noise = unit(1000L + c * 10 + m, dim)
+      ((c * 10 + m).toLong,
+        center.zip(noise).map { case (a, b) => (a + 0.1 * b).toFloat }, 0)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val exact = Dedup.embeddingCosinePairs(embs, Seq("label"), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(embs, Seq("label"),
+        threshold = 0.9, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain planted near-dup pairs")
+    assert(lsh.subsetOf(exact), "LSH verify must be exact (no false pairs)")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embed-cosine LSH recall $recall too low")
+  }
+
   test("ANN recall >= 0.8 vs brute force on clustered vectors") {
     // LSH recall is only meaningful when near neighbors actually exist:
     // plant 40 clusters of 15 vectors (deterministic pseudo-noise).

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.quality.Check
+
+/** Declarative data-quality rules (the dbt schema-test analog). */
+class QualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Option("a"), "O"),
+    (2L, Option("b"), "F"),
+    (2L, Option("c"), "O"),      // duplicate id
+    (3L, Option.empty[String], "O"), // null attr
+    (4L, Option("d"), "P"))      // off-list status
+    .toDF("id", "attr", "status")
+
+  test("clean table produces zero violations") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "attr")
+    val v = Check(clean, Seq(Check.Unique(Seq("id")), Check.NotNull("attr")))
+    assert(v.isEmpty)
+    Check.enforce(clean, Seq(Check.Unique(Seq("id")))) // must not throw
+  }
+
+  test("violations are grouped with counts, one row per offender") {
+    val v = Check(fixture, Seq(
+      Check.Unique(Seq("id")),
+      Check.NotNull("attr"),
+      Check.AcceptedValues("status", Seq("O", "F"))))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    assert(v == Set(
+      ("unique", "id", Some("2"), 2L),
+      ("not_null", "attr", None, 1L),
+      ("accepted_values", "status", Some("P"), 1L)))
+  }
+
+  test("composite unique key and null-tolerant accepted_values") {
+    val df = Seq((1L, "x", Option("ok")), (1L, "x", Option("ok")),
+      (1L, "y", Option.empty[String])).toDF("a", "b", "c")
+    val v = Check(df, Seq(
+      Check.Unique(Seq("a", "b")),
+      Check.AcceptedValues("c", Seq("ok"))))
+      .collect()
+    // (1,x) duplicated; NULL c is ignored by accepted_values (dbt parity)
+    assert(v.length == 1 && v.head.getString(2) == "1|x")
+  }
+
+  test("enforce throws with offenders in the message") {
+    val e = intercept[IllegalStateException] {
+      Check.enforce(fixture, Seq(Check.Unique(Seq("id"))), "fixture")
+    }
+    assert(e.getMessage.contains("fixture"))
+  }
+}

@@ -104,6 +104,68 @@ class StreamSpec extends AnyFunSuite {
     assert(streamResult == batchResult)
   }
 
+  test("streaming SCD2 (flatMapGroupsWithState) == batch Scd2 over 3 batches") {
+    import graft.cdc.Scd2
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.Scd2Event
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t3 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+
+    // k1 changes at t2 then holds; k2 is the NULL-swap change; k3 is new
+    // at t2; keys absent from a batch stay open (dbt default).
+    val b1 = Seq((1L, Option("a"), Option("x")), (2L, Option.empty[String], Option("x")))
+      .toDF("id", "a", "b")
+    val b2 = Seq((1L, Option("a"), Option("y")), (2L, Option("x"), Option.empty[String]),
+      (3L, Option("c"), Option("c"))).toDF("id", "a", "b")
+    val b3 = Seq((1L, Option("a"), Option("y"))).toDF("id", "a", "b")
+
+    val batchSnap = Scd2(Scd2(Scd2.init(b1, t1), b2, Seq("id"), Seq("a", "b"), t2),
+      b3, Seq("id"), Seq("a", "b"), t3)
+    val batchHist = batchSnap.collect().map { r =>
+      (r.getLong(0).toString, Option(r.getAs[String]("a")),
+        Option(r.getAs[String]("b")),
+        r.getAs[java.sql.Timestamp](Scd2.ValidFrom),
+        Option(r.getAs[java.sql.Timestamp](Scd2.ValidTo)))
+    }.toSet
+
+    // Same history as a change-event stream + a far-future sentinel key
+    // so the watermark passes every real key's timeout (same drain
+    // pattern as the sessionize parity test).
+    def ev(df: org.apache.spark.sql.DataFrame, ts: java.sql.Timestamp) =
+      df.collect().map { r =>
+        val vals = Seq("a", "b").flatMap(c =>
+          Option(r.getAs[String](c)).map(c -> _)).toMap
+        Scd2Event(r.getLong(0).toString, vals, ts)
+      }.toSeq
+    val sentinel = Scd2Event("__sentinel", Map("a" -> "s"),
+      java.sql.Timestamp.valueOf("2024-12-01 00:00:00"))
+    val dir = tmp("scd2-ev")
+    (ev(b1, t1) ++ ev(b2, t2) ++ ev(b3, t3) :+ sentinel)
+      .toDF().write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Scd2Event]].schema)
+      .parquet(dir)
+      .withWatermark("as_of", "1 second")
+      .as[Scd2Event]
+    val q = Scd2Stream.streaming(src, Seq("a", "b"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamHist = spark.table("scd2_out")
+      .where(col("key") =!= "__sentinel")
+      .collect().map { r =>
+        val vals = r.getAs[Map[String, String]]("vals")
+        (r.getAs[String]("key"), vals.get("a"), vals.get("b"),
+          r.getAs[java.sql.Timestamp]("valid_from"),
+          Option(r.getAs[java.sql.Timestamp]("valid_to")))
+      }.toSet
+    assert(streamHist == batchHist,
+      s"stream/batch SCD2 divergence:\n stream=$streamHist\n batch=$batchHist")
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
