@@ -29,7 +29,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Persist to a file as well: sbt log noise buries/truncates stdout, and
+    // the driver needs a parseable artifact for round-over-round regression.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
+    // Final clean line AFTER spark.stop() so no executor shutdown logging
+    // can interleave behind it.
+    println(json)
   }
 }

@@ -25,6 +25,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** Resolution-time literal-int argument: a non-foldable or non-integral
+    * argument must fail with a clear analysis-time message, not a
+    * ClassCastException/NPE from a raw eval(). */
+  private def intArg(fn: String, pos: Int, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a literal integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument $pos must be a literal integer, got $other (${e.sql})")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens ARRAY<STRING>) - 64-bit SimHash"),
@@ -33,16 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hashed_shingles",
         "hashed_shingles(text, n) - distinct hashed word n-gram shingles"),
       (args: Seq[Expression]) => HashedShingles(args.head,
-        args(1).eval().asInstanceOf[Int])))
+        intArg("hashed_shingles", 1, args(1)))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles ARRAY<STRING>, k) - MinHash signature"),
       (args: Seq[Expression]) => MinHashSig(args.head,
-        args(1).eval().asInstanceOf[Int])))
+        intArg("minhash_sig", 1, args(1)))))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint",
         "winnow_fingerprint(text, gram, window) - winnowed rolling-hash fingerprints"),
       (args: Seq[Expression]) => WinnowFingerprint(args.head,
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        intArg("winnow_fingerprint", 1, args(1)),
+        intArg("winnow_fingerprint", 2, args(2)))))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
@@ -50,7 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_buckets",
         "lsh_buckets(vec ARRAY<DOUBLE>, tables, bits, dim) - sign-random-projection buckets"),
       (args: Seq[Expression]) => LshBuckets(args.head,
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
-        args(3).eval().asInstanceOf[Int])))
+        intArg("lsh_buckets", 1, args(1)), intArg("lsh_buckets", 2, args(2)),
+        intArg("lsh_buckets", 3, args(3)))))
   }
 }

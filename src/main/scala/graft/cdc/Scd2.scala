@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.TimestampType
   * `explode` of a conditionally-built struct array — no second join, no
   * driver-side iteration, closed history rows pass through untouched
   * (and, with a month-partitioned [[TableStore]], unrewritten). Change
-  * detection is `xxhash64` over the check columns — one codegen'd
-  * expression instead of N column comparisons.
+  * detection is a per-column null-safe comparison fold (`<=>`), matching
+  * dbt's column-by-column `check` strategy — NOT a single xxhash64 over
+  * the columns: Spark's xxhash64 skips NULL inputs entirely, so a value
+  * swap involving NULLs (open=(NULL,'x') vs staged=('x',NULL)) hashes
+  * identically and the change would be silently missed.
   */
 object Scd2 {
   val ValidFrom = "valid_from"
@@ -47,8 +50,7 @@ object Scd2 {
       attrCols.filterNot(keys.contains).map(c => col(c).as(s"__s_$c")): _*)
     def sCol(c: String): Column = if (keys.contains(c)) col(c) else col(s"__s_$c")
 
-    val openHash = xxhash64(checkCols.map(col): _*)
-    val stagedHash = xxhash64(checkCols.map(sCol): _*)
+    val unchanged = checkCols.map(c => col(c) <=> sCol(c)).reduce(_ && _)
 
     val openRow = struct(
       attrCols.map(col) :+ col(ValidFrom) :+ col(ValidTo): _*)
@@ -65,7 +67,7 @@ object Scd2 {
     val emitted = joined.select(explode(
       when(col("__staged").isNull, array(openRow))           // key left as-is
         .when(col("__open").isNull, array(newRow))           // brand-new key
-        .when(openHash === stagedHash, array(openRow))       // unchanged
+        .when(unchanged, array(openRow))                     // unchanged
         .otherwise(array(closedRow, newRow))                 // changed: close+insert
     ).as("r")).select(col("r.*"))
 

@@ -30,14 +30,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class TableStore(spark: SparkSession, root: String,
     partitionByCols: Seq[String] = Nil,
-    clusterByCols: Seq[String] = Nil) {
+    clusterByCols: Seq[String] = Nil,
+    bucketBy: Option[(Int, Seq[String])] = None) {
 
   private val rootPath = new Path(root)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pointer = new Path(rootPath, "_CURRENT")
 
+  /** Catalog identifier for a bucketed version (bucketing metadata lives
+    * in the catalog, not the files). Unique per store root + version. */
+  private def catalogName(v: Int): String =
+    "graft_" + root.replaceAll("[^A-Za-z0-9]", "_") + f"_v$v%08d"
+
+  /** Pointer read with a fallback: the swap is delete-then-rename (rename
+    * over an existing file is not atomic-replace on every Hadoop FS), so
+    * a reader can land in the instant where `_CURRENT` is absent. In that
+    * window the highest `v_*` directory IS the version the interrupted
+    * swap was publishing (the data dir and tmp pointer are fully written
+    * before the delete) — fall back to it instead of reporting the table
+    * as never-written. Only COMMITTED directories (with the `_SUCCESS`
+    * marker) qualify, so a crash mid-parquet-write is never exposed;
+    * a complete-but-unpublished orphan is (crash-forward semantics). */
   private def currentVersion: Option[Int] =
-    if (!fs.exists(pointer)) None
+    if (!fs.exists(pointer))
+      versions().reverse.find(v =>
+        fs.exists(new Path(versionDir(v), "_SUCCESS")))
     else {
       val in = fs.open(pointer)
       try {
@@ -48,9 +65,19 @@ final class TableStore(spark: SparkSession, root: String,
 
   def exists: Boolean = currentVersion.isDefined
 
-  /** Current snapshot, or None if the table has never been written. */
+  /** Current snapshot, or None if the table has never been written.
+    * Bucketed stores read through the catalog so the scan reports
+    * `HashPartitioning` on the bucket keys and merges/joins on those
+    * keys skip the Exchange on this (the 100 TB) side; if the catalog
+    * entry is gone (new session — the default catalog is session-local)
+    * the data still reads as plain parquet, just without the
+    * shuffle-elision metadata. */
   def read(): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(versionDir(v).toString))
+    currentVersion.map { v =>
+      if (bucketBy.isDefined && spark.catalog.tableExists(catalogName(v)))
+        spark.table(catalogName(v))
+      else spark.read.parquet(versionDir(v).toString)
+    }
 
   /** Time travel: read a specific (un-vacuumed) version. */
   def readVersion(v: Int): Option[DataFrame] = {
@@ -81,8 +108,20 @@ final class TableStore(spark: SparkSession, root: String,
           .functions.col): _*)
       else df
     val w = clustered.write.mode("overwrite")
-    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
-      .parquet(dir.toString)
+    val pw = if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w
+    bucketBy match {
+      case Some((n, cols)) =>
+        // External bucketed table: files under the version dir, bucket
+        // metadata in the catalog. Pre-shuffling into buckets here is
+        // the amortized cost that lets every later merge/join on the
+        // bucket key read this side exchange-free (BucketingSpec).
+        spark.sql(s"DROP TABLE IF EXISTS ${catalogName(next)}")
+        pw.bucketBy(n, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .option("path", dir.toString)
+          .saveAsTable(catalogName(next))
+      case None => pw.parquet(dir.toString)
+    }
     val tmp = new Path(rootPath, s"_CURRENT.tmp.$next")
     val out = fs.create(tmp, true)
     try out.write(f"v_$next%08d".getBytes("UTF-8")) finally out.close()
@@ -95,8 +134,12 @@ final class TableStore(spark: SparkSession, root: String,
   def vacuum(keep: Int = 2): Unit = currentVersion.foreach { cur =>
     if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("v_") && name.stripPrefix("v_").toInt <= cur - keep)
+      if (name.startsWith("v_") && name.stripPrefix("v_").toInt <= cur - keep) {
+        val v = name.stripPrefix("v_").toInt
+        if (bucketBy.isDefined)
+          spark.sql(s"DROP TABLE IF EXISTS ${catalogName(v)}")
         fs.delete(st.getPath, true)
+      }
     }
   }
 }

@@ -38,6 +38,19 @@ object Upsert {
   def withDedup(dest: DataFrame, incoming: DataFrame, keys: Seq[String],
       track: String, tieBreak: Seq[String] = Nil): DataFrame =
     DedupLatest(apply(dest, incoming, keys), keys, track, tieBreak)
+
+  /** C2 steady-state fast path: when `dest` already satisfies the
+    * ≤1-row-per-key invariant (true after every previous merge), the
+    * post-union global window in [[withDedup]] is wasted work — after the
+    * anti-join each key's rows come from exactly ONE side, so deduping
+    * the INCOMING micro-batch alone is equivalent (BucketingSpec asserts
+    * this). The window shuffle then runs on the batch, not the 100 TB
+    * destination, and the dest side keeps its broadcast-anti-join
+    * zero-shuffle plan (or its bucketed layout — BucketingSpec). */
+  def withDedupMaintained(dest: DataFrame, incoming: DataFrame,
+      keys: Seq[String], track: String, tieBreak: Seq[String] = Nil)
+      : DataFrame =
+    apply(dest, DedupLatest(incoming, keys, track, tieBreak), keys)
 }
 
 /** J4/C2 — keep only the latest version per key: the idiomatic window

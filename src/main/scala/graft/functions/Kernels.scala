@@ -144,6 +144,28 @@ object Kernels {
         Hashing.splitmix64(p.toLong * d + c).toDouble / Long.MaxValue.toDouble))
     })
 
+  /** Index of the max-dot-product centroid (== nearest on unit vectors).
+    * `cents` is the row-major flattened nlist×dim centroid matrix (a plan
+    * literal — KB-scale model state shipped once per task, not per row).
+    * Ties break to the lowest cell index. */
+  def nearestCentroid(v: ArrayData, cents: ArrayData, dim: Int): Long = {
+    val x = v.toDoubleArray()
+    val n = math.min(x.length, dim)
+    val nlist = cents.numElements() / dim
+    var best = 0L
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < nlist) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i) * cents.getDouble(base + i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c.toLong }
+      c += 1
+    }
+    best
+  }
+
   def lshBuckets(input: ArrayData, tables: Int, bits: Int, dim: Int): ArrayData = {
     val v = input.toDoubleArray()
     val n = math.min(v.length, dim)

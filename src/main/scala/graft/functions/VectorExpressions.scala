@@ -51,7 +51,30 @@ case class DotProduct(left: Expression, right: Expression)
       : DotProduct = copy(left = l, right = r)
 }
 
+/** Map-side k-means cell assignment: argmax dot product against a
+  * row-major flattened centroid matrix carried as a plan literal. Turns
+  * IVF assignment from a corpus×nlist crossJoin+window shuffle into a
+  * zero-exchange per-row loop. */
+case class NearestCentroid(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    java.lang.Long.valueOf(Kernels.nearestCentroid(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.Kernels.nearestCentroid($v, $c, $dim)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : NearestCentroid = copy(left = l, right = r)
+}
+
 object VectorExpressions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def lshBuckets(vec: Column, tables: Int, bits: Int, dim: Int): Column =
@@ -59,4 +82,9 @@ object VectorExpressions {
 
   def dotFast(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def nearestCentroid(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
+    column(NearestCentroid(expression(vec),
+      Literal.create(flatCentroids, ArrayType(DoubleType, containsNull = false)),
+      dim))
 }

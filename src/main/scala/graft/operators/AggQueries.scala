@@ -109,9 +109,16 @@ object AggQueries {
     // the 100 TB path for percentiles). Approximation → rows-only
     // check + tolerance assertion in ExtSpec.
     "q_agg_approx_quantile" -> { (s, d) =>
+      // One GK sketch per group, three scalar columns out (not one array
+      // column: the driver's pandas-based rows-only check sorts values and
+      // ndarray cells are unhashable).
       Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-          .as("price_quantiles"))
+          .as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"),
+          col("qs").getItem(2).as("p99"))
         .orderBy("l_returnflag")
     },
 

@@ -105,10 +105,38 @@ object CdcQueries {
       open.join(staged, Seq("c_custkey"))
         .where(xxhash64(col("c_mktsegment")) =!= xxhash64(col("c_mktsegment_new")))
         .orderBy("c_custkey")
+    },
+
+    // Data-quality rules as a first-class operator (schema.yml:9-37
+    // unique/not_null run by dbt build, dbt_assets.py:23-24): violations
+    // frame over the raw tables. lineitem's l_orderkey is deliberately
+    // non-unique (multi-line orders) → non-empty, deterministic output;
+    // the orders rules document the passing case.
+    "q_quality_violations" -> { (s, d) =>
+      import graft.quality.Check
+      Check(Tables(s, d, "lineitem"), Seq(Check.Unique(Seq("l_orderkey"))))
+        .unionByName(Check(Tables(s, d, "orders"), Seq(
+          Check.NotNull("o_custkey"),
+          Check.AcceptedValues("o_orderstatus", Seq("O", "F")))))
+        .orderBy("rule", "column_name", "violating_value")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_quality_violations" ->
+      """SELECT * FROM (
+        |  SELECT 'unique' AS rule, 'l_orderkey' AS column_name,
+        |    CAST(l_orderkey AS VARCHAR) AS violating_value, count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        |  UNION ALL
+        |  SELECT 'not_null', 'o_custkey', CAST(NULL AS VARCHAR), count(*)
+        |  FROM orders WHERE o_custkey IS NULL HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'accepted_values', 'o_orderstatus', o_orderstatus, count(*)
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+        |  GROUP BY o_orderstatus)
+        |ORDER BY rule, column_name, violating_value NULLS FIRST""".stripMargin,
     "q_cdc_upsert" ->
       """WITH dest AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),

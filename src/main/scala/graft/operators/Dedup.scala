@@ -124,13 +124,29 @@ object Dedup {
     * on pathological hot shingles is the standard extension. */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 3, threshold: Double = 0.1): DataFrame = {
+      n: Int = 3, threshold: Double = 0.1,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val sh = spread(docs)
       .select((idCol +: blockCols).map(col) :+
         TextExpressions.hashedShingles(col(textCol), n).as("__sh"): _*)
       .withColumn("__sz", size(col("__sh")))
-    val inv = sh.select((blockCols :+ "__sz").map(col) :+ col(idCol) :+
+    val exploded = sh.select((blockCols :+ "__sz").map(col) :+ col(idCol) :+
       explode(col("__sh")).as("__g"): _*)
+    // PPJoin-style frequency cutoff: a pathological hot shingle ("click
+    // here to" at web scale) otherwise creates one giant join bucket with
+    // df² candidate rows. Dropping shingles with document frequency >
+    // maxShingleDf treats them as stop-shingles: they no longer count as
+    // shared, so jaccard is underestimated ONLY for pairs whose overlap
+    // is dominated by corpus-wide boilerplate — the pairs dedup should
+    // not merge on anyway. The df count shuffles on the same shingle key
+    // as the pair join itself, so it adds no new partitioning.
+    val inv =
+      if (maxShingleDf == Long.MaxValue) exploded
+      else {
+        val wdf = Window.partitionBy((blockCols :+ "__g").map(col): _*)
+        exploded.withColumn("__df", count(lit(1)).over(wdf))
+          .where(col("__df") <= maxShingleDf).drop("__df")
+      }
     val a = inv.select(col(idCol).as("id_a") +: col("__sz").as("sz_a") +:
       col("__g") +: blockCols.map(col): _*)
     val b = inv.select(col(idCol).as("id_b") +: col("__sz").as("sz_b") +:
@@ -215,12 +231,22 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // A component whose diameter exceeds maxIters (chain-shaped graphs)
+    // would silently get split labels — surface it instead.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.clusters: label propagation did NOT converge in $maxIters " +
+          "iterations; cluster labels may be split. Raise maxIters.")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Embedding-cosine near-dup pairs within blocking buckets. Vectors
-    * are L2-normalized once per row before the join, so the pair stage
-    * pays one dot product (SURVEY §7.5; REPOSE-style normalize-early). */
+  /** EXACT embedding-cosine near-dup pairs within blocking buckets —
+    * all pairs inside a block, so cost is O(n²/|blocks|): this is the
+    * verification/oracle BASELINE for bounded block sizes, not the scale
+    * path. At corpus scale use [[embeddingCosinePairsLsh]], which bounds
+    * the quadratic work to LSH buckets inside each block. Vectors are
+    * L2-normalized once per row before the join, so the pair stage pays
+    * one dot product (SURVEY §7.5; REPOSE-style normalize-early). */
   def embeddingCosinePairs(embs: DataFrame, blockCols: Seq[String],
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.35): DataFrame = {
@@ -234,6 +260,43 @@ object Dedup {
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", graft.functions.VectorExpressions.dotFast(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
+  }
+
+  /** SCALE-PATH embedding-cosine near-dup pairs: sign-random-projection
+    * LSH candidate generation INSIDE each block (Charikar 2002, same
+    * [[graft.functions.LshBuckets]] kernel as ANN search), exact dot
+    * product verification on candidates only. Never materializes a
+    * block-wide cross product — quadratic work is bounded to
+    * (block × table × bucket) cells, which stay small under any corpus
+    * size for fixed (tables, bits).
+    *
+    * Recall is probabilistic but sharp for the near-dup regime: at
+    * cos ≥ 0.9, P[share ≥1 of 16 8-bit buckets] ≈ 0.996 (checked vs the
+    * exact variant in ExtSpec). Low thresholds (< ~0.7) need fewer bits
+    * or more tables — or the exact variant on bounded blocks. */
+  def embeddingCosinePairsLsh(embs: DataFrame, blockCols: Seq[String],
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.9, dim: Int = 64,
+      tables: Int = 16, bits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import graft.functions.VectorExpressions.{dotFast, lshBuckets}
+    val normed = spread(embs).select((idCol +: blockCols).map(col) :+
+      l2Normalize(toDouble(col(vecCol))).as("__v"): _*)
+    val bucketed = normed.select((idCol +: blockCols).map(col) :+ col("__v") :+
+      posexplode(lshBuckets(col("__v"), tables, bits, dim))
+        .as(Seq("__tbl", "__bkt")): _*)
+    val a = bucketed.select(col(idCol).as("id_a") +: col("__v").as("v_a") +:
+      col("__tbl") +: col("__bkt") +: blockCols.map(col): _*)
+    val b = bucketed.select(col(idCol).as("id_b") +: col("__v").as("v_b") +:
+      col("__tbl") +: col("__bkt") +: blockCols.map(col): _*)
+    a.join(b, blockCols ++ Seq("__tbl", "__bkt"))
+      .where(col("id_a") < col("id_b"))
+      .select((blockCols :+ "id_a" :+ "id_b").map(col) :+
+        col("v_a") :+ col("v_b"): _*)
+      .distinct()
+      .withColumn("cos", dotFast(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
   }

@@ -105,6 +105,19 @@ object ExtQueries {
         .orderBy("label", "id_a", "id_b")
     },
 
+    // Scale-path embed near-dup: LSH candidate generation inside label
+    // blocks, exact dot verify — rows-only check; recall-vs-exact
+    // asserted in ExtSpec. The testdata's same-label pairs top out at
+    // cos≈0.47, so this key runs the moderate-similarity regime:
+    // 4-bit/32-table buckets give P[candidate | cos=0.35] ≈ 0.99
+    // (1-(1-(1-acos(.35)/π)^4)^32); the tighter 8-bit/16-table default
+    // is for the high-sim (≥0.9) near-dup regime.
+    "q_dedup_embed_lsh" -> { (s, d) =>
+      Dedup.embeddingCosinePairsLsh(Tables(s, d, "embeddings"),
+        blockCols = Seq("label"), threshold = 0.35, tables = 32, bits = 4)
+        .orderBy("label", "id_a", "id_b")
+    },
+
     // Brute-force cosine top-k: exact baseline for similarity search.
     "q_sim_topk" -> { (s, d) =>
       val e = Tables(s, d, "embeddings")
@@ -131,6 +144,46 @@ object ExtQueries {
           k = 5, nprobe = 4)
         .select("query_id", "rank", "nbr_id")
         .orderBy("query_id", "rank")
+    },
+
+    // Driver-visible ANN quality gates: recall vs brute force computed
+    // IN the query (deterministic — splitmix64 planes, hash-seeded
+    // k-means init), emitted as a scalar invariant the DuckDB oracle
+    // restates as the expected constant. A recall regression flips
+    // recall_ge_08 to false → hash mismatch → red driver row.
+    // Parameters are tuned to THIS data's regime: the testdata
+    // embeddings are near-random (same-label cos tops out ≈0.47), the
+    // hardest case for ANN — wide 4-bit buckets × 32 tables (LSH) and
+    // 6-of-8 probed cells (IVF) measured ≥0.9 at sf0.001/sf0.01.
+    // Clustered corpora (the production case) need far fewer probes —
+    // ExtSpec's fixtures show 0.8+ with 8×8 tables / 5-of-20 cells.
+    "q_sim_ann_lsh_recall" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "nbr_id")
+      val ann = Similarity.annTopK(e, q, k = 5, tables = 32, bits = 4)
+        .select("query_id", "nbr_id").withColumn("__hit", lit(1))
+      brute.join(ann, Seq("query_id", "nbr_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))).as("__recall"))
+        .select(col("n_brute"), (col("__recall") >= 0.8).as("recall_ge_08"))
+    },
+
+    "q_sim_ann_ivf_recall" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "nbr_id")
+      val (assigned, centroids) = Ivf.build(e, nlist = 8, iters = 2)
+      val ivf = Ivf.search(assigned, centroids, q, k = 5, nprobe = 6)
+        .select("query_id", "nbr_id").withColumn("__hit", lit(1))
+      brute.join(ivf, Seq("query_id", "nbr_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))).as("__recall"))
+        .select(col("n_brute"), (col("__recall") >= 0.8).as("recall_ge_08"))
     }
   )
 
@@ -244,6 +297,14 @@ object ExtQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY a.label, id_a, id_b""".stripMargin,
+    // The recall keys' oracle states the expected INVARIANT (n pairs
+    // checked + threshold met) — the recall itself is computed Spark-side
+    // against the Spark brute-force baseline; DuckDB cannot run the LSH/
+    // IVF path, but a regression still flips the boolean → red row.
+    "q_sim_ann_lsh_recall" ->
+      "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
+    "q_sim_ann_ivf_recall" ->
+      "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

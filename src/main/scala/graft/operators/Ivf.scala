@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorExpressions.dotFast
+import graft.functions.VectorExpressions.{dotFast, nearestCentroid}
 import graft.functions.VectorFunctions.{l2Normalize, toDouble}
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -28,7 +28,8 @@ object Ivf {
       : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val vecs = corpus.repartition(n).select(col(idCol),
+    // Alias the id to a fixed internal name so any idCol works downstream.
+    val vecs = corpus.repartition(n).select(col(idCol).as("vec_id"),
       l2Normalize(toDouble(col(vecCol))).as("__v"))
 
     // Centroids are MODEL state (nlist×dim doubles — KBs): they live on
@@ -41,7 +42,7 @@ object Ivf {
       cs.toDF("cell", "__c")
 
     var centroidSeq: Seq[(Long, Seq[Double])] = vecs
-      .orderBy(xxhash64(col(idCol)))
+      .orderBy(xxhash64(col("vec_id")))
       .limit(nlist)
       .select(col("__v"))
       .collect()
@@ -51,7 +52,7 @@ object Ivf {
       .toSeq
 
     for (_ <- 0 until iters) {
-      val assigned = assign(vecs, toFrame(centroidSeq))
+      val assigned = assign(vecs, centroidSeq)
       // Lloyd update: per-(cell, component) mean, re-assembled into an
       // ordered array; empty cells keep their previous centroid.
       val updated = assigned
@@ -68,17 +69,22 @@ object Ivf {
       }
     }
     val centroids = toFrame(centroidSeq)
-    (assign(vecs, centroids), centroids)
+    (assign(vecs, centroidSeq), centroids)
   }
 
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d").desc, col("cell"))
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("__d", dotFast(col("__v"), col("__c"))) // cosine on unit vecs
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("vec_id"), col("__v"), col("cell"))
+  /** Map-only argmin: the nlist×dim centroid matrix rides along as a plan
+    * literal inside a codegen'd [[graft.functions.NearestCentroid]] — no
+    * crossJoin expansion and no Exchange, where the previous
+    * crossJoin+row_number shuffled corpus×nlist rows per Lloyd round. */
+  private def assign(vecs: DataFrame, centroidSeq: Seq[(Long, Seq[Double])])
+      : DataFrame = {
+    val ordered = centroidSeq.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.map(_.toLong),
+      "centroid cells must be dense 0..nlist-1")
+    val dim = ordered.head._2.length
+    val flat = ordered.iterator.flatMap(_._2).toArray
+    vecs.select(col("vec_id"), col("__v"),
+      nearestCentroid(col("__v"), flat, dim).as("cell"))
   }
 
   /** Probe: route each query to its `nprobe` nearest cells, exact top-k

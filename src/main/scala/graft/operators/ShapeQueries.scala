@@ -75,7 +75,10 @@ object ShapeQueries {
       Tables(s, d, "documents").select(
         col("doc_id"),
         deleted.as("deleted_at"),
-        coalesce(deleted, lit("9999-12-31").cast("timestamp")).as("deleted_or_max"),
+        // Sentinel must stay inside pandas datetime64[ns] range (max
+        // 2262-04-11): the driver's hasher round-trips through pandas and
+        // represents out-of-range values inconsistently per engine.
+        coalesce(deleted, lit("2200-01-01").cast("timestamp")).as("deleted_or_max"),
         nullif(col("lang"), lit("en")).as("lang_non_en"),
         when(deleted.isNull, lit("live")).otherwise(lit("deleted")).as("status"),
         greatest(col("n_chars"), lit(100L)).as("chars_floor100"),
@@ -129,7 +132,7 @@ object ShapeQueries {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2024-01-31' END AS deleted_at,
         |  coalesce(CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2024-01-31' END,
-        |    TIMESTAMP '9999-12-31') AS deleted_or_max,
+        |    TIMESTAMP '2200-01-01') AS deleted_or_max,
         |  nullif(lang, 'en') AS lang_non_en,
         |  CASE WHEN doc_id % 10 = 0 THEN 'deleted' ELSE 'live' END AS status,
         |  greatest(n_chars, 100) AS chars_floor100,
