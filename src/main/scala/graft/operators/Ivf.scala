@@ -1,11 +1,53 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions.{dotFast, nearestCentroid}
 import graft.functions.VectorFunctions.{l2Normalize, toDouble}
+
+/** Element-wise mean of double vectors as a typed Aggregator: map-side
+  * partial sums mean the Lloyd-update shuffle carries one (sum, count)
+  * buffer per (cell, input partition) — nlist×dim doubles — instead of
+  * exploding corpus×dim (component, value) rows through the exchange. */
+private object VecMean {
+  final case class Buf(var sum: Array[Double], var n: Long)
+
+  final class VecMeanAgg extends Aggregator[Seq[Double], Buf, Seq[Double]] {
+    override def zero: Buf = Buf(Array.empty, 0L)
+
+    override def reduce(b: Buf, v: Seq[Double]): Buf = {
+      if (b.n == 0L) { b.sum = v.toArray; b.n = 1L }
+      else {
+        var i = 0
+        val n = math.min(b.sum.length, v.length)
+        while (i < n) { b.sum(i) += v(i); i += 1 }
+        b.n += 1L
+      }
+      b
+    }
+
+    override def merge(a: Buf, c: Buf): Buf = {
+      if (a.n == 0L) c
+      else if (c.n == 0L) a
+      else {
+        var i = 0
+        val n = math.min(a.sum.length, c.sum.length)
+        while (i < n) { a.sum(i) += c.sum(i); i += 1 }
+        a.n += c.n
+        a
+      }
+    }
+
+    override def finish(b: Buf): Seq[Double] =
+      if (b.n == 0L) Nil else b.sum.toSeq.map(_ / b.n)
+
+    override def bufferEncoder: Encoder[Buf] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+}
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
   * path next to LSH bucketing: a coarse k-means quantizer partitions
@@ -51,16 +93,16 @@ object Ivf {
       .map { case (v, i) => (i.toLong, v) }
       .toSeq
 
+    val vecMean = udaf(new VecMean.VecMeanAgg())
     for (_ <- 0 until iters) {
       val assigned = assign(vecs, centroidSeq)
-      // Lloyd update: per-(cell, component) mean, re-assembled into an
-      // ordered array; empty cells keep their previous centroid.
+      // Lloyd update: per-cell vector mean via the typed VecMean
+      // aggregator — partial (sum, count) buffers combine map-side, so
+      // the exchange moves nlist buffers per partition, NOT corpus×dim
+      // exploded component rows. Empty cells keep their previous
+      // centroid.
       val updated = assigned
-        .select(col("cell"), posexplode(col("__v")).as(Seq("__i", "__x")))
-        .groupBy("cell", "__i").agg(avg("__x").as("__m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("__i"),
-          col("__m")))).as("__ms"))
-        .select(col("cell"), transform(col("__ms"), s => s("__m")).as("__c"))
+        .groupBy("cell").agg(vecMean(col("__v")).as("__c"))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
         .toMap
