@@ -198,6 +198,51 @@ object AggQueries {
       o.join(late, Seq("o_orderkey"), "left_semi").orderBy("o_orderkey")
     },
 
+    // Full-outer join: keys unmatched on EITHER side survive with nulls
+    // (completes the join-type surface next to left/anti/semi/asof/range).
+    "q_join_full_outer" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+        .where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy("custkey")
+    },
+
+    // Rank family — rank/dense_rank/percent_rank are tie-ORDER-invariant
+    // (unlike row_number/ntile, which need a total order): values depend
+    // only on the orderBy column, so the key is oracle-exact even with
+    // duplicate sort keys. percent_rank's (rank-1)/(n-1) is an exact
+    // IEEE division of integers on both engines.
+    "q_window_rank_family" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    },
+
+    // Aggregate-function breadth: min/max, integer-valued-double avg
+    // (exact: sums < 2^53), conditional count, bool_and/bool_or, sum of
+    // distinct values — all bit-stable across engines.
+    "q_agg_misc" -> { (s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_disc"),
+        bool_and(col("l_quantity") > 0.0).as("all_positive"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        sum_distinct(col("l_quantity")).as("sum_distinct_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // Hierarchical subtotals via rollup/cube (free from Catalyst's
     // Expand; partial aggregation still applies per grouping set).
     "q_agg_rollup" -> { (s, d) =>
@@ -284,6 +329,32 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_custkey % 2 = 0),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c_name, n_orders
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_window_rank_family" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+    "q_agg_misc" ->
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_high_disc,
+        |  bool_and(l_quantity > 0.0) AS all_positive,
+        |  bool_or(l_tax > 0.07) AS any_high_tax,
+        |  sum(DISTINCT l_quantity) AS sum_distinct_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -61,6 +61,19 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Exact heavy hitters: most frequent tokens corpus-wide (the
+    // boilerplate/stop-shingle detection primitive behind the n-gram
+    // hot-shingle cutoff). One shuffle on the token, partial map-side
+    // counts, TakeOrdered top-k — no full sort.
+    "q_text_top_tokens" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+
     // Exact dedup: lowest doc_id survives per identical text.
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables(s, d, "documents"))
@@ -242,6 +255,12 @@ object ExtQueries {
         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
         |       ELSE 'es' END AS lang_detected
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_top_tokens" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |      FROM documents)
+        |WHERE len(tok) > 0
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn

@@ -68,6 +68,26 @@ object ShapeQueries {
         .orderBy("o_orderkey")
     },
 
+    // Array/higher-order-function family — scalar outputs only (the
+    // driver's pandas hasher cannot sort array cells), exact integer/
+    // string values. HOF inputs are evaluated once (the per-element
+    // re-evaluation trap only bites expressions INSIDE lambda bodies).
+    "q_fn_array" -> { (s, d) =>
+      val k = col("c_custkey")
+      val mods = array(k % 7, k % 5, k % 3)
+      val toks = split(col("c_name"), "#")
+      Tables(s, d, "customer").select(
+        k,
+        size(toks).cast("long").as("n_parts"),
+        element_at(toks, 1).as("head_part"),
+        array_join(transform(sort_array(mods), x => x.cast("string")), "-")
+          .as("mods_sorted"),
+        array_contains(mods, lit(0L)).as("has_mod0"),
+        size(filter(mods, x => x > 2L)).cast("long").as("n_gt2"),
+        aggregate(mods, lit(0L), (a, x) => a + x).as("mod_sum"))
+        .orderBy("c_custkey")
+    },
+
     // Null-handling family (coalesce/nullif/greatest/least/nvl2-shape).
     "q_fn_null_handling" -> { (s, d) =>
       val deleted = when(col("doc_id") % 10 === 0,
@@ -128,6 +148,19 @@ object ShapeQueries {
         |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_array" ->
+      """SELECT c_custkey,
+        |  len(string_split(c_name, '#')) AS n_parts,
+        |  string_split(c_name, '#')[1] AS head_part,
+        |  array_to_string(list_sort(
+        |    [c_custkey % 7, c_custkey % 5, c_custkey % 3]), '-') AS mods_sorted,
+        |  list_contains([c_custkey % 7, c_custkey % 5, c_custkey % 3], 0)
+        |    AS has_mod0,
+        |  CAST(len(list_filter([c_custkey % 7, c_custkey % 5, c_custkey % 3],
+        |    x -> x > 2)) AS BIGINT) AS n_gt2,
+        |  CAST(list_sum([c_custkey % 7, c_custkey % 5, c_custkey % 3])
+        |    AS BIGINT) AS mod_sum
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_null_handling" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2024-01-31' END AS deleted_at,

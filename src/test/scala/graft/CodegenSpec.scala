@@ -33,12 +33,17 @@ class CodegenSpec extends AnyFunSuite {
         TE.simhash64(split(col("text"), " ")).as("sim"),
         size(TE.winnowFingerprint(col("text"))).as("nwf"),
         size(VE.lshBuckets(col("vec"), 4, 4, 4)).as("nlsh"),
-        VE.dotFast(col("vec"), col("vec")).as("dp")).head()
+        VE.dotFast(col("vec"), col("vec")).as("dp"),
+        // two centroids: (1,0,0,0) and the vector's own direction —
+        // argmax dot must pick cell 1
+        VE.nearestCentroid(col("vec"),
+          Array(1.0, 0.0, 0.0, 0.0, 0.1, 0.2, 0.3, 0.4), 4).as("cell")).head()
       assert(row.getAs[Int]("nsh") == 7)
       assert(row.getAs[Int]("nmh") == 16 && row.getAs[Int]("nms") == 16)
       assert(row.getAs[Long]("sim") != 0L)
       assert(row.getAs[Int]("nwf") >= 1 && row.getAs[Int]("nlsh") == 4)
       assert(math.abs(row.getAs[Double]("dp") - 0.3) < 1e-12)
+      assert(row.getAs[Long]("cell") == 1L)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
