@@ -46,16 +46,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
-    val rows = k / bands
-    val withSig = spread(docs)
-      .select(col(idCol),
-        TextExpressions.hashedShingles(col(textCol), shingleWords).as("__sh"))
-      .withColumn("__sig", TextExpressions.minhashSigFromHashes(col("__sh"), k))
-
-    val banded = withSig.select(col(idCol), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)), b)))
-        .as(Seq("__band", "__bh")))
+    val banded = bandedSignatures(docs, textCol, idCol, k, bands, shingleWords)
 
     val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
       col("__band"), col("__bh"))
@@ -69,6 +60,23 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Banded MinHash-LSH signature rows — (idCol, __sh shingle hashes,
+    * __band, __bh band hash), one row per (doc, band). The shared
+    * sketch kernel behind [[minhashLsh]] and [[IncrementalDedup]]. */
+  def bandedSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
+      shingleWords: Int = 3): DataFrame = {
+    val rows = k / bands
+    spread(docs)
+      .select(col(idCol),
+        TextExpressions.hashedShingles(col(textCol), shingleWords).as("__sh"))
+      .withColumn("__sig", TextExpressions.minhashSigFromHashes(col("__sh"), k))
+      .select(col(idCol), col("__sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)), b)))
+          .as(Seq("__band", "__bh")))
   }
 
   /** Exact Jaccard over two shingle arrays (set semantics). */

@@ -119,6 +119,37 @@ class ExtSpec extends AnyFunSuite {
       "pair sharing only the hot shingle must be dropped")
   }
 
+  test("incremental dedup: new batch matches indexed corpus, index grows by admitted docs") {
+    import graft.operators.IncrementalDedup
+    val corpus = Seq((1L, base), (2L, "completely different content about " +
+      "spark query engines processing large parquet tables with catalyst " +
+      "optimizer rules applied")).toDF("doc_id", "text")
+    val idx1 = IncrementalDedup.index(corpus)
+
+    // batch: near-dup of doc 1, and a genuinely new doc
+    val batch = Seq((10L, base.replace("lazy", "sleepy")),
+      (11L, "entirely novel writing about distributed systems and the " +
+        "careful art of exactly once stream processing semantics at scale"))
+      .toDF("doc_id", "text")
+    val matches = IncrementalDedup.matchAgainst(idx1, batch, threshold = 0.3)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(matches == Set((10L, 1L)), s"got $matches")
+
+    // only the admitted doc (11) enters the index
+    val idx2 = IncrementalDedup.append(idx1, batch,
+      IncrementalDedup.matchAgainst(idx1, batch, threshold = 0.3))
+    val indexed = idx2.select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 11L))
+
+    // a re-send of the admitted doc now matches the grown index
+    val resend = Seq((20L, "entirely novel writing about distributed systems " +
+      "and the careful art of exactly once stream processing semantics at scale"))
+      .toDF("doc_id", "text")
+    val m2 = IncrementalDedup.matchAgainst(idx2, resend, threshold = 0.3)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(m2 == Set((20L, 11L)))
+  }
+
   test("embed-cosine LSH recall >= 0.9 vs exact pairs on clustered vectors") {
     import graft.functions.Hashing.splitmix64
     def unit(seed: Long, dim: Int): Array[Double] = {
