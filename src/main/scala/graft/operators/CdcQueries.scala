@@ -114,7 +114,13 @@ object CdcQueries {
     // the orders rules document the passing case.
     "q_quality_violations" -> { (s, d) =>
       import graft.quality.Check
-      Check(Tables(s, d, "lineitem"), Seq(Check.Unique(Seq("l_orderkey"))))
+      // relationship rule planted to fail: lineitems referencing orders
+      // placed on/after 1996 violate the artificially narrowed ref set
+      val earlyOrders = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      Check(Tables(s, d, "lineitem"), Seq(
+          Check.Unique(Seq("l_orderkey")),
+          Check.Relationship("l_orderkey", earlyOrders, "o_orderkey")))
         .unionByName(Check(Tables(s, d, "orders"), Seq(
           Check.NotNull("o_custkey"),
           Check.AcceptedValues("o_orderstatus", Seq("O", "F")))))
@@ -128,6 +134,13 @@ object CdcQueries {
         |  SELECT 'unique' AS rule, 'l_orderkey' AS column_name,
         |    CAST(l_orderkey AS VARCHAR) AS violating_value, count(*) AS n_rows
         |  FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        |  UNION ALL
+        |  SELECT 'relationship', 'l_orderkey', CAST(l_orderkey AS VARCHAR),
+        |    count(*)
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                           WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        |  GROUP BY l_orderkey
         |  UNION ALL
         |  SELECT 'not_null', 'o_custkey', CAST(NULL AS VARCHAR), count(*)
         |  FROM orders WHERE o_custkey IS NULL HAVING count(*) > 0

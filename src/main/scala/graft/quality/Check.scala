@@ -28,6 +28,10 @@ object Check {
   /** dbt `accepted_values` (NULLs are ignored, matching dbt: pair with
     * [[NotNull]] to also forbid them) */
   final case class AcceptedValues(column: String, values: Seq[String]) extends Rule
+  /** dbt `relationships`: every non-NULL `column` value must exist in
+    * `ref`'s `refColumn` (referential integrity). */
+  final case class Relationship(column: String, ref: DataFrame,
+      refColumn: String) extends Rule
 
   /** Violations frame: (rule, column_name, violating_value, n_rows).
     * Empty iff every rule passes. */
@@ -54,6 +58,16 @@ object Check {
           .groupBy(col(c))
           .agg(count(lit(1)).as("n_rows"))
           .select(lit("accepted_values").as("rule"), lit(c).as("column_name"),
+            col(c).cast("string").as("violating_value"), col("n_rows"))
+      case Relationship(c, ref, rc) =>
+        // anti join against the distinct referenced keys (broadcast when
+        // the key set is small; shuffle otherwise — same key the join
+        // a user would write anyway)
+        df.where(col(c).isNotNull)
+          .join(ref.select(col(rc).as(c)).distinct(), Seq(c), "left_anti")
+          .groupBy(col(c))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("relationship").as("rule"), lit(c).as("column_name"),
             col(c).cast("string").as("violating_value"), col("n_rows"))
     }
     parts.reduce(_.unionByName(_))

@@ -55,6 +55,18 @@ class QualitySpec extends AnyFunSuite {
     assert(v.length == 1 && v.head.getString(2) == "1|x")
   }
 
+  test("relationship rule: orphaned foreign keys grouped with counts") {
+    val ref = Seq(1L, 2L).toDF("id")
+    val facts = Seq((1L, "a"), (1L, "b"), (3L, "c"), (3L, "d"),
+      (4L, "e")).toDF("ref_id", "v")
+    val v = Check(facts, Seq(Check.Relationship("ref_id", ref, "id")))
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(v == Set(("3", 2L), ("4", 1L)))
+    // all keys resolve → clean
+    assert(Check(facts.where($"ref_id" < 3),
+      Seq(Check.Relationship("ref_id", ref, "id"))).isEmpty)
+  }
+
   test("enforce throws with offenders in the message") {
     val e = intercept[IllegalStateException] {
       Check.enforce(fixture, Seq(Check.Unique(Seq("id"))), "fixture")
