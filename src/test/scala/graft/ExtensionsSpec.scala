@@ -32,6 +32,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("nlsh") == 4)
   }
 
+  test("non-literal size arguments fail with a clear analysis-time message") {
+    // BIGINT literal converts; a column reference must be rejected with
+    // an explanatory error, not a ClassCastException/NPE at eval time
+    assert(spark.sql("SELECT size(hashed_shingles('a b c d', 3L)) AS n")
+      .head().getInt(0) == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT hashed_shingles('a b c', id) FROM range(1)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("must be a literal integer")),
+      s"got: ${messages(e)}")
+  }
+
   test("SQL and DataFrame APIs produce identical sketches") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextExpressions
