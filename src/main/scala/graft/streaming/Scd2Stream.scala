@@ -82,7 +82,10 @@ object Scd2Stream {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.lastSeenUs / 1000 + 1000)
+              // a late batch can put lastSeen below the watermark —
+              // Spark rejects timeouts in the past, so clamp forward
+              state.setTimeoutTimestamp(math.max(st.lastSeenUs / 1000 + 1000,
+                state.getCurrentWatermarkMs() + 1000))
             }
             closed.iterator
           }

@@ -94,7 +94,10 @@ object Sessionize {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.end / 1000 + gapSec * 1000)
+              // a late batch can put the session end below the watermark —
+              // Spark rejects timeouts in the past, so clamp forward
+              state.setTimeoutTimestamp(math.max(st.end / 1000 + gapSec * 1000,
+                state.getCurrentWatermarkMs() + 1000))
             }
             closed.iterator
           }
