@@ -229,18 +229,34 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("__changed"))
-      updated.cache()
-      converged = updated.where(col("__changed")).limit(1).isEmpty
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // Pointer doubling (path compression): label ← label(label). Labels
+      // only decrease and always name a node of the same component, so
+      // correctness is preserved while chain-shaped components collapse
+      // in O(log diameter) rounds instead of O(diameter) — a 10^6-link
+      // near-dup chain converges in ~20 rounds, not 10^6.
+      val lmap = updated.select(col("id").as("label"), col("label").as("__l2"))
+      // localCheckpoint (not cache): each round references the previous
+      // labels frame 3× (neighbor join, compression map, convergence
+      // diff), so an un-truncated lineage grows as 3^rounds and the
+      // driver OOMs just BUILDING the plan by round ~10. Checkpointing
+      // materializes the (small — one row per distinct node) label set
+      // and restarts the plan from it.
+      val next = updated.join(lmap, Seq("label"), "left")
+        .select(col("id"), coalesce(col("__l2"), col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .where(col("label") =!= col("__old")).limit(1).isEmpty
       prev.foreach(_.unpersist())
-      prev = Some(updated)
-      labels = updated.select("id", "label")
+      prev = Some(next)
+      labels = next
       iter += 1
     }
     edges.unpersist()
-    // A component whose diameter exceeds maxIters (chain-shaped graphs)
-    // would silently get split labels — surface it instead.
+    // A component that somehow outlasts maxIters rounds (would need
+    // diameter > 2^maxIters with the doubling above) is surfaced, not
+    // silently returned split.
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Dedup.clusters: label propagation did NOT converge in $maxIters " +

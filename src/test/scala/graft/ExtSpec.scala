@@ -82,6 +82,19 @@ class ExtSpec extends AnyFunSuite {
     assert(dist == out)
   }
 
+  test("duplicate clusters: 100-link chain converges distributed (pointer doubling)") {
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds); with label compression it must finish well
+    // inside the default maxIters and agree with driver union-find
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dist = Dedup.clusters(chain, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist.size == 100 && dist.values.forall(_ == 0L),
+      s"chain must collapse to a single 0-rooted cluster: $dist")
+    val driver = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(dist == driver)
+  }
+
   test("embedding cosine pairs: planted duplicate vector found") {
     val v1 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => (x * 1.001f)) // same direction
