@@ -258,6 +258,18 @@ object AggQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // Explicit GROUPING SETS through the SQL surface (the spark.sql
+    // entry path; rollup/cube above cover the DataFrame API). Same
+    // Expand-based plan, partial aggregation per grouping set.
+    "q_agg_grouping_sets" -> { (s, d) =>
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag ASC NULLS FIRST,
+              |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
     // Top-k per key via bounded-buffer typed Aggregator (map-side
     // partial top-k; no per-key full sort — see operators.TopKPerKey).
     "q_topk_per_key" -> { (s, d) =>
@@ -345,6 +357,12 @@ object AggQueries {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_agg_misc" ->
       """SELECT l_returnflag,
         |  min(l_quantity) AS min_qty,
