@@ -60,9 +60,14 @@ object Runner {
 
   /** One full pipeline run against `sfDir`, materializing into
     * TableStores under `workRoot`. `asOf` parameterizes the SCD2
-    * snapshot time (determinism — SURVEY §7.4). */
+    * snapshot time (determinism — SURVEY §7.4). Row-count metrics ride
+    * the write pass via `Observation` (CollectMetrics) — no re-scan of
+    * the landed tables just to count them. */
   def runAll(spark: SparkSession, sfDir: String, workRoot: String,
       asOf: java.sql.Timestamp): Result = {
+    val rawObs = new org.apache.spark.sql.Observation()
+    val dimObs = new org.apache.spark.sql.Observation()
+    val factObs = new org.apache.spark.sql.Observation()
     // 1. raw extract+load: incremental upsert of events on watermark
     //    (C1+C7: the destination is the checkpoint). The dest is stored
     //    BUCKETED on the merge key: every repeated merge then reads the
@@ -76,7 +81,7 @@ object Runner {
       case None => events
     }
     rawStore.write(Upsert(rawStore.read().getOrElse(events.limit(0)),
-      incoming, Seq("event_id")))
+      incoming, Seq("event_id")).observe(rawObs, count(lit(1)).as("n")))
 
     // 2. SCD2 snapshot of the customer dimension (C6).
     val snapStore = new TableStore(spark, s"$workRoot/customer_snapshot")
@@ -97,7 +102,7 @@ object Runner {
       graft.quality.Check.Unique(Seq("customer_id")),
       graft.quality.Check.NotNull("customer_id")), "dim_customer")
     val dimStore = new TableStore(spark, s"$workRoot/dim_customer")
-    dimStore.write(dim)
+    dimStore.write(dim.observe(dimObs, count(lit(1)).as("n")))
 
     val fact = Marts.factLineitem(
       Staging.stgLineitem(Tables(spark, sfDir, "lineitem")),
@@ -105,11 +110,11 @@ object Runner {
     val factStore = new TableStore(spark, s"$workRoot/fact_lineitem",
       partitionByCols = Seq("ship_month"),
       clusterByCols = Seq("order_id", "ship_ts")) // O2: MergeTree ORDER BY analog
-    factStore.write(fact)
+    factStore.write(fact.observe(factObs, count(lit(1)).as("n")))
 
     Result(
-      rawEvents = rawStore.read().get.count(),
-      dimCustomers = dimStore.read().get.count(),
-      factRows = factStore.read().get.count())
+      rawEvents = rawObs.get("n").asInstanceOf[Long],
+      dimCustomers = dimObs.get("n").asInstanceOf[Long],
+      factRows = factObs.get("n").asInstanceOf[Long])
   }
 }
