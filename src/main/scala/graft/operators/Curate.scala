@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** End-to-end training-corpus curation — the composition the engine
+  * exists for (C4/RefinedWeb-style): score → filter → exact dedup →
+  * near-dup cluster representative selection, all as one declarative
+  * plan.
+  *
+  * Stages (each individually oracle-verified by its own query key):
+  *  1. heuristic quality score ([[TextFunctions.qualityScore]]) and
+  *     language ID ([[TextFunctions.langId]]) — map-only;
+  *  2. keep docs with `quality >= minQuality` and detected language in
+  *     `langs`;
+  *  3. exact dedup (lowest id per identical text — one hash shuffle);
+  *  4. n-gram-Jaccard near-dup pairs within language blocks
+  *     (inverted-index join) → connected components → keep each
+  *     cluster's canonical (minimum-id) representative.
+  *
+  * Scale: no stage is quadratic in the corpus; the expensive shuffles
+  * are the exact-dedup hash and the shingle inverted index, both key
+  * shuffles a 1000-executor cluster spreads evenly. For incremental
+  * arrival compose with [[IncrementalDedup]] instead of stage 4.
+  */
+object Curate {
+
+  def corpus(docs: DataFrame, minQuality: Double = 0.7,
+      langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("lang_detected", TextFunctions.langId(col(textCol)))
+    val kept = scored.where(col("quality") >= minQuality &&
+      col("lang_detected").isin(langs: _*))
+    val unique = Dedup.exact(kept, textCol, idCol)
+    val pairs = Dedup.ngramJaccardPairs(unique,
+      blockCols = Seq("lang_detected"), textCol = textCol, idCol = idCol,
+      threshold = jaccard)
+    val reps = Dedup.clusters(pairs)
+    // representative = the cluster's min member (its own label); docs in
+    // no near-dup pair pass through (left join, null cluster)
+    unique.join(reps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .select(col(idCol), col("lang_detected"), col("quality"))
+  }
+}

@@ -74,6 +74,14 @@ object ExtQueries {
         .limit(20)
     },
 
+    // Flagship curation composition: quality filter + language filter +
+    // exact dedup + near-dup cluster representatives, one declarative
+    // plan — every stage individually oracle-verified, and the whole
+    // composition hash-checked against a DuckDB restatement.
+    "q_curate_corpus" -> { (s, d) =>
+      Curate.corpus(Tables(s, d, "documents")).orderBy("doc_id")
+    },
+
     // Exact dedup: lowest doc_id survives per identical text.
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables(s, d, "documents"))
@@ -255,6 +263,87 @@ object ExtQueries {
         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
         |       ELSE 'es' END AS lang_detected
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_curate_corpus" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\\s+') AS toks,
+        |    len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks, x -> x IN ($stopEn))) AS DOUBLE) AS nsw,
+        |    CAST(np AS DOUBLE) AS npunct,
+        |    CAST(len(text) AS DOUBLE) AS nchar,
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |      / len(toks) AS mtl
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    (least(ntok / 64.0, 1.0)
+        |     + least(nsw / ntok * 4.0, 1.0)
+        |     + greatest(0.0, 1.0 - npunct / greatest(nchar, 1.0) * 4.0)
+        |     + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0
+        |    AS quality
+        |  FROM s),
+        |lid1 AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+        |  FROM documents),
+        |lid2 AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(ltoks, x -> x IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en,
+        |    len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+        |    len(list_filter(ltoks, x -> x IN ('le','la','et','les','des','une','est','dans','que','pour'))) AS s_fr,
+        |    len(list_filter(ltoks, x -> x IN ('el','los','de','y','en','un','que','por','con','para'))) AS s_es
+        |  FROM lid1),
+        |lid AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |         ELSE 'es' END AS lang_detected
+        |  FROM lid2),
+        |kept AS (
+        |  SELECT d.doc_id, d.text, lid.lang_detected, q.quality
+        |  FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id)
+        |  WHERE q.quality >= 0.7 AND lid.lang_detected IN ('en')),
+        |uniq AS (
+        |  SELECT doc_id, text, lang_detected, quality FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+        |    FROM kept) WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, lang_detected,
+        |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) <= 3
+        |      THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(0, len(string_split_regex(trim(text), '\\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(trim(text), '\\s+')[i+1:i+3], ' '))
+        |    END AS grams
+        |  FROM uniq),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang_detected = b.lang_detected AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(a.grams || b.grams)) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT u.doc_id, u.lang_detected, u.quality
+        |FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
+        |WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
     "q_text_top_tokens" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
