@@ -44,6 +44,9 @@ object IncrementalDedup {
     val old = index.select(col(idCol).as("dup_of"), col("__sh").as("sh_old"),
       col("__band"), col("__bh"))
     fresh.join(old, Seq("__band", "__bh"))
+      // a replayed batch re-sends docs already in the index: a doc is
+      // never its own duplicate
+      .where(col("new_id") =!= col("dup_of"))
       .select("new_id", "dup_of", "sh_new", "sh_old").distinct()
       .withColumn("jaccard", Dedup.jaccard(col("sh_new"), col("sh_old")))
       .where(col("jaccard") >= threshold)
@@ -56,9 +59,13 @@ object IncrementalDedup {
   def append(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 128,
       bands: Int = 32, shingleWords: Int = 3): DataFrame = {
-    val admitted = newDocs.join(
-      matches.select(col("new_id").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    val admitted = newDocs
+      .join(matches.select(col("new_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      // replay-idempotent: ids already indexed are skipped, so
+      // (index, batch) -> index' is the same function on a re-delivered
+      // batch (exactly-once under the streaming drain's checkpoint)
+      .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
     index.unionByName(
       Dedup.bandedSignatures(admitted, textCol, idCol, k, bands, shingleWords))
   }

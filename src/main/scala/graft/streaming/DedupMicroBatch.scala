@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.TableStore
+import graft.operators.{Dedup, IncrementalDedup}
+
+/** Streaming corpus dedup — [[IncrementalDedup]] driven by the same
+  * micro-batch drain pattern as [[CdcMicroBatch]].
+  *
+  * Each arriving batch of documents is (1) internally deduplicated
+  * (MinHash-LSH pairs → connected components → canonical
+  * representatives), (2) matched against the PERSISTED signature index
+  * of everything admitted so far, (3) split into admitted docs (their
+  * signatures appended to the index) and rejects (landed with the id of
+  * the doc they duplicate). Work per batch is proportional to the
+  * batch — the corpus is never re-sketched (see SCALE.md).
+  *
+  * Exactly-once: the file-source checkpoint tracks consumed batches and
+  * both TableStore writes are idempotent re-derivations from (previous
+  * index, batch), so a replayed batch converges to the same state.
+  */
+object DedupMicroBatch {
+
+  /** Drain all available input once. Blocks until done. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, indexStore: TableStore, rejectStore: TableStore,
+      checkpoint: String, threshold: Double = 0.5): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // intra-batch: keep one representative per near-dup cluster
+        val pairs = Dedup.minhashLsh(batch, threshold = threshold)
+        val reps = Dedup.clusters(pairs)
+        val internal = batch.join(reps, Seq("doc_id"), "left")
+          .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .drop("cluster_id")
+
+        indexStore.read() match {
+          case None =>
+            indexStore.write(IncrementalDedup.index(internal))
+            rejectStore.write(internal.limit(0)
+              .select(col("doc_id").as("new_id"), col("doc_id").as("dup_of"),
+                lit(0.0).as("jaccard")))
+          case Some(idx) =>
+            val matches = IncrementalDedup.matchAgainst(idx, internal,
+              threshold = threshold)
+            indexStore.write(IncrementalDedup.append(idx, internal, matches))
+            val prev = rejectStore.read().getOrElse(matches.limit(0))
+            rejectStore.write(prev.unionByName(matches))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

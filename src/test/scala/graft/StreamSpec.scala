@@ -104,6 +104,41 @@ class StreamSpec extends AnyFunSuite {
     assert(streamResult == batchResult)
   }
 
+  test("streaming dedup drain: index grows by admitted docs, rejects record dup-of") {
+    import graft.streaming.DedupMicroBatch
+    val src = tmp("dedup-src")
+    val idxStore = new TableStore(spark, tmp("dedup-idx") + "/t")
+    val rejStore = new TableStore(spark, tmp("dedup-rej") + "/t")
+    val ckpt = tmp("dedup-ckpt")
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep dark forest to hide from all the hunters"
+    val other = "completely different content about spark query engines " +
+      "processing large parquet tables with catalyst optimizer rules applied"
+    val schema = Seq((1L, base)).toDF("doc_id", "text").schema
+
+    // batch 1: two distinct docs + an intra-batch near-dup of doc 1
+    Seq((1L, base), (2L, other), (3L, base.replace("lazy", "sleepy")))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    DedupMicroBatch.runAvailableNow(spark, src, schema, idxStore, rejStore,
+      ckpt, threshold = 0.3)
+    val indexed1 = idxStore.read().get.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(indexed1 == Set(1L, 2L), s"intra-batch near-dup must not index: $indexed1")
+
+    // batch 2: near-dup of the indexed doc 1 + a genuinely new doc
+    Seq((10L, base.replace("dog", "cat")), (11L, "entirely novel writing " +
+      "about distributed systems and exactly once stream processing"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    DedupMicroBatch.runAvailableNow(spark, src, schema, idxStore, rejStore,
+      ckpt, threshold = 0.3)
+    val indexed2 = idxStore.read().get.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(indexed2 == Set(1L, 2L, 11L), s"got $indexed2")
+    val rejects = rejStore.read().get.select("new_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(rejects == Set((10L, 1L)), s"got $rejects")
+  }
+
   test("streaming SCD2 (flatMapGroupsWithState) == batch Scd2 over 3 batches") {
     import graft.cdc.Scd2
     import graft.streaming.Scd2Stream
