@@ -35,7 +35,9 @@ object Curate {
       .withColumn("lang_detected", TextFunctions.langId(col(textCol)))
     val kept = scored.where(col("quality") >= minQuality &&
       col("lang_detected").isin(langs: _*))
-    val unique = Dedup.exact(kept, textCol, idCol)
+    // cached: consumed twice (pair generation + final representative
+    // join) — uncached, the score/filter/dedup prefix would run twice
+    val unique = Dedup.exact(kept, textCol, idCol).cache()
     val pairs = Dedup.ngramJaccardPairs(unique,
       blockCols = Seq("lang_detected"), textCol = textCol, idCol = idCol,
       threshold = jaccard)
