@@ -23,6 +23,19 @@ object StreamQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    // Sliding (overlapping) event-time windows — each event lands in
+    // width/slide = 2 windows; same watermark/state semantics as the
+    // tumbling key when run over a stream. Oracle unnests the two
+    // epoch-aligned bucket starts per event.
+    "q_stream_sliding_count" -> { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("cnt"))
+        .orderBy("win_start", "event_type")
+    },
+
     // Gap-based sessionization (batch formulation; streaming parity via
     // flatMapGroupsWithState asserted in StreamSpec).
     "q_sessionize" -> { (s, d) =>
@@ -63,6 +76,17 @@ object StreamQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_stream_sliding_count" ->
+      """SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+        |  count(*) AS cnt
+        |FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+        |      time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |        - INTERVAL '30 minutes']) AS win_start,
+        |    event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,
