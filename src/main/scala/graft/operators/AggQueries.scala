@@ -228,6 +228,19 @@ object AggQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     },
 
+    // first/last over an explicit full frame (deterministic: the
+    // partition order (l_shipdate, l_linenumber) is total per orderkey).
+    "q_window_first_last" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        first(col("l_shipdate")).over(w).as("first_ship"),
+        last(col("l_shipdate")).over(w).as("last_ship"))
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+    },
+
     // Aggregate-function breadth: min/max, integer-valued-double avg
     // (exact: sums < 2^53), conditional count, bool_and/bool_or, sum of
     // distinct values — all bit-stable across engines.
@@ -363,6 +376,15 @@ object AggQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        |  first_value(l_shipdate) OVER w AS first_ship,
+        |  last_value(l_shipdate) OVER w AS last_ship
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_shipdate, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "q_agg_misc" ->
       """SELECT l_returnflag,
         |  min(l_quantity) AS min_qty,

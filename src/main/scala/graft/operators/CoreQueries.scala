@@ -56,6 +56,41 @@ object CoreQueries {
       all.except(shipped).orderBy("o_orderkey")
     },
 
+    // Cross join (bounded — dim × dim only; the planner rejects
+    // accidental cartesian products on big inputs unless explicit).
+    "q_join_cross" -> { (s, d) =>
+      val r = Tables(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val n = Tables(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      r.crossJoin(n).orderBy("r_regionkey", "n_nationkey")
+    },
+
+    // Schema-drift union: a later batch gained a column; earlier rows
+    // take NULL (unionByName allowMissingColumns ≡ UNION ALL BY NAME).
+    "q_union_schema_drift" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val early = o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val late = o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("amount"))
+      early.unionByName(late, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    },
+
+    // Bitwise-function family over exact integers.
+    "q_fn_bitwise" -> { (s, d) =>
+      val k = col("o_orderkey")
+      Tables(s, d, "orders").select(
+        k,
+        k.bitwiseAND(lit(255L)).as("low_byte"),
+        k.bitwiseOR(lit(1L)).as("odd_or"),
+        k.bitwiseXOR(col("o_custkey")).as("key_xor"),
+        shiftleft(k, 2).as("shl2"),
+        shiftright(k, 3).as("shr3"),
+        bit_count(k).cast("long").as("popcount"))
+        .orderBy("o_orderkey")
+    },
+
     // P1 — rename/reorder staging projection (reference: stg_*.sql).
     "q_project_rename" -> { (s, d) =>
       Tables(s, d, "orders").select(
@@ -216,6 +251,27 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "q_union_schema_drift" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_custkey, o_totalprice AS amount FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 1 AS odd_or,
+        |  xor(o_orderkey, o_custkey) AS key_xor,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 3 AS shr3,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_scan_incremental" ->
       """SELECT * FROM lineitem
         |WHERE l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
