@@ -54,7 +54,12 @@ object DedupMicroBatch {
               threshold = threshold)
             indexStore.write(IncrementalDedup.append(idx, internal, matches))
             val prev = rejectStore.read().getOrElse(matches.limit(0))
-            rejectStore.write(prev.unionByName(matches))
+            // replay guard: if this batch already ran (both writes landed,
+            // crash before the checkpoint commit), the re-delivered matches
+            // are already in `prev` — dedup on the pair key so the reject
+            // log converges instead of double-counting
+            rejectStore.write(prev.unionByName(matches)
+              .dropDuplicates("new_id", "dup_of"))
         }
         ()
       }

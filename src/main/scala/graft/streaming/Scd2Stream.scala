@@ -66,8 +66,19 @@ object Scd2Stream {
             val sorted = rows.toSeq.sortBy(e => micros(e.as_of))
             var cur = state.getOption
             val closed = scala.collection.mutable.ListBuffer.empty[Scd2Version]
+            // flatMapGroupsWithState still DELIVERS events older than the
+            // watermark (unlike windowed aggs, which drop them). Applying
+            // one would corrupt history: an event below the open version's
+            // valid_from would close it with valid_to < valid_from
+            // (inverted interval), and one arriving after an event-time
+            // timeout would re-open a key whose final version was already
+            // emitted (overlapping histories, impossible in Append mode).
+            // Drop them — the same discard semantics the watermark already
+            // promises downstream.
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             sorted.foreach { e =>
               val t = micros(e.as_of)
+              if (t >= wmUs && cur.forall(st => t >= st.validFromUs))
               cur match {
                 case Some(st)
                     if checkCols.forall(c => st.vals.get(c) == e.vals.get(c)) =>
