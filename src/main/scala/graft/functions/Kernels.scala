@@ -46,6 +46,42 @@ object Kernels {
     out
   }
 
+  /** Winnowed rolling-hash fingerprint body (Schleimer et al., MOSS,
+    * SIGMOD'03): hash every `gram`-char window, keep each `window`-hash
+    * sliding window's minimum (rightmost on ties), distinct + sorted. */
+  def winnowFingerprint(input: UTF8String, gram: Int, window: Int): ArrayData = {
+    val s = input.toString
+    val n = s.length
+    if (n < gram) return new GenericArrayData(Array.empty[Long])
+    val m = n - gram + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    var pow = 1L
+    val B = 1000003L
+    var i = 0
+    while (i < gram) { h = h * B + s.charAt(i); if (i < gram - 1) pow *= B; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + gram - 1)
+      hs(i) = h
+      i += 1
+    }
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    if (m <= window) selected += hs.min
+    else {
+      var start = 0
+      while (start <= m - window) {
+        var best = start
+        var j = start
+        while (j < start + window) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        selected += hs(best)
+        start += 1
+      }
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
   def hashedShingles(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBaseObject
     val off = s.getBaseOffset

@@ -99,50 +99,19 @@ case class WinnowFingerprint(child: Expression, gram: Int, window: Int)
   override def prettyName: String = "winnow_fingerprint"
 
   override def nullSafeEval(input: Any): Any =
-    WinnowFingerprint.eval(input.asInstanceOf[UTF8String], gram, window)
+    Kernels.winnowFingerprint(input.asInstanceOf[UTF8String], gram, window)
 
+  // The static body MUST live in Kernels, not in this class's companion:
+  // a companion of a class that inherits `eval(InternalRow)` gets NO
+  // static forwarder for an `eval` overload (Scala skips forwarders on
+  // name clash), so generated Java couldn't resolve the call and the
+  // whole stage silently fell back to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WinnowFingerprint.eval($c, $gram, $window)")
+      s"graft.functions.Kernels.winnowFingerprint($c, $gram, $window)")
 
   override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
     copy(child = c)
-}
-
-object WinnowFingerprint {
-  /** Static body (callable from generated code). */
-  def eval(input: UTF8String, gram: Int, window: Int): ArrayData = {
-    val s = input.toString
-    val n = s.length
-    if (n < gram) return new GenericArrayData(Array.empty[Long])
-    val m = n - gram + 1
-    val hs = new Array[Long](m)
-    var h = 0L
-    var pow = 1L
-    val B = 1000003L
-    var i = 0
-    while (i < gram) { h = h * B + s.charAt(i); if (i < gram - 1) pow *= B; i += 1 }
-    hs(0) = h
-    i = 1
-    while (i < m) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + gram - 1)
-      hs(i) = h
-      i += 1
-    }
-    val selected = scala.collection.mutable.SortedSet.empty[Long]
-    if (m <= window) selected += hs.min
-    else {
-      var start = 0
-      while (start <= m - window) {
-        var best = start
-        var j = start
-        while (j < start + window) { if (hs(j) <= hs(best)) best = j; j += 1 }
-        selected += hs(best)
-        start += 1
-      }
-    }
-    new GenericArrayData(selected.toArray)
-  }
 }
 
 object TextExpressions {

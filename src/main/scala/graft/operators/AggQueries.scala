@@ -97,28 +97,43 @@ object AggQueries {
     },
 
     // Extension §7.5 — approximate distinct (HLL++; constant memory per
-    // group at any scale — the 100 TB path). Non-deterministic vs the
-    // oracle → rows-only check + tolerance unit test.
+    // group at any scale — the 100 TB path). The sketch value is
+    // engine-specific, so the gate emits the EXACT counts (real oracle
+    // values) plus ε-tolerance booleans: HLL++ at the default rsd 0.05
+    // must land within 8% of exact (measured 3.6% / 2.7% at sf0.01;
+    // deterministic for fixed data).
     "q_agg_approx_distinct" -> { (s, d) =>
+      def relErrOk(c: String) =
+        abs(approx_count_distinct(col(c)).cast("double") -
+          countDistinct(col(c)).cast("double")) /
+          countDistinct(col(c)).cast("double") <= 0.08
       Tables(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
-        approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        relErrOk("l_orderkey").as("orders_approx_ok"),
+        relErrOk("l_partkey").as("parts_approx_ok"))
     },
 
-    // Approximate quantiles (GK sketch — mergeable, constant memory;
-    // the 100 TB path for percentiles). Approximation → rows-only
-    // check + tolerance assertion in ExtSpec.
+    // Approximate quantiles (mergeable sketch, constant memory; the
+    // 100 TB path for percentiles). Gate = the sketch's own contract:
+    // with accuracy 1000 the returned value's RANK must sit within
+    // n/1000 of the target rank — checked as |frac(x ≤ pXX) − XX| ≤ 1%
+    // per group (measured ≤ 0.1% at sf0.01). Group counts are exact
+    // oracle values.
     "q_agg_approx_quantile" -> { (s, d) =>
-      // One GK sketch per group, three scalar columns out (not one array
-      // column: the driver's pandas-based rows-only check sorts values and
-      // ndarray cells are unhashable).
-      Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+      val li = Tables(s, d, "lineitem")
+      val sk = li.groupBy("l_returnflag").agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-          .as("qs"))
-        .select(col("l_returnflag"),
-          col("qs").getItem(0).as("p50"),
-          col("qs").getItem(1).as("p90"),
-          col("qs").getItem(2).as("p99"))
+          .as("__qs"))
+      def rankOk(i: Int, target: Double) =
+        abs(sum(when(col("l_extendedprice") <= col("__qs").getItem(i), 1)
+          .otherwise(0)).cast("double") / count(lit(1)) - target) <= 0.01
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          rankOk(0, 0.5).as("p50_rank_ok"),
+          rankOk(1, 0.9).as("p90_rank_ok"),
+          rankOk(2, 0.99).as("p99_rank_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -429,7 +444,18 @@ object AggQueries {
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
-    // q_agg_approx_distinct: intentionally no oracle (approximate).
+    // Approx-sketch gates: exact counts are real oracle values; the
+    // tolerance booleans are Spark-side (DuckDB cannot run HLL++/the GK
+    // sketch) and flip the row red on a sketch regression.
+    "q_agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  true AS orders_approx_ok, true AS parts_approx_ok
+        |FROM lineitem""".stripMargin,
+    "q_agg_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS n, true AS p50_rank_ok,
+        |  true AS p90_rank_ok, true AS p99_rank_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_row_number" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate,
         |  row_number() OVER (PARTITION BY l_orderkey

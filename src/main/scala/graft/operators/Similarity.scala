@@ -25,6 +25,14 @@ object Similarity {
     * corpus never shuffles: one map-side pass + per-query top-k heap
     * (TakeOrdered via window on a bounded set). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    bruteForceTopKScored(corpus, queries, k, vecCol, idCol)
+      .select("query_id", "rank", "nbr_id")
+
+  /** [[bruteForceTopK]] with the cosine attached — the optimality bound
+    * the ANN gate keys compare against (ANN's rank-r cosine can never
+    * exceed the exact rank-r cosine). */
+  def bruteForceTopKScored(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = spread(corpus).select(col(idCol).as("nbr_id"),
       l2Normalize(toDouble(col(vecCol))).as("__cv"))
@@ -37,7 +45,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id")
+      .select("query_id", "rank", "nbr_id", "cos")
   }
 
   /** ANN top-k: candidates = corpus rows sharing an LSH bucket with the
