@@ -30,14 +30,36 @@ object SparkEntry {
       .orderBy("o_orderstatus")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 — RAW
+    * operator definitions only. This is the map [[Bench]] times: no
+    * entry may embed a brute-force truth baseline or other
+    * verification-only work (that lives in [[gateQueries]]), so the
+    * bench measures the operators a user would actually run. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AggQueries.queries ++ CdcQueries.queries ++
       SchemaQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries ++
       ShapeQueries.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → driver rows-only check. */
+  /** Verify-only quality gates (approx-sketch ε-gates, near-dup
+    * recall/subset gates, ANN optimality/recall gates). Same-named keys
+    * OVERRIDE the raw operator in [[verifyQueries]]; gate-only keys
+    * (the `_recall` pair) exist nowhere else. Deliberately excluded
+    * from [[queries]]: each embeds an O(n²)-on-the-fixture truth
+    * baseline that would distort the bench and contradict the
+    * no-quadratic-stage design if declared as an operator. */
+  def gateQueries: Map[String, (SparkSession, String) => DataFrame] =
+    AggQueries.gateQueries ++ ExtQueries.gateQueries
+
+  /** The driver-checked correctness surface: every raw operator key,
+    * with gate variants overriding where one exists. [[Verify]] dumps
+    * THIS map, so the oracle rows the driver compares are unchanged by
+    * the bench/gate split. */
+  def verifyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ gateQueries
+
+  /** For each key in [[verifyQueries]], equivalent ANSI SQL runnable by
+    * DuckDB on the same parquet tables. Omitted keys → driver rows-only
+    * check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ AggQueries.oracle ++ CdcQueries.oracle ++
       SchemaQueries.oracle ++ ExtQueries.oracle ++ StreamQueries.oracle ++

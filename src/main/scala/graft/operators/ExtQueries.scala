@@ -97,14 +97,115 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
-    // MinHash+LSH near-dup quality gate. Ground truth = the exact
-    // inverted-index Jaccard pairs (same shingle kernel, no blocking),
-    // which DuckDB restates independently — so n_exact is a real oracle
-    // value, and the booleans make LSH recall/precision driver-visible:
-    // the LSH output is exact-Jaccard-verified, so it must be a SUBSET
-    // of the truth (no_spurious_pairs), and banding (128 hashes × 32
-    // bands) must recover ≥90% of true pairs at this threshold
-    // (measured 1.0 at sf0.01/sf0.1 — deterministic seeds).
+    // MinHash+LSH near-dup pairs — the RAW scale-path operator (banded
+    // signatures → bucket join → exact-Jaccard verify). Benched as-is;
+    // its recall/precision gate vs the exact truth lives in
+    // [[gateQueries]] under the same key (Verify-only).
+    "q_dedup_minhash" -> { (s, d) =>
+      Dedup.minhashLsh(Tables(s, d, "documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs — the raw pigeonhole-banded operator; the
+    // completeness gate is the [[gateQueries]] override.
+    "q_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashDup(Tables(s, d, "documents")).orderBy("id_a", "id_b")
+    },
+
+    // Exact word-3-gram Jaccard pairs within language blocks. Finite
+    // hot-shingle cutoff wired explicitly: at web scale one boilerplate
+    // shingle otherwise creates a df² join bucket (the operator's
+    // quadratic failure mode); at the fixture scales no shingle comes
+    // near the cutoff (max df 25 at sf0.1), so the DuckDB oracle —
+    // which has no cutoff — still hash-matches exactly.
+    "q_dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
+        blockCols = Seq("lang"), threshold = 0.1,
+        maxShingleDf = Dedup.DefaultMaxShingleDf)
+        .select("lang", "id_a", "id_b", "jaccard")
+        .orderBy("lang", "id_a", "id_b")
+    },
+
+    // Transitive duplicate clusters over the n-gram-Jaccard pairs:
+    // connected components labeled by the canonical (min) member.
+    "q_dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
+        blockCols = Seq("lang"), threshold = 0.1,
+        maxShingleDf = Dedup.DefaultMaxShingleDf)
+      Dedup.clusters(pairs).orderBy("doc_id")
+    },
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    "q_dedup_embed_cosine" -> { (s, d) =>
+      Dedup.embeddingCosinePairs(Tables(s, d, "embeddings"),
+        blockCols = Seq("label"), threshold = 0.35)
+        .orderBy("label", "id_a", "id_b")
+    },
+
+    // Scale-path embed near-dup pairs — raw LSH-bucketed operator
+    // (sign-random-projection candidates + exact dot verify); its
+    // recall/subset gate vs the exact baseline is the [[gateQueries]]
+    // override.
+    "q_dedup_embed_lsh" -> { (s, d) =>
+      Dedup.embeddingCosinePairsLsh(Tables(s, d, "embeddings"),
+        blockCols = Seq("label"), threshold = 0.35, tables = 32, bits = 4)
+        .orderBy("label", "id_a", "id_b")
+    },
+
+    // Brute-force cosine top-k: exact baseline for similarity search.
+    "q_sim_topk" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN top-k — raw operator, tuned regime (32 tables ×
+    // 4 bits for this near-random corpus). Per-row optimality gate is
+    // the [[gateQueries]] override; set-level recall is the gate-only
+    // key q_sim_ann_lsh_recall.
+    "q_sim_ann_lsh" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      Similarity.annTopK(e, e.where(col("vec_id") < 10), k = 5,
+        tables = 32, bits = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF ANN top-k — raw operator (build + probe). The per-call build
+    // here is the self-contained query form; the build-once /
+    // search-many shape for repeated serving is [[Ivf.persist]] /
+    // [[Ivf.load]] (search-from-persisted == search-from-fresh,
+    // asserted in ExtSpec).
+    "q_sim_ann_ivf" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val (assigned, centroids) = Ivf.build(e, nlist = 16, iters = 2)
+      Ivf.search(assigned, centroids, e.where(col("vec_id") < 10),
+        k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** Verify-only quality gates (merged over [[queries]] by
+    * `SparkEntry.verifyQueries`; NEVER benched — each embeds a
+    * brute-force truth baseline that is deliberately O(n²) on the
+    * fixture, which would both mask operator regressions in the bench
+    * and contradict the no-quadratic-stage design if it sat in the
+    * declared operator map). Same-named keys OVERRIDE the raw operator
+    * definition at Verify time, so the driver's correctness surface is
+    * unchanged. All recall booleans are `coalesce(.., true)`: an empty
+    * truth set (possible at other scales/fixtures) means "nothing to
+    * recall", not a null that would hash-mismatch the oracle's `true`. */
+  val gateQueries: Map[String, Q] = Map(
+    // MinHash+LSH quality gate. Ground truth = the exact inverted-index
+    // Jaccard pairs (same shingle kernel, no blocking), which DuckDB
+    // restates independently — so n_exact is a real oracle value, and
+    // the booleans make LSH recall/precision driver-visible: the LSH
+    // output is exact-Jaccard-verified, so it must be a SUBSET of the
+    // truth (no_spurious_pairs), and banding (128 hashes × 32 bands)
+    // must recover ≥90% of true pairs at this threshold (measured 1.0
+    // at sf0.01/sf0.1 — deterministic seeds).
     "q_dedup_minhash" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
       val exact = Dedup.ngramJaccardPairs(docs, blockCols = Nil,
@@ -118,7 +219,7 @@ object ExtQueries {
       val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("__spur"))
       recall.crossJoin(spurious).select(col("n_exact"),
-        (col("__recall") >= 0.9).as("recall_ge_09"),
+        coalesce(col("__recall") >= 0.9, lit(true)).as("recall_ge_09"),
         (col("__spur") === 0).as("no_spurious_pairs"))
     },
 
@@ -126,9 +227,10 @@ object ExtQueries {
     // PROVES recall 1 at Hamming ≤ 3: every truth pair (brute-force
     // 64-bit Hamming over all id pairs — a verification-only O(n²)
     // scan, cheap because each side is one long per doc) must appear
-    // in the banded output. n_pairs is pinned to the fixed testdata
-    // (engine-specific sketch — DuckDB cannot recompute it), so sketch
-    // drift also turns the row red.
+    // in the banded output. No pinned pair count: the sketch is
+    // engine-specific and a fixed constant is only valid for one
+    // fixture scale — the completeness boolean is the scale-independent
+    // invariant.
     "q_dedup_simhash" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
       val sh = docs.select(col("doc_id"),
@@ -140,39 +242,15 @@ object ExtQueries {
         .select("id_a", "id_b")
       val found = Dedup.simhashDup(docs).select("id_a", "id_b")
       truth.join(found.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_pairs"),
-          (sum(coalesce(col("__f"), lit(0))) === count(lit(1)))
-            .as("recall_complete"))
+        .agg(coalesce(sum(coalesce(col("__f"), lit(0))) === count(lit(1)),
+          lit(true)).as("recall_complete"))
     },
 
-    // Exact word-3-gram Jaccard pairs within language blocks.
-    "q_dedup_ngram_jaccard" -> { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
-        blockCols = Seq("lang"), threshold = 0.1)
-        .select("lang", "id_a", "id_b", "jaccard")
-        .orderBy("lang", "id_a", "id_b")
-    },
-
-    // Transitive duplicate clusters over the n-gram-Jaccard pairs:
-    // connected components labeled by the canonical (min) member.
-    "q_dedup_clusters" -> { (s, d) =>
-      val pairs = Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
-        blockCols = Seq("lang"), threshold = 0.1)
-      Dedup.clusters(pairs).orderBy("doc_id")
-    },
-
-    // Embedding-cosine near-dup pairs within label blocks.
-    "q_dedup_embed_cosine" -> { (s, d) =>
-      Dedup.embeddingCosinePairs(Tables(s, d, "embeddings"),
-        blockCols = Seq("label"), threshold = 0.35)
-        .orderBy("label", "id_a", "id_b")
-    },
-
-    // Scale-path embed near-dup quality gate: LSH candidates + exact
-    // dot verify vs the exact blocked all-pairs baseline. n_exact is
-    // DuckDB-restated (list_cosine_similarity), so the truth side is a
-    // real oracle value; LSH output is verified with the SAME normalize
-    // + dot kernel, so it must be a subset (no_spurious_pairs), and the
+    // Embed-LSH quality gate: LSH candidates + exact dot verify vs the
+    // exact blocked all-pairs baseline. n_exact is DuckDB-restated
+    // (list_cosine_similarity), so the truth side is a real oracle
+    // value; LSH output is verified with the SAME normalize + dot
+    // kernel, so it must be a subset (no_spurious_pairs), and the
     // 4-bit/32-table regime (P[candidate | cos=0.35] ≈ 0.99 per
     // 1-(1-(1-acos(.35)/π)^4)^32; deterministic splitmix64 planes) must
     // recover ≥95% (measured 1.0 at sf0.01/sf0.1).
@@ -190,30 +268,21 @@ object ExtQueries {
       val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("__spur"))
       recall.crossJoin(spurious).select(col("n_exact"),
-        (col("__recall") >= 0.95).as("recall_ge_095"),
+        coalesce(col("__recall") >= 0.95, lit(true)).as("recall_ge_095"),
         (col("__spur") === 0).as("no_spurious_pairs"))
     },
 
-    // Brute-force cosine top-k: exact baseline for similarity search.
-    "q_sim_topk" -> { (s, d) =>
-      val e = Tables(s, d, "embeddings")
-      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    },
-
-    // LSH-bucketed ANN, per-row optimality gate: for every (query,
-    // rank) the ANN cosine can never EXCEED the exact rank-r cosine
-    // (the exact top-k is optimal at every prefix), and with the tuned
-    // table count every query must fill all k slots — so the oracle can
-    // state the full (query_id, rank) grid with a true bound per row.
-    // Set-level recall is gated separately by q_sim_ann_lsh_recall.
+    // LSH ANN per-row optimality gate: for every (query, rank) the ANN
+    // cosine can never EXCEED the exact rank-r cosine (the exact top-k
+    // is optimal at every prefix), and with the tuned table count every
+    // query must fill all k slots — so the oracle can state the full
+    // (query_id, rank) grid with a true bound per row.
     "q_sim_ann_lsh" -> { (s, d) =>
       val e = Tables(s, d, "embeddings")
       val q = e.where(col("vec_id") < 10)
       val brute = Similarity.bruteForceTopKScored(e, q, k = 5)
         .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
-      Similarity.annTopK(e, q, k = 5)
+      Similarity.annTopK(e, q, k = 5, tables = 32, bits = 4)
         .join(brute, Seq("query_id", "rank"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           (col("cos") <= col("__bcos")).as("cos_le_exact"))
@@ -234,7 +303,7 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
-    // Driver-visible ANN quality gates: recall vs brute force computed
+    // Driver-visible ANN recall gates: recall vs brute force computed
     // IN the query (deterministic — splitmix64 planes, hash-seeded
     // k-means init), emitted as a scalar invariant the DuckDB oracle
     // restates as the expected constant. A recall regression flips
@@ -256,7 +325,8 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_brute"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") /
             count(lit(1))).as("__recall"))
-        .select(col("n_brute"), (col("__recall") >= 0.8).as("recall_ge_08"))
+        .select(col("n_brute"),
+          coalesce(col("__recall") >= 0.8, lit(true)).as("recall_ge_08"))
     },
 
     "q_sim_ann_ivf_recall" -> { (s, d) =>
@@ -271,7 +341,8 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_brute"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") /
             count(lit(1))).as("__recall"))
-        .select(col("n_brute"), (col("__recall") >= 0.8).as("recall_ge_08"))
+        .select(col("n_brute"),
+          coalesce(col("__recall") >= 0.8, lit(true)).as("recall_ge_08"))
     }
   )
 
@@ -494,15 +565,16 @@ object ExtQueries {
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |  WHERE len(list_distinct(a.grams || b.grams)) > 0
+        |    AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |      / len(list_distinct(a.grams || b.grams)) >= 0.3)
         |SELECT (SELECT count(*) FROM p) AS n_exact,
         |  true AS recall_ge_09, true AS no_spurious_pairs""".stripMargin,
-    // n_pairs is pinned: the sketch is engine-specific, so DuckDB cannot
-    // recompute it — the constant detects sketch drift on the fixed
-    // testdata; recall_complete is the pigeonhole completeness proof.
-    "q_dedup_simhash" ->
-      "SELECT CAST(17 AS BIGINT) AS n_pairs, true AS recall_complete",
+    // The sketch is engine-specific, so DuckDB cannot restate the pair
+    // set; the scale-independent invariant is the pigeonhole
+    // completeness proof (every brute-force Hamming≤3 pair recovered),
+    // valid at ANY fixture scale — unlike a pinned pair count.
+    "q_dedup_simhash" -> "SELECT true AS recall_complete",
     "q_dedup_embed_lsh" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |  FROM embeddings),
