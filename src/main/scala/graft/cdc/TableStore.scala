@@ -38,9 +38,16 @@ final class TableStore(spark: SparkSession, root: String,
   private def pointer = new Path(rootPath, "_CURRENT")
 
   /** Catalog identifier for a bucketed version (bucketing metadata lives
-    * in the catalog, not the files). Unique per store root + version. */
-  private def catalogName(v: Int): String =
-    "graft_" + root.replaceAll("[^A-Za-z0-9]", "_") + f"_v$v%08d"
+    * in the catalog, not the files). The sanitized root alone is NOT
+    * injective (`/a/b-c` and `/a/b_c` both sanitize to `_a_b_c`, and
+    * truncation loses distinguishing prefixes), so a hash of the FULL
+    * root disambiguates — two stores can never silently share catalog
+    * entries. */
+  private def catalogName(v: Int): String = {
+    val h = f"${scala.util.hashing.MurmurHash3.stringHash(root)}%08x"
+    "graft_" + root.replaceAll("[^A-Za-z0-9]", "_").takeRight(40) +
+      s"_$h" + f"_v$v%08d"
+  }
 
   /** Pointer read with a fallback: the swap is delete-then-rename (rename
     * over an existing file is not atomic-replace on every Hadoop FS), so

@@ -29,18 +29,24 @@ object Curate {
 
   def corpus(docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxShingleDf: Long = Dedup.DefaultMaxShingleDf): DataFrame = {
     val scored = docs
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("lang_detected", TextFunctions.langId(col(textCol)))
     val kept = scored.where(col("quality") >= minQuality &&
       col("lang_detected").isin(langs: _*))
-    // cached: consumed twice (pair generation + final representative
-    // join) — uncached, the score/filter/dedup prefix would run twice
-    val unique = Dedup.exact(kept, textCol, idCol).cache()
+    // Materialized once, consumed twice (pair generation + final
+    // representative join). localCheckpoint instead of cache(): cached
+    // plans stay registered in the session CacheManager until an
+    // explicit unpersist nobody here can safely issue (the returned
+    // plan still needs the data), leaking a corpus-sized cache entry
+    // per corpus() call; checkpoint blocks are RDD-level storage the
+    // ContextCleaner reclaims as soon as the result frame is GC'd.
+    val unique = Dedup.exact(kept, textCol, idCol).localCheckpoint(true)
     val pairs = Dedup.ngramJaccardPairs(unique,
       blockCols = Seq("lang_detected"), textCol = textCol, idCol = idCol,
-      threshold = jaccard)
+      threshold = jaccard, maxShingleDf = maxShingleDf)
     val reps = Dedup.clusters(pairs)
     // representative = the cluster's min member (its own label); docs in
     // no near-dup pair pass through (left join, null cluster)

@@ -19,6 +19,18 @@ import graft.functions.{TextExpressions, TextFunctions}
   */
 object Dedup {
 
+  /** Default hot-shingle document-frequency cutoff for
+    * [[ngramJaccardPairs]]. A shingle shared by df documents creates a
+    * df² candidate bucket in the inverted-index join, so one piece of
+    * corpus-wide boilerplate ("click here to …" at web scale) is the
+    * operator's quadratic failure mode. df > 1000 bounds any single
+    * bucket to ≤10⁶ candidate rows — trivially partitionable — while
+    * only discounting overlap that IS boilerplate (a shingle in >1000
+    * docs carries no dedup signal). Finite BY DEFAULT: the unbounded
+    * behavior is opt-in via `maxShingleDf = Long.MaxValue`, not the
+    * silent default. */
+  val DefaultMaxShingleDf: Long = 1000L
+
   /** Spread a low-parallelism scan (few files / single row group)
     * across the cluster before CPU-heavy per-row sketching. Explicit
     * partition count → AQE keeps it. */
@@ -133,7 +145,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.1,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val sh = spread(docs)
       .select((idCol +: blockCols).map(col) :+
         TextExpressions.hashedShingles(col(textCol), n).as("__sh"): _*)
@@ -270,13 +282,28 @@ object Dedup {
     * path. At corpus scale use [[embeddingCosinePairsLsh]], which bounds
     * the quadratic work to LSH buckets inside each block. Vectors are
     * L2-normalized once per row before the join, so the pair stage pays
-    * one dot product (SURVEY §7.5; REPOSE-style normalize-early). */
+    * one dot product (SURVEY §7.5; REPOSE-style normalize-early).
+    *
+    * `maxBlockRows` enforces the "bounded block" promise the doc makes:
+    * the per-block pair count is rows²/2, so a silently oversized block
+    * (empty `blockCols`, one dominant label) turns the baseline into an
+    * unbounded O(n²) job. The guard costs one small pre-aggregation and
+    * fails fast with the named alternative instead of hanging a
+    * 1000-executor cluster. */
   def embeddingCosinePairs(embs: DataFrame, blockCols: Seq[String],
       vecCol: String = "embedding", idCol: String = "vec_id",
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35, maxBlockRows: Long = 1L << 16): DataFrame = {
     import graft.functions.VectorFunctions._
     val normed = spread(embs).select((idCol +: blockCols).map(col) :+
       l2Normalize(toDouble(col(vecCol))).as("__v"): _*)
+    val oversized = normed.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBlockRows).limit(1).collect()
+    require(oversized.isEmpty,
+      s"embeddingCosinePairs: a block exceeds maxBlockRows=$maxBlockRows " +
+        s"rows (first offender: ${oversized.headOption.fold("")(_.toString)}); " +
+        "all-pairs inside a block is O(rows²) — use embeddingCosinePairsLsh " +
+        "for unbounded blocks, or raise maxBlockRows deliberately")
     val a = normed.select(col(idCol).as("id_a") +: col("__v").as("v_a") +:
       blockCols.map(col): _*)
     val b = normed.select(col(idCol).as("id_b") +: col("__v").as("v_b") +:

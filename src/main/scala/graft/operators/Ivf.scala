@@ -129,6 +129,29 @@ object Ivf {
       nearestCentroid(col("__v"), flat, dim).as("cell"))
   }
 
+  /** Persist a built index for build-once / search-many serving: the
+    * assigned corpus and the centroid table land in two
+    * [[graft.cdc.TableStore]]s under `root`. At 100 TB the expensive
+    * part of IVF is the corpus assignment pass — rebuilding it per
+    * search call (the self-contained query form) is the anti-pattern;
+    * a served index is trained once, persisted, and every search reads
+    * the immutable snapshot. Centroids are KBs; the assigned corpus is
+    * the corpus plus one `cell` long per row. */
+  def persist(spark: org.apache.spark.sql.SparkSession, root: String,
+      assigned: DataFrame, centroids: DataFrame): Unit = {
+    new graft.cdc.TableStore(spark, s"$root/assigned").write(assigned)
+    new graft.cdc.TableStore(spark, s"$root/centroids").write(centroids)
+  }
+
+  /** Load a persisted index; plug the pair straight into [[search]].
+    * None if either half has never been written. */
+  def load(spark: org.apache.spark.sql.SparkSession, root: String)
+      : Option[(DataFrame, DataFrame)] =
+    for {
+      a <- new graft.cdc.TableStore(spark, s"$root/assigned").read()
+      c <- new graft.cdc.TableStore(spark, s"$root/centroids").read()
+    } yield (a, c)
+
   /** Probe: route each query to its `nprobe` nearest cells, exact top-k
     * within the probed cells only. */
   def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,

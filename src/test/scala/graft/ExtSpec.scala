@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextExpressions, TextFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 
 /** Extension operators: dedup family with planted duplicates, ANN
   * recall vs brute force, language-ID fixtures, fingerprint robustness.
@@ -312,5 +312,61 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(out(1L) > out(2L))
+  }
+
+  test("hot-shingle cutoff: boilerplate-only pairs vanish, genuine near-dups survive") {
+    // 10 docs sharing ONLY a 5-word boilerplate suffix (3 hot shingles,
+    // df=10 each); pairwise jaccard 3/15 = 0.2 ≥ 0.1 → without the
+    // cutoff the boilerplate alone manufactures C(10,2)=45 pairs — the
+    // df² bucket blow-up in miniature. Distinct prefixes end in an
+    // i-specific word so junction shingles never collide.
+    val boiler = "subscribe to our newsletter today"
+    val noise = (1L to 10L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i " + boiler))
+    // one genuine near-dup pair, no boilerplate, one word changed
+    val genuine = Seq((100L, base), (101L, base.replace("lazy", "sleepy")))
+    val docs = (noise ++ genuine).toDF("doc_id", "text")
+
+    val unbounded = Dedup.ngramJaccardPairs(docs, blockCols = Nil,
+      threshold = 0.1, maxShingleDf = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unbounded.size == 46 && unbounded.contains((100L, 101L)),
+      s"expected 45 boilerplate pairs + the genuine pair, got $unbounded")
+
+    val cut = Dedup.ngramJaccardPairs(docs, blockCols = Nil,
+      threshold = 0.1, maxShingleDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cut == Set((100L, 101L)),
+      s"df>5 shingles must stop generating pairs, got $cut")
+  }
+
+  test("embeddingCosinePairs rejects a block larger than maxBlockRows") {
+    val embs = (1L to 8L).map(i =>
+      (i, "same", Array.tabulate(4)(j => 0.1f * (i + j))))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(embs, blockCols = Seq("label"),
+        maxBlockRows = 4)
+    }
+    assert(ex.getMessage.contains("embeddingCosinePairsLsh"))
+    // bounded blocks pass through the guard
+    assert(Dedup.embeddingCosinePairs(embs, blockCols = Seq("label"),
+      maxBlockRows = 100).count() >= 0)
+  }
+
+  test("IVF persisted index: search-from-persisted == search-from-fresh") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centroids) = Ivf.build(e, nlist = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Ivf.persist(spark, root, assigned, centroids)
+    val (pa, pc) = Ivf.load(spark, root)
+      .getOrElse(fail("persisted index did not load"))
+    val q = e.where(col("vec_id") < 5)
+    val fresh = Ivf.search(assigned, centroids, q, k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val persisted = Ivf.search(pa, pc, q, k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(persisted == fresh && fresh.nonEmpty,
+      "search over the persisted index must equal search over the fresh build")
   }
 }
