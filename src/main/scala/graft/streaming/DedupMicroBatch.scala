@@ -25,6 +25,44 @@ import graft.operators.{Dedup, IncrementalDedup}
   */
 object DedupMicroBatch {
 
+  /** One micro-batch transition: (index state, reject log, batch) →
+    * (index', rejects'). A pure re-derivation from the persisted stores
+    * plus the batch, so applying the SAME batch twice (crash after the
+    * writes, before the checkpoint commit → source re-delivery)
+    * converges: already-indexed ids are skipped by
+    * [[IncrementalDedup.append]]'s anti-joins, and the reject log
+    * dedups on the pair key. Exposed (not inlined in the foreachBatch
+    * closure) so the replay guarantee is directly testable — StreamSpec
+    * applies a batch twice and asserts both stores are unchanged. */
+  def processBatch(batch: DataFrame, indexStore: TableStore,
+      rejectStore: TableStore, threshold: Double): Unit = {
+    // intra-batch: keep one representative per near-dup cluster
+    val pairs = Dedup.minhashLsh(batch, threshold = threshold)
+    val reps = Dedup.clusters(pairs)
+    val internal = batch.join(reps, Seq("doc_id"), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+
+    indexStore.read() match {
+      case None =>
+        indexStore.write(IncrementalDedup.index(internal))
+        rejectStore.write(internal.limit(0)
+          .select(col("doc_id").as("new_id"), col("doc_id").as("dup_of"),
+            lit(0.0).as("jaccard")))
+      case Some(idx) =>
+        val matches = IncrementalDedup.matchAgainst(idx, internal,
+          threshold = threshold)
+        indexStore.write(IncrementalDedup.append(idx, internal, matches))
+        val prev = rejectStore.read().getOrElse(matches.limit(0))
+        // replay guard: if this batch already ran (both writes landed,
+        // crash before the checkpoint commit), the re-delivered matches
+        // are already in `prev` — dedup on the pair key so the reject
+        // log converges instead of double-counting
+        rejectStore.write(prev.unionByName(matches)
+          .dropDuplicates("new_id", "dup_of"))
+    }
+  }
+
   /** Drain all available input once. Blocks until done. */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
       schema: StructType, indexStore: TableStore, rejectStore: TableStore,
@@ -36,32 +74,7 @@ object DedupMicroBatch {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // intra-batch: keep one representative per near-dup cluster
-        val pairs = Dedup.minhashLsh(batch, threshold = threshold)
-        val reps = Dedup.clusters(pairs)
-        val internal = batch.join(reps, Seq("doc_id"), "left")
-          .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-          .drop("cluster_id")
-
-        indexStore.read() match {
-          case None =>
-            indexStore.write(IncrementalDedup.index(internal))
-            rejectStore.write(internal.limit(0)
-              .select(col("doc_id").as("new_id"), col("doc_id").as("dup_of"),
-                lit(0.0).as("jaccard")))
-          case Some(idx) =>
-            val matches = IncrementalDedup.matchAgainst(idx, internal,
-              threshold = threshold)
-            indexStore.write(IncrementalDedup.append(idx, internal, matches))
-            val prev = rejectStore.read().getOrElse(matches.limit(0))
-            // replay guard: if this batch already ran (both writes landed,
-            // crash before the checkpoint commit), the re-delivered matches
-            // are already in `prev` — dedup on the pair key so the reject
-            // log converges instead of double-counting
-            rejectStore.write(prev.unionByName(matches)
-              .dropDuplicates("new_id", "dup_of"))
-        }
-        ()
+        processBatch(batch, indexStore, rejectStore, threshold)
       }
       .start()
     q.awaitTermination()

@@ -79,9 +79,16 @@ object Sessionize {
             val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var cur = state.getOption
             val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            // Same late-event discard as Scd2Stream: flatMapGroupsWithState
+            // still DELIVERS events below the watermark (unlike windowed
+            // aggs). Applying one would extend — or, after an event-time
+            // timeout already emitted the session, silently re-open — a
+            // session that downstream has been promised is final. Drop
+            // them: the discard the watermark already declares.
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             sorted.foreach { e =>
               val t = micros(e.ts)
-              cur match {
+              if (t >= wmUs) cur match {
                 case Some(st) if t - st.end <= gapSec * 1000000L =>
                   cur = Some(SessionState(st.start, math.max(st.end, t),
                     st.n + 1, st.sum + e.value))

@@ -201,6 +201,125 @@ class StreamSpec extends AnyFunSuite {
       s"stream/batch SCD2 divergence:\n stream=$streamHist\n batch=$batchHist")
   }
 
+  test("streaming dedup: replaying a batch leaves index and reject log unchanged") {
+    import graft.streaming.DedupMicroBatch
+    val idxStore = new TableStore(spark, tmp("dedup-rp-idx") + "/t")
+    val rejStore = new TableStore(spark, tmp("dedup-rp-rej") + "/t")
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep dark forest to hide from all the hunters"
+    val other = "completely different content about spark query engines " +
+      "processing large parquet tables with catalyst optimizer rules applied"
+    val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val b2 = Seq((10L, base.replace("dog", "cat")), (11L, "entirely novel " +
+      "writing about distributed systems and exactly once stream processing"))
+      .toDF("doc_id", "text")
+    DedupMicroBatch.processBatch(b1, idxStore, rejStore, threshold = 0.3)
+    DedupMicroBatch.processBatch(b2, idxStore, rejStore, threshold = 0.3)
+    val idxBefore = idxStore.read().get.collect().map(_.toSeq).toSet
+    val rejBefore = rejStore.read().get.collect().map(_.toSeq).toSet
+
+    // crash after both writes, before the checkpoint commit → the source
+    // re-delivers batch 2 verbatim; the state transition must converge
+    DedupMicroBatch.processBatch(b2, idxStore, rejStore, threshold = 0.3)
+    assert(idxStore.read().get.collect().map(_.toSeq).toSet == idxBefore,
+      "replayed batch mutated the signature index")
+    assert(rejStore.read().get.collect().map(_.toSeq).toSet == rejBefore,
+      "replayed batch double-counted the reject log")
+    val rejects = rejStore.read().get.select("new_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(rejects == Set((10L, 1L)), s"got $rejects")
+  }
+
+  test("streaming SCD2 drops change events below the watermark") {
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.Scd2Event
+    val dir = tmp("scd2-late")
+    def land(events: Seq[Scd2Event]): Unit = {
+      // one file per land(): the file source orders batches by mtime and
+      // maxFilesPerTrigger=1 — multiple part-files would split/reorder
+      // the intended batch boundary
+      events.toDF().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    // batch 1: k1 opens at June; sentinel pushes the watermark to Dec
+    land(Seq(
+      Scd2Event("k1", Map("a" -> "A"), java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+      Scd2Event("__s1", Map("a" -> "s"), java.sql.Timestamp.valueOf("2024-12-01 00:00:00"))))
+    // batch 2: a January event for k1 — below BOTH the watermark and the
+    // open version's valid_from; applying it would close June with an
+    // inverted interval (valid_to Jan < valid_from Jun) and open "B"
+    land(Seq(
+      Scd2Event("k1", Map("a" -> "B"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+    // batch 3: sentinel advances the watermark past k1's timeout → the
+    // surviving open version drains
+    land(Seq(
+      Scd2Event("__s2", Map("a" -> "s"), java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))))
+
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Scd2Event]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withWatermark("as_of", "1 second")
+      .as[Scd2Event]
+    val q = Scd2Stream.streaming(src, Seq("a"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val k1 = spark.table("scd2_late_out").where(col("key") === "k1")
+      .collect().map { r =>
+        (r.getAs[Map[String, String]]("vals")("a"),
+          r.getAs[java.sql.Timestamp]("valid_from"),
+          Option(r.getAs[java.sql.Timestamp]("valid_to")))
+      }.toSet
+    assert(k1 == Set(("A",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), None)),
+      s"late event corrupted SCD2 history: $k1")
+  }
+
+  test("streaming sessionize drops events below the watermark") {
+    import graft.streaming.Sessionize
+    val dir = tmp("sess-late")
+    def land(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      // one file per land() — see the SCD2 late-event test
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    // batch 1: u1 has a 2-event June session; sentinel user pushes the
+    // watermark to Dec (so u1's session is already watermark-final)
+    land(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:10:00"), 2.0),
+      (999L, java.sql.Timestamp.valueOf("2024-12-01 00:00:00"), 0.0)))
+    // batch 2: a January event for u1, far below the watermark — without
+    // the guard it would merge into (extend) the June session
+    land(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 9.0)))
+    // batch 3: sentinel advances the watermark → u1's session drains
+    land(Seq((999L, java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), 0.0)))
+
+    val src = spark.readStream
+      .schema(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0))
+        .toDF("user_id", "ts", "value").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withWatermark("ts", "1 second")
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.streaming(src, gapSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val u1 = spark.table("sess_late_out").where(col("user_id") === 1L)
+      .select("session_start", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(u1 == Set((java.sql.Timestamp.valueOf("2024-06-01 10:00:00"),
+      2L, 3.0)), s"late event corrupted sessionization: $u1")
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
