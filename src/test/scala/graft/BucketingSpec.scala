@@ -95,6 +95,23 @@ class BucketingSpec extends AnyFunSuite {
       .contains("graft_"))
   }
 
+  test("two bucketed stores whose roots sanitize identically stay distinct") {
+    import graft.cdc.TableStore
+    // "a-b" and "a_b" both sanitize to "a_b": before the root-hash
+    // suffix the second store's catalog entry silently replaced the
+    // first's, so reads crossed stores
+    val base = Files.createTempDirectory("bucketclash").toString
+    val s1 = new TableStore(spark, s"$base/a-b",
+      bucketBy = Some((2, Seq("id"))))
+    val s2 = new TableStore(spark, s"$base/a_b",
+      bucketBy = Some((2, Seq("id"))))
+    import spark.implicits._
+    s1.write(Seq((1L, "one")).toDF("id", "v"))
+    s2.write(Seq((2L, "two")).toDF("id", "v"))
+    assert(s1.read().get.select("v").as[String].collect().toSeq == Seq("one"))
+    assert(s2.read().get.select("v").as[String].collect().toSeq == Seq("two"))
+  }
+
   test("withDedupMaintained == withDedup when dest holds the invariant") {
     import graft.cdc.Upsert
     import spark.implicits._
