@@ -158,14 +158,20 @@ object Dedup {
     // maxShingleDf treats them as stop-shingles: they no longer count as
     // shared, so jaccard is underestimated ONLY for pairs whose overlap
     // is dominated by corpus-wide boilerplate — the pairs dedup should
-    // not merge on anyway. The df count shuffles on the same shingle key
-    // as the pair join itself, so it adds no new partitioning.
+    // not merge on anyway. Shape matters at 100 TB: the HOT SET (df >
+    // cutoff) is tiny by construction, so it aggregates map-side
+    // (partial counts — no sort) and broadcasts into a left-anti join;
+    // a window-over-(block, shingle) would instead SORT the entire
+    // exploded corpus on both join legs.
     val inv =
       if (maxShingleDf == Long.MaxValue) exploded
       else {
-        val wdf = Window.partitionBy((blockCols :+ "__g").map(col): _*)
-        exploded.withColumn("__df", count(lit(1)).over(wdf))
-          .where(col("__df") <= maxShingleDf).drop("__df")
+        val hot = exploded
+          .groupBy((blockCols :+ "__g").map(col): _*)
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxShingleDf)
+          .select((blockCols :+ "__g").map(col): _*)
+        exploded.join(broadcast(hot), blockCols :+ "__g", "left_anti")
       }
     val a = inv.select(col(idCol).as("id_a") +: col("__sz").as("sz_a") +:
       col("__g") +: blockCols.map(col): _*)
