@@ -102,4 +102,28 @@ class PropertySpec extends AnyFunSuite {
       assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
     }
   }
+
+  private val docsGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "shared",
+      "quick", "brown", "fox", "lazy", "dog")
+    Gen.listOfN(12, Gen.listOfN(8, word).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("ngram-jaccard: a cutoff no shingle reaches ≡ unbounded; any cutoff only removes pairs") {
+    import graft.operators.Dedup
+    forAll(docsGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      def pairs(cutoff: Long) =
+        Dedup.ngramJaccardPairs(docs, blockCols = Nil, threshold = 0.1,
+          maxShingleDf = cutoff)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val unbounded = pairs(Long.MaxValue)
+      // df can never exceed the doc count, so cutoff = |docs| is inert
+      assert(pairs(rows.size.toLong) == unbounded)
+      // a biting cutoff is monotone: it can only drop pairs, never
+      // invent them (shared counts shrink, sizes stay)
+      assert(pairs(3L).subsetOf(unbounded))
+    }
+  }
 }
