@@ -166,11 +166,17 @@ object Dedup {
     val inv =
       if (maxShingleDf == Long.MaxValue) exploded
       else {
+        // localCheckpoint: both join legs reference `inv`, and Catalyst
+        // inlines the subtree per leg with fresh exprIds — without the
+        // checkpoint the full df aggregate (a corpus scan + shingle
+        // pass) runs TWICE. The hot set itself is small (≤ total
+        // occurrences / cutoff entries), so materializing it is cheap.
         val hot = exploded
           .groupBy((blockCols :+ "__g").map(col): _*)
           .agg(count(lit(1)).as("__df"))
           .where(col("__df") > maxShingleDf)
           .select((blockCols :+ "__g").map(col): _*)
+          .localCheckpoint(true)
         exploded.join(broadcast(hot), blockCols :+ "__g", "left_anti")
       }
     val a = inv.select(col(idCol).as("id_a") +: col("__sz").as("sz_a") +:
@@ -211,10 +217,15 @@ object Dedup {
     // `driverThreshold` edges, union-find on the driver beats rounds of
     // distributed joins (same strategy switch GraphFrames CC makes).
     // The corpus itself never leaves the cluster — only the pair list.
-    if (edges.count() <= driverThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.as[(Long, Long)].collect()
+    // One action decides AND fetches: collect threshold+1 rows; a full
+    // result ≤ threshold IS the whole edge set (a separate count()
+    // would pay a second job just to learn what the collect shows).
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = edges.limit(math.min(driverThreshold + 1, Int.MaxValue).toInt)
+      .as[(Long, Long)].collect()
+    if (probe.length <= driverThreshold) {
+      val es = probe
       edges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
