@@ -11,7 +11,7 @@ object Plans {
     val d = "/root/testdata/sf0.01"
     for (name <- args) {
       println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+      println(SparkEntry.verifyQueries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()
