@@ -9,22 +9,29 @@ import graft.functions.Hashing
   * payloads with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side plumbing is real (schema, partitioning, batch shape,
-  * typed Encoders); the media DECODE step is a clearly-marked
-  * deterministic STUB — the container has no image/audio codecs, and at
-  * production scale the stub body is the only thing to swap for a real
-  * decoder (the `mapPartitions` batch shape is exactly where a JNI/
-  * native decoder or an Arrow-batched Python worker plugs in).
+  * typed Encoders) — and so is the decode for every format the bare
+  * JDK ships a codec for: PNG/JPEG/BMP/GIF via `javax.imageio`,
+  * WAV/AIFF PCM via `javax.sound.sampled` (both headless-safe, no
+  * external jars). Formats the JVM cannot decode (video containers,
+  * hostile bytes) fall back to a clearly-marked deterministic STUB
+  * instead of throwing — a corrupt payload in a 100 TB corpus must
+  * degrade, not kill the stage. At production scale the fallback body
+  * is the single point to swap for a JNI/ffmpeg decoder; the
+  * `mapPartitions` batch shape is exactly where it plugs in.
   */
 object Multimodal {
 
-  /** Typed record for decoded-media features. */
+  /** Typed record for decoded-media features. For images
+    * (width, height) are pixels; for audio they carry
+    * (channels, frames-per-channel) — same shape, per-kind meaning. */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, feature: Array[Float])
 
   /** STUB decode: deterministic pseudo-features derived from the
-    * payload bytes. Replace the body with a real codec (e.g. JNI
-    * libjpeg / ffmpeg frame sampler); signature and batch shape stay. */
+    * payload bytes — the fallback for payloads no JDK codec accepts.
+    * Replace the body with a real codec (e.g. JNI libjpeg / ffmpeg
+    * frame sampler); signature and batch shape stay. */
   def stubDecode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     var h = 0L
     var i = 0
@@ -36,6 +43,93 @@ object Multimodal {
     MediaFeatures(id, kind, payload.length, w, ht, feat)
   }
 
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF —
+    * headless-safe). Feature = mean luminance over 8 vertical strips
+    * (deterministic, translation-ish robust). None if no installed
+    * reader accepts the bytes. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      // no ImageIO disk-cache tmp files on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val feat = new Array[Float](8)
+        val counts = new Array[Int](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000f / 255f
+            val b = math.min(7, x * 8 / w)
+            feat(b) += lum
+            counts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < 8) { if (counts(i) > 0) feat(i) /= counts(i); i += 1 }
+        Some((w, h, feat))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode via javax.sound.sampled (WAV/AIFF PCM). Feature
+    * = RMS energy over 8 equal time bins; returns (channels,
+    * frames-per-channel, feature). None if the bytes are not a
+    * supported audio stream. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val bps = math.max(1, fmt.getSampleSizeInBits / 8)
+        val n = bytes.length / bps
+        if (n == 0) None
+        else {
+          val feat = new Array[Float](8)
+          val counts = new Array[Int](8)
+          var i = 0
+          while (i < n) {
+            val v =
+              if (bps >= 2) {
+                val (lo, hi) =
+                  if (fmt.isBigEndian) (bytes(i * bps + bps - 1), bytes(i * bps))
+                  else (bytes(i * bps), bytes(i * bps + 1))
+                ((hi << 8) | (lo & 0xFF)) / 32768f
+              } else ((bytes(i) & 0xFF) - 128) / 128f
+            val b = math.min(7, (i.toLong * 8 / n).toInt)
+            feat(b) += v * v
+            counts(b) += 1
+            i += 1
+          }
+          var j = 0
+          while (j < 8) {
+            if (counts(j) > 0) feat(j) = math.sqrt(feat(j) / counts(j)).toFloat
+            j += 1
+          }
+          val ch = math.max(1, fmt.getChannels)
+          Some((ch, n / ch, feat))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decode one payload: JDK image codecs first, then JDK audio
+    * codecs, then the deterministic stub (video/unknown/corrupt). */
+  def decode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures =
+    decodeImage(payload)
+      .orElse(decodeAudio(payload))
+      .map { case (w, h, feat) => MediaFeatures(id, kind, payload.length, w, h, feat) }
+      .getOrElse(stubDecode(id, kind, payload))
+
   /** Feature extraction over a media frame: one decoder instance per
     * partition, rows streamed through it (the batch shape a real
     * decoder needs — no per-row setup, no driver collect). Input needs
@@ -46,8 +140,7 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup would go here (STUB: none needed)
-        rows.map { case (id, kind, payload) => stubDecode(id, kind, payload) }
+        rows.map { case (id, kind, payload) => decode(id, kind, payload) }
       }
   }
 
@@ -61,6 +154,31 @@ object Multimodal {
     if (payload.isEmpty) new Array[Byte](n)
     else Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
   }
+
+  /** REAL image resize for JDK-decodable payloads: scale to
+    * `target × target`, return the grayscale raster bytes (the tensor
+    * layout a feature extractor consumes). Headless-safe Graphics2D.
+    * None → caller falls back to [[stubResize]]. */
+  def resizeImage(payload: Array[Byte], target: Int): Option[Array[Byte]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(target, target,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, target, target, null) finally g.dispose()
+        val bytes = new Array[Byte](target * target)
+        out.getRaster.getDataElements(0, 0, target, target, bytes)
+        Some(bytes)
+      }
+    } catch { case _: Exception => None }
+
+  /** Resize with the real codec when possible, stub otherwise. */
+  def resize(payload: Array[Byte], target: Int): Array[Byte] =
+    resizeImage(payload, target).getOrElse(stubResize(payload, target))
 
   /** STUB frame sampling: split the payload into `frames` equal spans
     * ("frames") and keep every `stride`-th one — the video path's

@@ -334,6 +334,58 @@ class StreamSpec extends AnyFunSuite {
       Seq("media_id", "kind", "n_bytes", "content_hash", "magic"))
   }
 
+  test("multimodal: real JDK decode for PNG and WAV, stub fallback for video") {
+    // PNG 20x10, left half black / right half white — luminance feature
+    // must split cleanly across the 8 vertical strips
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF)
+    val png = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    // WAV mono 16-bit PCM: silent first half, loud second half
+    val pcm = new Array[Byte](16000)
+    for (i <- 4000 until 8000) {
+      pcm(2 * i) = (20000 & 0xFF).toByte
+      pcm(2 * i + 1) = ((20000 >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val wav = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 8000)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, b)
+      b.toByteArray
+    }
+    val junk = Array[Byte](1, 2, 3, 4)
+    val media = Seq((1L, "image", png), (2L, "audio", wav), (3L, "video", junk))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+
+    assert(out(0).width == 20 && out(0).height == 10, "real PNG dims")
+    assert(out(0).feature.take(4).forall(_ < 0.1f) &&
+      out(0).feature.drop(4).forall(_ > 0.9f),
+      s"luminance strips: ${out(0).feature.toSeq}")
+    assert(out(1).width == 1 && out(1).height == 8000, "WAV channels/frames")
+    assert(out(1).feature.take(4).forall(_ < 0.01f) &&
+      out(1).feature.drop(4).forall(f => f > 0.5f && f < 0.7f),
+      s"RMS bins: ${out(1).feature.toSeq}")
+    // undecodable bytes fall back to the deterministic stub, not a throw
+    val stub = Multimodal.stubDecode(3L, "video", junk)
+    assert(out(2).width == stub.width && out(2).height == stub.height &&
+      out(2).feature.toSeq == stub.feature.toSeq)
+
+    // real resize: 20x10 bichrome → 8x8 gray raster, left dark/right light
+    val r = Multimodal.resize(png, 8)
+    assert(r.length == 64)
+    assert((0 until 8).forall(y => (r(y * 8) & 0xFF) < 64 &&
+      (r(y * 8 + 7) & 0xFF) > 192), "resized raster keeps the split")
+  }
+
   test("multimodal resize + frame sampling: deterministic, shape-correct") {
     val payload = Array.tabulate(1000)(i => (i % 251).toByte)
     val resized = Multimodal.stubResize(payload, 16)
