@@ -48,7 +48,8 @@ object SparkEntry {
     * baseline that would distort the bench and contradict the
     * no-quadratic-stage design if declared as an operator. */
   def gateQueries: Map[String, (SparkSession, String) => DataFrame] =
-    AggQueries.gateQueries ++ ExtQueries.gateQueries
+    AggQueries.gateQueries ++ ExtQueries.gateQueries ++
+      StreamQueries.gateQueries
 
   /** The driver-checked correctness surface: every raw operator key,
     * with gate variants overriding where one exists. [[Verify]] dumps

@@ -57,8 +57,11 @@ object StreamQueries {
         .orderBy("media_id")
     },
 
-    // STUB-decode feature extraction (mapPartitions batch shape) —
-    // engine-specific stub values → rows-only check + MultimodalSpec.
+    // Feature extraction (mapPartitions batch shape; real JDK decode
+    // for image/audio payloads, deterministic stub for the rest —
+    // these text payloads take the stub path). Raw feature values are
+    // engine-specific; the driver-visible gate variant lives in
+    // [[gateQueries]].
     "q_multimodal_features" -> { (s, d) =>
       val media = Tables(s, d, "documents").select(
         col("doc_id").as("media_id"),
@@ -67,6 +70,28 @@ object StreamQueries {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           element_at(col("feature"), 1).as("f0"))
+        .orderBy("media_id")
+    }
+  )
+
+  /** Verify-only gate for the feature-extraction key: `n_bytes` is a
+    * REAL oracle value (DuckDB restates it as octet_length of the same
+    * payload), and the shape booleans pin the decode contract — the
+    * stub's documented dimension range and the fixed feature width. A
+    * broken decode path (empty features, zero dims, wrong byte count)
+    * flips a column → hash mismatch → red driver row. */
+  val gateQueries: Map[String, Q] = Map(
+    "q_multimodal_features" -> { (s, d) =>
+      val media = Tables(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          (col("width").between(16, 79) && col("height").between(16, 79))
+            .as("dims_ok"),
+          (size(col("feature")) === 8).as("feature_len_8"))
         .orderBy("media_id")
     }
   )
@@ -106,6 +131,11 @@ object StreamQueries {
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  octet_length(encode(text)) AS n_bytes,
         |  substr(text, 1, 4) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  true AS dims_ok, true AS feature_len_8
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }
