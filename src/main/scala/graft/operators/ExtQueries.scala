@@ -12,8 +12,10 @@ import graft.functions.{TextExpressions, TextFunctions}
   * Oracle strategy: everything built from integer counts and exact
   * divisions gets a DuckDB oracle (bit-stable across engines); the
   * sketch-based operators (minhash/simhash/LSH/fingerprint) are
-  * engine-specific hashes → rows-only driver check + ScalaTest coverage
-  * with planted duplicates (ExtSpec).
+  * engine-specific hashes → their [[gateQueries]] variants emit
+  * DuckDB-restatable truth values plus contract booleans (recall,
+  * subset, optimality), with planted-duplicate ScalaTest coverage in
+  * ExtSpec on top.
   */
 object ExtQueries {
 
