@@ -32,6 +32,29 @@ object Profile {
     val ev = Tables(spark, d, "events")
     time("ev-users") { ev.select(countDistinct("user_id")).head().getLong(0) }
     time("rolling") { SparkEntry.queries("q_window_rolling_sum")(spark, d).count() }
+
+    // Curate stage breakdown (the slowest bench key): which of the
+    // eager stages inside Curate.corpus carries the time?
+    {
+      import graft.operators.{Curate, Dedup}
+      val scored = docs
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_detected", TextFunctions.langId(col("text")))
+      val kept = scored.where(col("quality") >= 0.7 &&
+        col("lang_detected").isin("en"))
+      var unique: org.apache.spark.sql.DataFrame = null
+      time("curate-checkpoint") {
+        unique = Dedup.exact(kept).localCheckpoint(true); unique.count()
+      }
+      var pairs: org.apache.spark.sql.DataFrame = null
+      time("curate-pairs") {
+        pairs = Dedup.ngramJaccardPairs(unique, Seq("lang_detected"),
+          threshold = 0.3)
+        pairs.count()
+      }
+      time("curate-clusters") { Dedup.clusters(pairs).count() }
+      time("curate-full") { Curate.corpus(docs).count() }
+    }
     spark.stop()
   }
 }
