@@ -126,4 +126,21 @@ class PropertySpec extends AnyFunSuite {
       assert(pairs(3L).subsetOf(unbounded))
     }
   }
+
+  test("minhash-LSH pairs ⊆ exact-jaccard pairs at the same threshold") {
+    import graft.operators.Dedup
+    // LSH candidates are exact-Jaccard VERIFIED, so the output can
+    // gain no pair the exact inverted-index join lacks — the subset
+    // half of the driver gate, asserted over generated corpora
+    forAll(docsGen) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(docs, blockCols = Nil,
+        threshold = 0.3).select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      val lsh = Dedup.minhashLsh(docs, threshold = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact),
+        s"spurious LSH pairs: ${lsh -- exact}")
+    }
+  }
 }

@@ -379,6 +379,30 @@ class StreamSpec extends AnyFunSuite {
     assert(out(2).width == stub.width && out(2).height == stub.height &&
       out(2).feature.toSeq == stub.feature.toSeq)
 
+    // AIFF is big-endian PCM — same samples must yield the same RMS
+    // bins through the other endianness branch
+    val aiff = {
+      val be = new Array[Byte](16000)
+      for (i <- 4000 until 8000) {
+        be(2 * i) = ((20000 >> 8) & 0xFF).toByte
+        be(2 * i + 1) = (20000 & 0xFF).toByte
+      }
+      val bfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(be), bfmt, 8000)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, b)
+      b.toByteArray
+    }
+    val aiffDecoded = Multimodal.decodeAudio(aiff)
+    assert(aiffDecoded.isDefined, "JDK must decode AIFF")
+    val (ch, frames, bins) = aiffDecoded.get
+    assert(ch == 1 && frames == 8000)
+    assert(bins.take(4).forall(_ < 0.01f) &&
+      bins.drop(4).forall(f => f > 0.5f && f < 0.7f),
+      s"AIFF RMS bins: ${bins.toSeq}")
+
     // real resize: 20x10 bichrome → 8x8 gray raster, left dark/right light
     val r = Multimodal.resize(png, 8)
     assert(r.length == 64)
