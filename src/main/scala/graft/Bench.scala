@@ -12,6 +12,54 @@ import org.apache.spark.sql.SparkSession
   * medians, so a broken query can never masquerade as a fast one.
   */
 object Bench {
+  def fmt(d: Double): String = f"$d%.4f"
+  def fmt2(d: Double): String = f"$d%.2f"
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Compact single-line summary for stdout. The round driver keeps only
+    * the last ~2000 chars of stdout (plus sbt's trailing `[success]`
+    * line), so the full JSON — t_runs arrays + per-query details — can
+    * never survive that window. This line carries the headline fields,
+    * the whole errors map (truncated messages), and per-query medians
+    * packed slowest-first until `budget` chars; fast sub-second keys are
+    * what falls off, and `queries_omitted` says how many did. Full
+    * detail always lands in the `detail_file`.
+    */
+  def compactLine(
+      medians: Seq[(String, Double)], // (name, median sec), any order
+      errors: Seq[(String, String)],
+      total: Double,
+      runs: Int,
+      pipeline: Either[String, Double],
+      sfDir: String,
+      detailFile: String,
+      budget: Int = 1750): String = {
+    val pipeJson = pipeline.fold(
+      e => s""""pipeline_error":"${esc(e.take(120))}"""",
+      t => s""""pipeline_total":${fmt2(t)}""")
+    val errJson = errors
+      .map { case (n, e) => "\"" + n + "\":\"" + esc(e.take(60)) + "\"" }
+      .mkString("\"errors\":{", ",", "},")
+    val head =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$errJson"queries":{"""
+    // ,"queries_omitted":NNN}} suffix worst case ~25 chars — reserve it.
+    val reserve = 25
+    val entries = medians.sortBy(-_._2)
+      .map { case (n, m) => "\"" + n + "\":" + fmt2(m) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + reserve
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val omitted = entries.size - kept.size
+    head + kept.mkString(",") + s"""},"queries_omitted":$omitted}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,14 +81,6 @@ object Bench {
     // Session warmup (executor threads, codegen pipeline, FS client) so
     // the first measured query doesn't absorb one-time init cost.
     spark.range(1000).selectExpr("sum(id)").collect()
-
-    def fmt(d: Double): String = f"$d%.4f"
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
 
     final case class R(name: String, times: Seq[Double], err: Option[String])
     val results: Seq[R] = SparkEntry.queries.toSeq.sortBy(_._1).map {
@@ -102,7 +142,12 @@ object Bench {
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
     // Final clean line AFTER spark.stop() so no executor shutdown logging
-    // can interleave behind it.
-    println(json)
+    // can interleave behind it. Compact (≤~1.75k chars): the driver only
+    // keeps the last ~2000 chars of stdout, so the full `json` above
+    // would be truncated mid-line and unparseable there.
+    println(compactLine(
+      ok.map(r => r.name -> median(r.times)),
+      results.flatMap(r => r.err.map(r.name -> _)),
+      total, runs, pipelineTotal, sfDir, out.toString))
   }
 }
