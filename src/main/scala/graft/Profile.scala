@@ -40,8 +40,12 @@ object Profile {
       val scored = docs
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("lang_detected", TextFunctions.langId(col("text")))
+      time("curate-score-only") { scored.count() }
+      time("curate-score-again") { scored.count() }
       val kept = scored.where(col("quality") >= 0.7 &&
         col("lang_detected").isin("en"))
+      time("curate-kept") { kept.count() }
+      time("curate-exact-nockpt") { Dedup.exact(kept).count() }
       var unique: org.apache.spark.sql.DataFrame = null
       time("curate-checkpoint") {
         unique = Dedup.exact(kept).localCheckpoint(true); unique.count()

@@ -173,6 +173,146 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  // --- text quality / language-ID kernels -------------------------------
+  //
+  // Single-pass replacements for the Column-composed heuristics in
+  // [[TextFunctions]] (kept there as `*Composed` reference restatements).
+  // The composed trees evaluate INTERPRETED (higher-order `filter`/
+  // `aggregate` lambdas have no codegen) and re-run the `split` regex
+  // per sub-score — measured ~0.6 ms/doc, which made corpus scoring the
+  // single most expensive stage of `Curate.corpus`. Semantics are
+  // replicated bit-exactly (same trim-space + `\s+` split with limit -1,
+  // codepoint lengths, ASCII \p{Punct} class, identical double-op
+  // order), which the equivalence spec and the unchanged DuckDB oracle
+  // hashes both pin.
+
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark `trim(col)` semantics: strip only ' ' (0x20), both ends. */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Spark `TextFunctions.tokens` semantics: empty-after-trim → empty
+    * array; otherwise Java-regex `\s+` split with limit -1 (so a
+    * leading non-space whitespace char yields a leading "" token). */
+  private def splitTokens(s: String): Array[String] = {
+    val t = trimSpaces(s)
+    if (t.isEmpty) Array.empty[String] else wsSplit.split(t, -1)
+  }
+
+  /** English stopword list — single source of truth shared with the
+    * Column-composed restatements in TextFunctions. */
+  val stopwordsEnList: Seq[String] = Seq("the", "a", "an", "of", "to",
+    "and", "in", "is", "that", "it", "was", "for", "on", "with", "as")
+
+  private val stopwordsEn: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwordsEnList.foreach(s.add)
+    s
+  }
+
+  @inline private def isAsciiPunct(cp: Int): Boolean =
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)
+
+  /** Composite quality score in [0,1] — C4/Gopher-style cheap
+    * heuristics; exact semantics of `TextFunctions.qualityScoreComposed`
+    * in one pass over tokens + one codepoint scan. */
+  def textQuality(input: UTF8String): Double = {
+    val s = input.toString
+    val toks = splitTokens(s)
+    val nTok = toks.length
+    var nsw = 0
+    var sumLen = 0L
+    var j = 0
+    while (j < nTok) {
+      val t = toks(j)
+      if (stopwordsEn.contains(t)) nsw += 1
+      sumLen += t.codePointCount(0, t.length)
+      j += 1
+    }
+    // length(text) and punctCount both count CODEPOINTS (UTF8String
+    // numChars semantics), not UTF-16 units.
+    var i = 0
+    var nChars = 0
+    var nPunct = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (isAsciiPunct(cp)) nPunct += 1
+      i += Character.charCount(cp)
+    }
+    val nTokD = nTok.toDouble
+    val lenScore = math.min(nTokD / 64.0, 1.0)
+    val swRatio = if (nTok == 0) 0.0 else nsw.toDouble / nTokD
+    val swScore = math.min(swRatio * 4.0, 1.0)
+    val punctRatio = nPunct.toDouble / math.max(nChars.toDouble, 1.0)
+    val punctScore = math.max(0.0, 1.0 - punctRatio * 4.0)
+    val mtl = if (nTok == 0) 0.0 else sumLen.toDouble / nTokD
+    val mtlScore = if (mtl >= 3.0 && mtl <= 10.0) 1.0 else 0.5
+    (lenScore + swScore + punctScore + mtlScore) / 4.0
+  }
+
+  /** Per-language function-word profiles (textcat-style closed-class
+    * lists) — single source of truth shared with TextFunctions. Order
+    * matters: earlier profiles win score ties. */
+  val langProfilesList: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "de", "y", "en", "un", "que", "por", "con", "para"))
+
+  private val langProfiles: Array[(UTF8String, java.util.HashSet[String])] =
+    langProfilesList.map { case (lang, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      UTF8String.fromString(lang) -> s
+    }.toArray
+  private val langUnd = UTF8String.fromString("und")
+  private val langZh = UTF8String.fromString("zh")
+
+  /** Language ID — exact semantics of `TextFunctions.langIdComposed`:
+    * CJK codepoint presence → zh; else argmax of function-word hits over
+    * the lowercased tokens (ties break to profile order); no hits → und.
+    * Lowercasing delegates to UTF8String.toLowerCase — the SAME code the
+    * `lower()` expression runs, so exotic case mappings cannot drift. */
+  def langId(input: UTF8String): UTF8String = {
+    val s = input.toString
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) return langZh
+      i += Character.charCount(cp)
+    }
+    val toks = splitTokens(input.toLowerCase().toString)
+    val counts = new Array[Int](langProfiles.length)
+    var j = 0
+    while (j < toks.length) {
+      val t = toks(j)
+      var p = 0
+      while (p < langProfiles.length) {
+        if (langProfiles(p)._2.contains(t)) counts(p) += 1
+        p += 1
+      }
+      j += 1
+    }
+    var best = 0
+    var p = 0
+    while (p < counts.length) {
+      if (counts(p) > best) best = counts(p)
+      p += 1
+    }
+    if (best == 0) return langUnd
+    p = 0
+    while (counts(p) != best) p += 1
+    langProfiles(p)._1
+  }
+
   private val planeCache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
   private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((tables, bits, dim), { case (t, b, d) =>

@@ -114,6 +114,34 @@ case class WinnowFingerprint(child: Expression, gram: Int, window: Int)
     copy(child = c)
 }
 
+/** Composite text-quality score (C4/Gopher-style heuristics) in one
+  * primitive pass — bit-exact semantics of the Column-composed
+  * [[TextFunctions.qualityScoreComposed]], whose interpreted HOF tree
+  * cost ~0.6 ms/doc and dominated `Curate.corpus`. */
+case class TextQualityScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "text_quality"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(Kernels.textQuality(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.textQuality($c)")
+  override protected def withNewChildInternal(c: Expression): TextQualityScore =
+    copy(child = c)
+}
+
+/** Function-word-profile language ID — bit-exact semantics of
+  * [[TextFunctions.langIdComposed]] in one pass. */
+case class TextLangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_langid"
+  override def nullSafeEval(input: Any): Any =
+    Kernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.langId($c)")
+  override protected def withNewChildInternal(c: Expression): TextLangId =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -130,4 +158,9 @@ object TextExpressions {
 
   def winnowFingerprint(text: Column, gram: Int = 8, window: Int = 16): Column =
     column(WinnowFingerprint(expression(text), gram, window))
+
+  def textQuality(text: Column): Column =
+    column(TextQualityScore(expression(text)))
+
+  def textLangId(text: Column): Column = column(TextLangId(expression(text)))
 }

@@ -26,8 +26,7 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
 
-  private val stopwordsEn = Seq("the", "a", "an", "of", "to", "and", "in",
-    "is", "that", "it", "was", "for", "on", "with", "as")
+  private def stopwordsEn = Kernels.stopwordsEnList
 
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(text: Column): Column = {
@@ -46,8 +45,20 @@ object TextFunctions {
   /** Composite quality score in [0,1] — the C4/Gopher-style cheap
     * heuristics: reasonable length, some stopwords, not punctuation
     * soup, sane mean word length. Deterministic integer/exact-division
-    * arithmetic only (oracle-parity safe). */
-  def qualityScore(text: Column): Column = {
+    * arithmetic only (oracle-parity safe).
+    *
+    * Evaluates via the single-pass [[Kernels.textQuality]] custom
+    * expression: the Column-composed tree ([[qualityScoreComposed]])
+    * re-runs the `\s+` split per sub-score and its `filter`/`aggregate`
+    * lambdas are interpreted (HOFs have no codegen) — measured
+    * ~0.6 ms/doc, the most expensive stage of `Curate.corpus`. The
+    * equivalence spec asserts the two agree bit-exactly. */
+  def qualityScore(text: Column): Column = TextExpressions.textQuality(text)
+
+  /** Column-composed restatement of [[qualityScore]] — the readable
+    * reference the kernel is tested against (and the shape the DuckDB
+    * oracle restates). Not for hot paths. */
+  def qualityScoreComposed(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
     val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
@@ -60,17 +71,19 @@ object TextFunctions {
   }
 
   // Per-language function-word profiles for the n-gram/stopword
-  // language-ID heuristic. Small closed-class word lists are the
-  // standard cheap signal (textcat-style).
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "que", "pour"),
-    "es" -> Seq("el", "los", "de", "y", "en", "un", "que", "por", "con", "para"))
+  // language-ID heuristic (textcat-style) — shared with the kernel.
+  private def langProfiles = Kernels.langProfilesList
 
   /** Language ID: CJK codepoint presence → zh; otherwise argmax of
-    * function-word hits (ties broken by profile order); no hits → und. */
-  def langId(text: Column): Column = {
+    * function-word hits (ties broken by profile order); no hits → und.
+    * Evaluates via the single-pass [[Kernels.langId]] custom expression
+    * (see [[qualityScore]] for why); [[langIdComposed]] is the tested
+    * reference restatement. */
+  def langId(text: Column): Column = TextExpressions.textLangId(text)
+
+  /** Column-composed restatement of [[langId]] — the readable reference
+    * the kernel is tested against. Not for hot paths. */
+  def langIdComposed(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores = langProfiles.map { case (lang, words) =>
       lang -> size(filter(toks, x => x.isInCollection(words)))

@@ -32,6 +32,8 @@ class CodegenSpec extends AnyFunSuite {
         size(TE.minhashSig(split(col("text"), " "), 16)).as("nms"),
         TE.simhash64(split(col("text"), " ")).as("sim"),
         size(TE.winnowFingerprint(col("text"))).as("nwf"),
+        TE.textQuality(col("text")).as("tq"),
+        TE.textLangId(col("text")).as("tl"),
         size(VE.lshBuckets(col("vec"), 4, 4, 4)).as("nlsh"),
         VE.dotFast(col("vec"), col("vec")).as("dp"),
         // two centroids: (1,0,0,0) and the vector's own direction —

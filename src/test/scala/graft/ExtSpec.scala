@@ -279,6 +279,44 @@ class ExtSpec extends AnyFunSuite {
     assert(out(5L) == "zh"); assert(out(6L) == "und")
   }
 
+  test("quality/langid kernels agree bit-exactly with composed restatements") {
+    // The hot-path single-pass kernels (Kernels.textQuality / langId)
+    // must match the Column-composed reference trees on every corner the
+    // semantics have: Spark trim strips ONLY ' ' (a leading \n or \t
+    // survives and yields a "" token from the limit=-1 split), lengths
+    // count codepoints not UTF-16 units (astral emoji), \p{Punct} is the
+    // ASCII class, CJK overrides, ties break to profile order.
+    val edge = Seq(
+      "", " ", "   ", "\n", "\t\n ", "a", " a ", "\ta b\n",
+      "the the the", "der die und das ist", "le la et les des",
+      "el los de y en", "the der le el", // 1 hit each → en wins tie
+      "今天天气很好 the and of", "mixed 今 cjk",
+      "!!!???...", "a!b?c.d,e", "w" * 200,
+      ("the quick brown fox " * 20).trim, "😀 😀 😀 the and of to in is",
+      "é è ü ß Ä Ö", "word " + " " + " nbsp", // NBSP is NOT \s
+      "ends with spaces   ", "   starts with spaces")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val edgeDf = edge.toDF("doc_id", "text")
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edgeDf, real)) {
+      val diff = df.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("qk"),
+          TextFunctions.qualityScoreComposed(col("text")).as("qc"),
+          TextFunctions.langId(col("text")).as("lk"),
+          TextFunctions.langIdComposed(col("text")).as("lc"))
+        // bit-exact: no tolerance on the doubles
+        .where(not(col("qk") <=> col("qc")) || not(col("lk") <=> col("lc")))
+        .limit(5).collect()
+      assert(diff.isEmpty, s"kernel/composed mismatch: ${diff.mkString("; ")}")
+    }
+    // null propagates identically (nullSafeEval vs null-safe Column tree)
+    val nullRow = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextFunctions.qualityScore(col("text")).as("qk"),
+        TextFunctions.langId(col("text")).as("lk")).head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
   test("winnow fingerprint: stable under distant edit, detects overlap") {
     val df = Seq((1L, base), (2L, base + " with a tiny suffix appended"),
       (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
