@@ -58,17 +58,37 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
-    val banded = bandedSignatures(docs, textCol, idCol, k, bands, shingleWords)
+    val rows = k / bands
+    // Sketch ONCE: both band-join legs and the verify stage read this
+    // frame. Without the checkpoint Catalyst inlines the subtree per
+    // consumer (fresh exprIds), so the corpus would be scanned and
+    // shingle+minhash-sketched once per leg — at 100 TB that is 2-3
+    // full-corpus passes for one. The materialized frame is the
+    // narrow (id, shingles, signature) projection, far smaller than
+    // re-reading text.
+    val sig = spread(docs)
+      .select(col(idCol),
+        TextExpressions.hashedShingles(col(textCol), shingleWords).as("__sh"))
+      .withColumn("__sig", TextExpressions.minhashSigFromHashes(col("__sh"), k))
+      .localCheckpoint(true)
 
-    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-      col("__band"), col("__bh"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-      col("__band"), col("__bh"))
+    // Band-join legs carry ONLY (id, band, band-hash): the shingle
+    // arrays no longer ride through the bucket shuffle (where explode
+    // duplicates every array `bands` times) nor through the pair
+    // distinct. Vectors rejoin per unique pair afterwards.
+    val banded = sig.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)), b)))
+        .as(Seq("__band", "__bh")))
+    val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__bh"))
     val cand = a.join(b, Seq("__band", "__bh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
 
     cand
+      .join(sig.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -106,8 +126,11 @@ object Dedup {
     * radius; verification is exact `bit_count(xor) <= maxHamming`. */
   def simhashDup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    // One corpus scan+sketch for both join legs (see minhashLsh); the
+    // materialized frame is just (id, 64-bit sketch).
     val sh = spread(docs).select(col(idCol),
       TextExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("__sim"))
+      .localCheckpoint(true)
     val blocks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
     val width = 64 / blocks
     val mask = (1L << width) - 1
@@ -146,10 +169,17 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.1,
       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    // One corpus scan + shingle pass: the hot-set aggregate and both
+    // inverted-index join legs all re-derive from this frame — without
+    // the checkpoint each consumer re-reads the text and re-runs the
+    // shingle kernel (3 full-corpus passes). The (id, blocks, shingle
+    // hashes, size) projection is far narrower than the text it
+    // replaces, and the per-consumer re-explode is cheap.
     val sh = spread(docs)
       .select((idCol +: blockCols).map(col) :+
         TextExpressions.hashedShingles(col(textCol), n).as("__sh"): _*)
       .withColumn("__sz", size(col("__sh")))
+      .localCheckpoint(true)
     val exploded = sh.select((blockCols :+ "__sz").map(col) :+ col(idCol) :+
       explode(col("__sh")).as("__g"): _*)
     // PPJoin-style frequency cutoff: a pathological hot shingle ("click
@@ -311,8 +341,11 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.35, maxBlockRows: Long = 1L << 16): DataFrame = {
     import graft.functions.VectorFunctions._
+    // One corpus scan+normalize for the guard aggregate and both join
+    // legs (see minhashLsh for the inlining rationale).
     val normed = spread(embs).select((idCol +: blockCols).map(col) :+
       l2Normalize(toDouble(col(vecCol))).as("__v"): _*)
+      .localCheckpoint(true)
     val oversized = normed.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxBlockRows).limit(1).collect()
@@ -350,8 +383,15 @@ object Dedup {
       tables: Int = 16, bits: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions._
     import graft.functions.VectorExpressions.{dotFast, lshBuckets}
+    // Normalize+bucket ONCE — both join legs read the checkpoint
+    // instead of re-scanning and re-normalizing the corpus. The legs
+    // keep the (dim-bounded) vector inline: unlike minhashLsh's shingle
+    // arrays, a fixed-dim embedding is cheap to carry, and a
+    // dedup-ids-then-rejoin shape measured 2.4× slower here (two extra
+    // shuffles against a small candidate set).
     val normed = spread(embs).select((idCol +: blockCols).map(col) :+
       l2Normalize(toDouble(col(vecCol))).as("__v"): _*)
+      .localCheckpoint(true)
     val bucketed = normed.select((idCol +: blockCols).map(col) :+ col("__v") :+
       posexplode(lshBuckets(col("__v"), tables, bits, dim))
         .as(Seq("__tbl", "__bkt")): _*)

@@ -71,8 +71,15 @@ object Ivf {
     val spark = corpus.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Alias the id to a fixed internal name so any idCol works downstream.
+    // localCheckpoint: the init sample, every Lloyd round's assignment
+    // action, and the final assignment all consume `vecs` — without the
+    // checkpoint each action re-reads the source and re-normalizes, so
+    // an iters-round build pays iters+2 full corpus scans instead of
+    // one. The materialized frame is the narrow (id, unit vector)
+    // projection.
     val vecs = corpus.repartition(n).select(col(idCol).as("vec_id"),
       l2Normalize(toDouble(col(vecCol))).as("__v"))
+      .localCheckpoint(true)
 
     // Centroids are MODEL state (nlist×dim doubles — KBs): they live on
     // the driver between rounds and re-enter the plan as a broadcast
