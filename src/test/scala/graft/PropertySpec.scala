@@ -127,6 +127,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quality/langid kernels ≡ composed trees on arbitrary unicode text") {
+    import graft.functions.TextFunctions
+    // Adversarial char mix: ASCII words, function words from every
+    // profile, all \s classes, NBSP (NOT \s), ASCII + unicode punct,
+    // CJK (zh override), astral emoji (UTF-16 surrogate pairs — length
+    // must count codepoints), combining accents, stray spaces.
+    val atom: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("the", "and", "of", "der", "die", "und", "le", "la",
+        "el", "los", "que", "fox", "word", "a1b2", "W" * 80),
+      3 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r", "\f", "", " "),
+      2 -> Gen.oneOf("!", "?!", "...", ",", ";", "~", "\"", "«»", "—"),
+      1 -> Gen.oneOf("今天", "天气", "好"),
+      1 -> Gen.oneOf("😀", "🚀🔥", "é", "ü", "ß", "ñ", "İ"))
+    val textGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(25, Gen.listOfN(12, atom).map(_.mkString("")))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    forAll(textGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val diff = df.select(
+          TextFunctions.qualityScore(col("text")).as("qk"),
+          TextFunctions.qualityScoreComposed(col("text")).as("qc"),
+          TextFunctions.langId(col("text")).as("lk"),
+          TextFunctions.langIdComposed(col("text")).as("lc"),
+          col("text"))
+        .where(not(col("qk") <=> col("qc")) || not(col("lk") <=> col("lc")))
+        .limit(3).collect()
+      assert(diff.isEmpty, s"kernel/composed drift: ${diff.mkString("; ")}")
+    }
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at the same threshold") {
     import graft.operators.Dedup
     // LSH candidates are exact-Jaccard VERIFIED, so the output can
