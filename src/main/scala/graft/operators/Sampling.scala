@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-deterministic sampling and dataset splitting — the
+  * reproducibility primitive a training-data pipeline needs where
+  * `DataFrame.sample` cannot be trusted: Spark's `sample`/
+  * `randomSplit` draw from a per-partition RNG stream, so the selected
+  * ROWS change whenever partitioning, ordering, or cluster layout
+  * changes. Here membership is a pure function of (id, seed) — an md5
+  * prefix compared against a fraction threshold — so a document lands
+  * in the same split on every engine, every run, every repartition,
+  * and train/test assignment survives incremental re-processing (the
+  * property leakage audits depend on).
+  *
+  * Scale: map-only (one hash + one string compare per row), zero
+  * shuffles, codegen'd built-ins end to end; trivially survives any
+  * scale-up. The md5 prefix is uniform on [0, 16^8), so realized
+  * fractions concentrate tightly around the target.
+  *
+  * Reference scope: the reference pipeline has no sampling operator —
+  * this extends the LLM-pipeline surface (SURVEY §7.5) alongside
+  * dedup/similarity/text-analysis.
+  */
+object Sampling {
+
+  /** Lowercase-hex threshold for `fraction` of the 16^8 hash space,
+    * zero-padded to 8 chars so lexicographic compare == numeric
+    * compare. Shared by the Spark side and (as literals) the DuckDB
+    * oracle restatements. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    f"${math.floor(fraction * 4294967296.0).toLong}%08x"
+  }
+
+  /** First 8 hex chars of md5(id ":" seed) — the uniform per-row draw.
+    * DuckDB restatement:
+    * `substr(md5(CAST(id AS VARCHAR) || ':seed'), 1, 8)`. */
+  def hashDraw(id: Column, seed: String): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + seed)).cast("binary")), 1, 8)
+
+  /** Membership predicate: keep ~`fraction` of rows, deterministically. */
+  def samplePredicate(id: Column, fraction: Double, seed: String): Column =
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else hashDraw(id, seed) < lit(thresholdHex(fraction))
+
+  /** Deterministic ~`fraction` sample of `df`, keyed on `idCol`. */
+  def sample(df: DataFrame, idCol: String, fraction: Double,
+      seed: String = "0"): DataFrame =
+    df.where(samplePredicate(col(idCol), fraction, seed))
+
+  /** Split-label column: partitions the hash space by cumulative
+    * weight, so every row gets EXACTLY one label and the labels are
+    * consistent with [[samplePredicate]] prefixes (a 0.8/0.1/0.1 split's
+    * `train` set == `sample(df, id, 0.8)`). Weights must be positive
+    * and sum to 1. */
+  def splitLabel(id: Column, weights: Seq[(String, Double)],
+      seed: String): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0.0),
+      "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val h = hashDraw(id, seed)
+    val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    // Intermediate cumulative thresholds only: the last label is the
+    // `otherwise` branch, so cum == 1.0 never becomes a (9-char,
+    // lexicographically unsafe) threshold string.
+    val branches = weights.init.zip(cums.init).map { case ((label, _), cum) =>
+      (thresholdHex(cum), label)
+    }
+    branches.foldRight(lit(weights.last._1): Column) { case ((thr, label), acc) =>
+      when(h < lit(thr), lit(label)).otherwise(acc)
+    }
+  }
+
+  /** Train/val/test-style split assignment as an extra column. */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+      seed: String = "0", labelCol: String = "split"): DataFrame =
+    df.withColumn(labelCol, splitLabel(col(idCol), weights, seed))
+
+  /** Deterministic stratified sample: per-stratum fractions (e.g. keep
+    * 50% of `en`, 25% of `de`, `defaultFraction` of everything else).
+    * The draw hashes ONLY (id, seed) — the same row keeps or drops
+    * membership when its stratum's fraction changes monotonically
+    * (nested-samples property: raising a fraction only ADDS rows). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
+      seed: String = "0"): DataFrame = {
+    val keep = fractions.foldRight(
+      samplePredicate(col(idCol), defaultFraction, seed)) {
+      case ((stratum, f), acc) =>
+        when(col(stratumCol) === lit(stratum),
+          samplePredicate(col(idCol), f, seed)).otherwise(acc)
+    }
+    df.where(keep)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declared keys for the deterministic sampling operators — both fully
+  * SQL-expressible, so the DuckDB oracle restates the md5-prefix draw
+  * and threshold compare verbatim and the driver hash-checks exact row
+  * sets (not just counts). Threshold literals in the SQL are
+  * `Sampling.thresholdHex` values: 0.8→cccccccc, 0.9→e6666666,
+  * 0.5→80000000, 0.25→40000000, 0.1→19999999.
+  */
+object SamplingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Train/val/test assignment: every doc gets exactly one label,
+    // stable across engines/runs/partitionings.
+    "q_sample_split" -> { (s, d) =>
+      Sampling.split(Tables(s, d, "documents").select("doc_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = "42")
+        .orderBy("doc_id")
+    },
+
+    // Per-language stratified sample: 50% en, 25% de, 10% of the rest.
+    "q_sample_stratified" -> { (s, d) =>
+      Sampling.stratifiedSample(
+        Tables(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Seq("en" -> 0.5, "de" -> 0.25),
+        defaultFraction = 0.1, seed = "7")
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 'cccccccc' THEN 'train'
+        |       WHEN h < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |        substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS h
+        |      FROM documents)
+        |WHERE CASE WHEN lang = 'en' THEN h < '80000000'
+        |           WHEN lang = 'de' THEN h < '40000000'
+        |           ELSE h < '19999999' END
+        |ORDER BY doc_id""".stripMargin
+  )
+}

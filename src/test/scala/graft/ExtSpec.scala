@@ -317,6 +317,42 @@ class ExtSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
+  test("deterministic sampling: stable under repartition, exact split partition, nested fractions") {
+    import graft.operators.Sampling
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang")
+    // Stability: membership is a pure function of (id, seed) — layout
+    // must not matter (the property DataFrame.sample does NOT have).
+    val s1 = Sampling.sample(docs, "doc_id", 0.3, "s").select("doc_id")
+      .as[Long].collect().toSet
+    val s2 = Sampling.sample(docs.repartition(7), "doc_id", 0.3, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < docs.count())
+    // Split: every row exactly one label; train == sample(0.8) (the
+    // split partitions the same hash space the prefix predicate reads).
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Sampling.split(docs, "doc_id", weights, seed = "s")
+    assert(split.count() == docs.count())
+    val trainIds = split.where(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(trainIds == Sampling.sample(docs, "doc_id", 0.8, "s")
+      .select("doc_id").as[Long].collect().toSet)
+    // Nested: raising the fraction only adds rows.
+    val small = Sampling.sample(docs, "doc_id", 0.1, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(s1.union(small)) &&
+      small.subsetOf(Sampling.sample(docs, "doc_id", 0.5, "s")
+        .select("doc_id").as[Long].collect().toSet))
+    // Stratified: kept rows per stratum ⊆ that stratum's plain sample.
+    val strat = graft.operators.Sampling.stratifiedSample(docs, "doc_id",
+      "lang", Seq("en" -> 0.5), defaultFraction = 0.0, seed = "s")
+    val stratEn = strat.select("doc_id").as[Long].collect().toSet
+    val plainEn = Sampling.sample(docs.where(col("lang") === "en"),
+      "doc_id", 0.5, "s").select("doc_id").as[Long].collect().toSet
+    assert(stratEn == plainEn) // default 0.0 drops every other stratum
+  }
+
   test("winnow fingerprint: stable under distant edit, detects overlap") {
     val df = Seq((1L, base), (2L, base + " with a tiny suffix appended"),
       (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
