@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Declared keys for the deterministic sampling operators — both fully
-  * SQL-expressible, so the DuckDB oracle restates the md5-prefix draw
-  * and threshold compare verbatim and the driver hash-checks exact row
-  * sets (not just counts). Threshold literals in the SQL are
-  * `Sampling.thresholdHex` values: 0.8→cccccccc, 0.9→e6666666,
-  * 0.5→80000000, 0.25→40000000, 0.1→19999999.
+/** Declared keys for the deterministic sampling/splitting/packing
+  * operators — all fully SQL-expressible, so the DuckDB oracles restate
+  * the md5-prefix draw (resp. the global token prefix sum) verbatim and
+  * the driver hash-checks exact row sets (not just counts). Threshold
+  * literals in the SQL are `Sampling.thresholdHex` values:
+  * 0.8→cccccccc, 0.9→e6666666, 0.5→80000000, 0.25→40000000,
+  * 0.1→19999999.
   */
 object SamplingQueries {
 
@@ -30,6 +31,17 @@ object SamplingQueries {
         Tables(s, d, "documents").select("doc_id", "lang"),
         "doc_id", "lang", Seq("en" -> 0.5, "de" -> 0.25),
         defaultFraction = 0.1, seed = "7")
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: concat-then-chunk pack assignment over the
+    // doc_id-ordered token stream, 4096-token packs — distributed
+    // two-pass prefix sum (the oracle restates the global running sum
+    // directly; the engine must match it without a global window).
+    "q_pack_sequences" -> { (s, d) =>
+      Pack.sequences(Tables(s, d, "documents").select("doc_id", "text"),
+        budget = 4096L)
+        .select("doc_id", "n_tokens", "pack_id")
         .orderBy("doc_id")
     }
   )
@@ -52,6 +64,16 @@ object SamplingQueries {
         |WHERE CASE WHEN lang = 'en' THEN h < '80000000'
         |           WHEN lang = 'de' THEN h < '40000000'
         |           ELSE h < '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """SELECT doc_id, ntok AS n_tokens,
+        |  CAST(floor((cum - ntok) / 4096.0) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, ntok,
+        |        sum(ntok) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id,
+        |              len(string_split_regex(trim(text), '\s+')) AS ntok
+        |            FROM documents))
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -353,6 +353,29 @@ class ExtSpec extends AnyFunSuite {
     assert(stratEn == plainEn) // default 0.0 drops every other stratum
   }
 
+  test("sequence packing: matches sequential reference, invariant to bucket size") {
+    import graft.operators.Pack
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def packed(bucketSize: Long): Map[Long, (Long, Long)] =
+      Pack.sequences(docs, budget = 512L, bucketSize = bucketSize)
+        .select("doc_id", "n_tokens", "pack_id")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, p) => id -> (n, p) }.toMap
+    val out = packed(64L)
+    // Sequential reference: exclusive prefix sum over doc_id order.
+    val seqRef = out.toSeq.sortBy(_._1)
+    var cum = 0L
+    seqRef.foreach { case (id, (n, p)) =>
+      assert(p == cum / 512L, s"doc $id: pack $p != ${cum / 512L}")
+      cum += n
+    }
+    // pack ids are nondecreasing in doc order and start at 0
+    assert(seqRef.head._2._2 == 0L)
+    // Bucketing is an implementation detail: any bucket size, same packs.
+    assert(packed(7L) == out && packed(1000000L) == out)
+  }
+
   test("winnow fingerprint: stable under distant edit, detects overlap") {
     val df = Seq((1L, base), (2L, base + " with a tiny suffix appended"),
       (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
