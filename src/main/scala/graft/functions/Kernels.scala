@@ -267,6 +267,35 @@ object Kernels {
     "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "que", "pour"),
     "es" -> Seq("el", "los", "de", "y", "en", "un", "que", "por", "con", "para"))
 
+  /** Duplicate word-n-gram fraction (Gopher-style repetition signal):
+    * 1 − distinct/total over the doc's token n-grams; docs with ≤ n
+    * tokens score 0.0 (no repetition evidence). Bit-exact semantics of
+    * `TextFunctions.dupGramFractionComposed` — grams are the
+    * space-joined token strings, distinct as STRINGS (not hashes, so
+    * equality exactly matches `array_distinct`). */
+  def dupGramFraction(input: UTF8String, n: Int): Double = {
+    val toks = splitTokens(input.toString)
+    val m = toks.length
+    if (m <= n) return 0.0
+    val total = m - n + 1
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var distinct = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      if (seen.add(sb.toString)) distinct += 1
+      i += 1
+    }
+    1.0 - distinct.toDouble / total
+  }
+
   private val langProfiles: Array[(UTF8String, java.util.HashSet[String])] =
     langProfilesList.map { case (lang, words) =>
       val s = new java.util.HashSet[String]()

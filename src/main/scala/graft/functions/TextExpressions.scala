@@ -142,6 +142,21 @@ case class TextLangId(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Duplicate word-n-gram fraction (Gopher repetition filter) in one
+  * pass — bit-exact semantics of
+  * [[TextFunctions.dupGramFractionComposed]]. */
+case class DupGramFraction(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dup_gram_fraction"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      Kernels.dupGramFraction(input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dupGramFraction($c, $n)")
+  override protected def withNewChildInternal(c: Expression): DupGramFraction =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -163,4 +178,7 @@ object TextExpressions {
     column(TextQualityScore(expression(text)))
 
   def textLangId(text: Column): Column = column(TextLangId(expression(text)))
+
+  def dupGramFraction(text: Column, n: Int = 3): Column =
+    column(DupGramFraction(expression(text), n))
 }

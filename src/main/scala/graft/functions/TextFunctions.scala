@@ -96,6 +96,24 @@ object TextFunctions {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(firstWins)
   }
 
+  /** Duplicate word-n-gram fraction — the Gopher-style within-document
+    * repetition signal (1 − distinct/total n-grams; ≤ n tokens → 0.0).
+    * Evaluates via the single-pass [[Kernels.dupGramFraction]] custom
+    * expression; [[dupGramFractionComposed]] is the tested reference. */
+  def dupGramFraction(text: Column, n: Int = 3): Column =
+    TextExpressions.dupGramFraction(text, n)
+
+  /** Column-composed restatement of [[dupGramFraction]] — the readable
+    * reference the kernel is tested against (and the shape the DuckDB
+    * oracle restates). Not for hot paths. */
+  def dupGramFractionComposed(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val grams = transform(sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+    when(size(t) <= n, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
   /** Word n-gram shingles from an already-projected token ARRAY column.
     *
     * IMPORTANT: pass an attribute (a column projected in a previous

@@ -52,6 +52,15 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Within-document repetition: duplicate word-3-gram fraction
+    // (Gopher-style quality filter; single-pass kernel).
+    "q_text_repetition" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.dupGramFraction(col("text")).as("dup3"))
+        .orderBy("doc_id")
+    },
+
     // Winnowed rolling-hash fingerprint (custom Catalyst expression).
     // Hash VALUES are engine-specific, so the oracle checks winnowing's
     // defining guarantee instead (Schleimer et al. §3): any shared
@@ -484,6 +493,18 @@ object ExtQueries {
         |FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
         |WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id
         |ORDER BY u.doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) <= 3 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                  / len(grams) END AS dup3
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q_text_top_tokens" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

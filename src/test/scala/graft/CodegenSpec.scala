@@ -34,6 +34,7 @@ class CodegenSpec extends AnyFunSuite {
         size(TE.winnowFingerprint(col("text"))).as("nwf"),
         TE.textQuality(col("text")).as("tq"),
         TE.textLangId(col("text")).as("tl"),
+        TE.dupGramFraction(col("text")).as("dg"),
         size(VE.lshBuckets(col("vec"), 4, 4, 4)).as("nlsh"),
         VE.dotFast(col("vec"), col("vec")).as("dp"),
         // two centroids: (1,0,0,0) and the vector's own direction —

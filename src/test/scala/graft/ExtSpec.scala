@@ -304,9 +304,12 @@ class ExtSpec extends AnyFunSuite {
           TextFunctions.qualityScore(col("text")).as("qk"),
           TextFunctions.qualityScoreComposed(col("text")).as("qc"),
           TextFunctions.langId(col("text")).as("lk"),
-          TextFunctions.langIdComposed(col("text")).as("lc"))
+          TextFunctions.langIdComposed(col("text")).as("lc"),
+          TextFunctions.dupGramFraction(col("text")).as("dk"),
+          TextFunctions.dupGramFractionComposed(col("text")).as("dc"))
         // bit-exact: no tolerance on the doubles
-        .where(not(col("qk") <=> col("qc")) || not(col("lk") <=> col("lc")))
+        .where(not(col("qk") <=> col("qc")) || not(col("lk") <=> col("lc")) ||
+          not(col("dk") <=> col("dc")))
         .limit(5).collect()
       assert(diff.isEmpty, s"kernel/composed mismatch: ${diff.mkString("; ")}")
     }
@@ -315,6 +318,19 @@ class ExtSpec extends AnyFunSuite {
       .select(TextFunctions.qualityScore(col("text")).as("qk"),
         TextFunctions.langId(col("text")).as("lk")).head()
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
+  test("dup-gram fraction: repetition scores high, unique text zero, short text zero") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, base), // long unique prose
+      (3L, "too short"), (4L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.dupGramFraction(col("text")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.8, s"all-repeat doc: ${out(1L)}") // 8 grams, 1 distinct
+    assert(out(2L) == 0.0 && out(3L) == 0.0 && out(4L) == 0.0)
   }
 
   test("deterministic sampling: stable under repartition, exact split partition, nested fractions") {

@@ -150,8 +150,11 @@ class PropertySpec extends AnyFunSuite {
           TextFunctions.qualityScoreComposed(col("text")).as("qc"),
           TextFunctions.langId(col("text")).as("lk"),
           TextFunctions.langIdComposed(col("text")).as("lc"),
+          TextFunctions.dupGramFraction(col("text")).as("dk"),
+          TextFunctions.dupGramFractionComposed(col("text")).as("dc"),
           col("text"))
-        .where(not(col("qk") <=> col("qc")) || not(col("lk") <=> col("lc")))
+        .where(not(col("qk") <=> col("qc")) || not(col("lk") <=> col("lc")) ||
+          not(col("dk") <=> col("dc")))
         .limit(3).collect()
       assert(diff.isEmpty, s"kernel/composed drift: ${diff.mkString("; ")}")
     }
