@@ -114,6 +114,25 @@ object TextFunctions {
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
   }
 
+  /** PII redaction patterns, applied in order (URLs first so their
+    * digits/at-signs can't half-match later patterns). Every pattern is
+    * restricted to the Java-regex ∩ RE2 common dialect — no lookaround,
+    * no backrefs, ASCII classes only — so the DuckDB oracle restates
+    * them verbatim and both engines replace identical spans. The phone
+    * pattern is deliberately aggressive (C4-style corpus hygiene beats
+    * precision): any plausible 8-to-13-digit grouping redacts. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ \\t\\n\\r]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}" -> "<PHONE>")
+
+  /** Redact emails, URLs, IPv4s and phone-shaped digit groups — the
+    * C4/RefinedWeb-style safety pass before a corpus ships. Chained
+    * native `regexp_replace` (codegen'd, map-only, zero shuffles). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Word n-gram shingles from an already-projected token ARRAY column.
     *
     * IMPORTANT: pass an attribute (a column projected in a previous

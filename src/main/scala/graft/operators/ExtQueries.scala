@@ -61,6 +61,16 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // PII redaction (emails, URLs, IPv4, phone-shaped digit groups) —
+    // the corpus-hygiene pass; patterns live in the Java∩RE2 common
+    // dialect so the oracle replaces identical spans.
+    "q_text_redact" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // Winnowed rolling-hash fingerprint (custom Catalyst expression).
     // Hash VALUES are engine-specific, so the oracle checks winnowing's
     // defining guarantee instead (Schleimer et al. §3): any shared
@@ -505,6 +515,15 @@ object ExtQueries {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ \t\n\r]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}',
+        |    '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_top_tokens" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

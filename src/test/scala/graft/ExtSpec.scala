@@ -320,6 +320,27 @@ class ExtSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
+  test("PII redaction: planted email/url/ip/phone redact, clean text untouched") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk today"),
+      (2L, "see https://a.example.com/p?q=1#frag and http://b.io ok"),
+      (3L, "server at 10.0.0.1 responded"),
+      (4L, "call +1 (415) 555-0132 or +44 20 7946 0958 now"),
+      (5L, "clean prose with no contact details at all"),
+      (6L, "v2.1.3 released")) // version strings are NOT IPs (3 groups)
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> today")
+    assert(out(2L) == "see <URL> and <URL> ok")
+    assert(out(3L) == "server at <IP> responded")
+    assert(out(4L).contains("<PHONE>") && !out(4L).exists(_.isDigit))
+    assert(out(5L) == "clean prose with no contact details at all")
+    assert(out(6L) == "v2.1.3 released")
+  }
+
   test("dup-gram fraction: repetition scores high, unique text zero, short text zero") {
     import graft.functions.TextFunctions
     val df = Seq(
