@@ -62,6 +62,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WinnowFingerprint(args.head,
         intArg("winnow_fingerprint", 1, args(1)),
         intArg("winnow_fingerprint", 2, args(2)))))
+    ext.injectFunction((FunctionIdentifier("text_quality"),
+      info("text_quality",
+        "text_quality(text) - composite C4/Gopher-style quality score in [0,1]"),
+      (args: Seq[Expression]) => TextQualityScore(args.head)))
+    ext.injectFunction((FunctionIdentifier("text_langid"),
+      info("text_langid",
+        "text_langid(text) - function-word-profile language ID (en/de/fr/es/zh/und)"),
+      (args: Seq[Expression]) => TextLangId(args.head)))
+    ext.injectFunction((FunctionIdentifier("dup_gram_fraction"),
+      info("dup_gram_fraction",
+        "dup_gram_fraction(text, n) - duplicate word n-gram fraction (repetition signal)"),
+      (args: Seq[Expression]) => DupGramFraction(args.head,
+        intArg("dup_gram_fraction", 1, args(1)))))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

@@ -22,7 +22,10 @@ class ExtensionsSpec extends AnyFunSuite {
         |  size(minhash_sig(split('a b c d e', ' '), 16)) AS nmh,
         |  size(winnow_fingerprint('abcdefghijklmnopqrstuvwxyz', 8, 16)) AS nwf,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |  size(lsh_buckets(array(0.1d, 0.2d), 4, 4, 2)) AS nlsh
+        |  size(lsh_buckets(array(0.1d, 0.2d), 4, 4, 2)) AS nlsh,
+        |  text_quality('the quick brown fox was in the box') AS tq,
+        |  text_langid('der hund und die katze ist nicht da') AS tl,
+        |  dup_gram_fraction('a b c a b c a b c a b c', 3) AS dg
         |""".stripMargin).head()
     assert(row.getAs[Long]("sh") != 0L)
     assert(row.getAs[Int]("nsh") == 3)
@@ -30,6 +33,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("nwf") >= 1)
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[Int]("nlsh") == 4)
+    assert(row.getAs[Double]("tq") > 0.0 && row.getAs[Double]("tq") <= 1.0)
+    assert(row.getAs[String]("tl") == "de")
+    assert(row.getAs[Double]("dg") > 0.5)
   }
 
   test("non-literal size arguments fail with a clear analysis-time message") {
