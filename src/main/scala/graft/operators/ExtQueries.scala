@@ -61,6 +61,16 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination: flag corpus docs overlapping the
+    // (deterministic pseudo-)eval set doc_id % 101 == 0 by distinct
+    // 3-gram containment. Eval dictionary broadcasts; corpus is
+    // sketched map-only.
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      Decontaminate.flag(docs, docs.where(col("doc_id") % 101 === 0))
+        .orderBy("doc_id")
+    },
+
     // PII redaction (emails, URLs, IPv4, phone-shaped digit groups) —
     // the corpus-hygiene pass; patterns live in the Java∩RE2 common
     // dialect so the oracle replaces identical spans.
@@ -515,6 +525,32 @@ object ExtQueries {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3
+        |      THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 2 + 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gs
+        |  FROM toks),
+        |eval_g AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) e
+        |  JOIN eval_g USING (g) GROUP BY e.doc_id)
+        |SELECT g.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  CASE WHEN len(g.gs) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(g.gs) END
+        |    AS contamination,
+        |  (CASE WHEN len(g.gs) = 0 THEN 0.0
+        |        ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(g.gs) END)
+        |    >= 0.5 AS contaminated
+        |FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,

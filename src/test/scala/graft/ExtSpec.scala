@@ -320,6 +320,23 @@ class ExtSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
+  test("decontamination: leaked eval doc flagged, partial overlap scored, clean doc zero") {
+    import graft.operators.Decontaminate
+    val evalSet = Seq((100L, "what is the capital of france paris obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "what is the capital of france paris obviously"), // verbatim leak
+      (2L, "quiz question what is the capital of france and other trivia here"),
+      (3L, "completely unrelated text about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.flag(corpus, evalSet)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L)._1 == 1.0 && out(1L)._2)
+    assert(out(2L)._1 > 0.0 && out(2L)._1 < 1.0)
+    assert(out(3L)._1 == 0.0 && !out(3L)._2)
+  }
+
   test("PII redaction: planted email/url/ip/phone redact, clean text untouched") {
     import graft.functions.TextFunctions
     val df = Seq(
