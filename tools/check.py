@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [key ...]
 
 For each query parquet dumped by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same testdata
 parquet, sorts columns by name, sorts rows, and compares values.
-Tooling only — NOT part of the Spark library (driver-side deps).
+Optional trailing key names restrict the compare to those keys (for
+spot-checking new keys at sf0.1 without re-running the ~1.5h all-pairs
+oracles). Tooling only — NOT part of the Spark library.
 """
 import json
 import math
@@ -43,6 +45,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    only = set(sys.argv[3:])
+    if only:
+        missing = only - set(oracles)
+        if missing:
+            print(f"WARN: no oracle for {sorted(missing)}")
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
