@@ -160,6 +160,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic sampling: splits partition the id space; fractions nest") {
+    import graft.operators.Sampling
+    val idsGen: Gen[List[Long]] =
+      Gen.listOfN(200, Gen.chooseNum(0L, 1000000L)).map(_.distinct)
+    val weightsGen: Gen[List[Double]] =
+      Gen.listOfN(3, Gen.chooseNum(1, 10)).map { raw =>
+        val s = raw.sum.toDouble
+        // make the weights sum to exactly 1.0 (last takes the remainder)
+        val head = raw.init.map(_ / s)
+        head :+ (1.0 - head.sum)
+      }
+    forAll(idsGen, weightsGen) { (ids, ws) =>
+      whenever(ids.nonEmpty) {
+        val df = ids.toDF("id")
+        val weights = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+        val split = Sampling.split(df, "id", weights, seed = "p")
+        val byLabel = split.groupBy("split").count()
+          .as[(String, Long)].collect().toMap
+        // exactly one label per row, only declared labels
+        assert(byLabel.values.sum == ids.size)
+        assert(byLabel.keySet.subsetOf(weights.map(_._1).toSet))
+        // nesting: a smaller fraction's sample is inside a larger one's
+        val lo = Sampling.sample(df, "id", 0.2, "p").as[Long].collect().toSet
+        val hi = Sampling.sample(df, "id", 0.7, "p").as[Long].collect().toSet
+        assert(lo.subsetOf(hi))
+      }
+    }
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at the same threshold") {
     import graft.operators.Dedup
     // LSH candidates are exact-Jaccard VERIFIED, so the output can
