@@ -30,12 +30,21 @@ object Curate {
   def corpus(docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id",
-      maxShingleDf: Long = Dedup.DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
+      maxDupGram: Double = 1.0): DataFrame = {
     val scored = docs
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("lang_detected", TextFunctions.langId(col(textCol)))
-    val kept = scored.where(col("quality") >= minQuality &&
-      col("lang_detected").isin(langs: _*))
+    // Optional Gopher-style repetition cut (off at the 1.0 default —
+    // the declared key's oracle restates only quality+langid). The
+    // kernel only enters the plan when the cut can bite.
+    val langQual = col("quality") >= minQuality &&
+      col("lang_detected").isin(langs: _*)
+    val keepPred =
+      if (maxDupGram >= 1.0) langQual
+      else langQual &&
+        TextFunctions.dupGramFraction(col(textCol)) <= maxDupGram
+    val kept = scored.where(keepPred)
     // Materialized once, consumed twice (pair generation + final
     // representative join). localCheckpoint instead of cache(): cached
     // plans stay registered in the session CacheManager until an

@@ -320,6 +320,21 @@ class ExtSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
+  test("curate: opt-in repetition cut drops spam the quality score passes") {
+    import graft.operators.Curate
+    // High quality score (stopwords, sane length/punct) but massively
+    // repetitive — the case the Gopher dup-gram cut exists for.
+    val spam = ("the cat sat on the mat and it was happy " * 10).trim
+    val clean = base + " while the other animals watched from the trees " +
+      "and the sun was setting over the quiet hills in the far distance"
+    val docs = Seq((1L, clean), (2L, spam)).toDF("doc_id", "text")
+    def ids(maxDupGram: Double): Set[Long] =
+      Curate.corpus(docs, minQuality = 0.7, maxDupGram = maxDupGram)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(1.0) == Set(1L, 2L)) // default: repetition not judged
+    assert(ids(0.3) == Set(1L)) // cut bites only the spam doc
+  }
+
   test("decontamination: leaked eval doc flagged, partial overlap scored, clean doc zero") {
     import graft.operators.Decontaminate
     val evalSet = Seq((100L, "what is the capital of france paris obviously"))
