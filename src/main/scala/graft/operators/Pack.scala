@@ -3,12 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Sequence packing for pretraining batches — concat-then-chunk
   * semantics: documents are laid out in a deterministic total order
-  * (`orderCol`), their token counts form one global stream, and each
-  * document is assigned the pack (chunk of `budget` tokens) its FIRST
-  * token lands in: `pack_id = floor(exclusive_prefix_sum / budget)`.
+  * (`orderCol`, which must be unique and non-null), their token counts
+  * form one global stream, and each document is assigned the pack
+  * (chunk of `budget` tokens) its FIRST token lands in:
+  * `pack_id = exclusive_prefix_sum div budget` (integer floor-division
+  * on longs — exact at any corpus size, where a Double quotient would
+  * lose exactness past 2^53 total tokens).
   *
   * Scale: a global running sum is the textbook distributed prefix-sum,
   * NOT a single-partition window (which would serialize the corpus
@@ -18,8 +22,14 @@ import org.apache.spark.sql.functions._
   *   2. per-bucket totals (tiny: one row per bucket) get an exclusive
   *      running offset on a single-partition window over that TINY
   *      frame, then broadcast-join back.
-  * Choose `bucketSize` so a bucket's rows fit a task comfortably; the
-  * result is independent of the choice (it only re-slices pass 1).
+  * The bucket key must be MONOTONE in `orderCol` (bucket boundaries
+  * respect the global order) but is otherwise arbitrary — the result is
+  * independent of the slicing. [[bucketed]] picks it by column type:
+  * numeric columns floor-divide (map-only, zero extra cost); any other
+  * orderable type range-partitions on `orderCol` and uses the range
+  * partition id — a string/UUID order column must never silently fall
+  * into one bucket (the failure mode of a blind `cast("long")`, which
+  * yields NULL for every non-numeric value).
   */
 object Pack {
 
@@ -29,9 +39,39 @@ object Pack {
     require(budget > 0, "budget must be positive")
     val toks = Option(tokensExpr).getOrElse(
       graft.functions.TextFunctions.tokenCount(col("text")))
-    val b = docs
-      .withColumn("__ntok", toks.cast("long"))
-      .withColumn("__bkt", floor(col(orderCol).cast("long") / bucketSize))
+    val withTok = docs.withColumn("__ntok", toks.cast("long"))
+    docs.schema(orderCol).dataType match {
+      case _: NumericType =>
+        // Bucket is a pure function of the column value — deterministic
+        // across plan re-executions, so no materialization is needed.
+        assign(withTok.withColumn("__bkt",
+          floor(col(orderCol).cast("long") / bucketSize)), orderCol, budget)
+          .drop("__ntok")
+      case _ =>
+        // Range-partition the NARROW (orderCol, count) projection and
+        // use the range partition id as the bucket: partition i's keys
+        // all precede partition i+1's, so the id is monotone in
+        // `orderCol`. spark_partition_id is only deterministic for one
+        // physical execution — the localCheckpoint pins ONE bucket
+        // assignment that every consumer (in-bucket window, offsets
+        // aggregate) reads, and keeps the materialization to two columns
+        // rather than the full corpus width. Assignments then rejoin the
+        // original rows on the unique order key.
+        val n = docs.sparkSession.conf.get(
+          "spark.sql.shuffle.partitions", "32").toInt
+        val narrow = rangeBuckets(
+          withTok.select(col(orderCol), col("__ntok")), orderCol, n)
+          .localCheckpoint(true)
+        val packed = assign(narrow, orderCol, budget)
+          .select(col(orderCol), col("pack_id"), col("n_tokens"))
+        docs.join(packed, Seq(orderCol))
+    }
+  }
+
+  /** Two-pass prefix sum over a frame carrying `__ntok` and a monotone
+    * `__bkt`; adds `pack_id` and `n_tokens`, drops the bucket plumbing. */
+  private def assign(b: DataFrame, orderCol: String, budget: Long)
+      : DataFrame = {
     val wIn = Window.partitionBy("__bkt").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = b.withColumn("__cum_in", sum(col("__ntok")).over(wIn))
@@ -44,10 +84,21 @@ object Pack {
       .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
       .select("__bkt", "__off")
     inBucket.join(broadcast(offsets), Seq("__bkt"))
-      .withColumn("pack_id",
-        floor((col("__cum_in") + col("__off") - col("__ntok")) /
-          budget.toDouble).cast("long"))
+      .withColumn("__start", col("__cum_in") + col("__off") - col("__ntok"))
+      .withColumn("pack_id", expr(s"__start div ${budget}L"))
       .withColumn("n_tokens", col("__ntok"))
-      .drop("__bkt", "__ntok", "__cum_in", "__off")
+      .drop("__bkt", "__cum_in", "__off", "__start")
   }
+
+  /** The bucket assignment [[sequences]] uses for a non-numeric order
+    * column. `private[graft]` so specs can assert the corpus actually
+    * spreads across >1 bucket (the anti-pattern this exists to prevent
+    * is every row landing in one bucket and pass 1 serializing through
+    * a single-partition window). Callers must pin the result with a
+    * checkpoint before fanning out consumers — partition ids are only
+    * stable within one physical execution. */
+  private[graft] def rangeBuckets(docs: DataFrame, orderCol: String,
+      numBuckets: Int): DataFrame =
+    docs.repartitionByRange(numBuckets, col(orderCol))
+      .withColumn("__bkt", spark_partition_id().cast("long"))
 }

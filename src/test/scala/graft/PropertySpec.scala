@@ -189,6 +189,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pack: string order column — exact global prefix sum, >1 bucket, no corpus-wide global window") {
+    import graft.operators.Pack
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // String keys whose lexicographic order is the intended total order;
+    // scrambled physical layout so nothing accidentally arrives sorted.
+    val rows = (0 until 200).map(i => (f"doc_$i%04d", ("w " * (i % 7 + 1)).trim))
+    val df = rows.toDF("doc_id", "text").repartition(4)
+    val out = Pack.sequences(df, budget = 10L, orderCol = "doc_id")
+    val got = out.select("doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    var cum = 0L
+    val expected = rows.sortBy(_._1).map { case (id, text) =>
+      val ntok = text.split("\\s+").length.toLong
+      val start = cum; cum += ntok
+      (id, ntok, start / 10L)
+    }
+    assert(got == expected)
+    // the range path actually spreads the corpus across buckets
+    val nBuckets = Pack.rangeBuckets(df.select("doc_id"), "doc_id", 4)
+      .select(countDistinct("__bkt")).as[Long].head()
+    assert(nBuckets > 1, s"string order column collapsed to $nBuckets bucket")
+    // every empty-partition (single-task) Window sits above an Aggregate
+    // — i.e. over the tiny per-bucket offsets frame, never the corpus
+    val globalWindows = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty)
+    globalWindows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        "single-partition Window runs over the corpus, not the bucket totals")
+    }
+    // numeric fast path ≡ range path: zero-padded string ids sort like
+    // their numeric values, so pack assignment must agree row for row
+    val numDf = (0 until 200).map(i => (i.toLong, ("w " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "text").repartition(4)
+    val numGot = Pack.sequences(numDf, budget = 10L)
+      .select("doc_id", "n_tokens", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(numGot.map(t => (t._2, t._3)) == got.map(t => (t._2, t._3)))
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at the same threshold") {
     import graft.operators.Dedup
     // LSH candidates are exact-Jaccard VERIFIED, so the output can
