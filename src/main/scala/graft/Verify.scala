@@ -21,6 +21,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A mistyped key would otherwise filter to an empty dump and read
+    // as a passing-but-empty spot check.
+    (only -- SparkEntry.verifyQueries.map(_._1))
+      .foreach(k => System.err.println(s"[verify] unknown key: $k"))
     SparkEntry.verifyQueries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

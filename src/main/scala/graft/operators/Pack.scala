@@ -37,9 +37,16 @@ object Pack {
       orderCol: String = "doc_id", tokensExpr: Column = null,
       bucketSize: Long = 8192L): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    // Rows with a NULL order key are dropped up front — on EITHER path.
+    // (Previously the numeric path silently kept them in a NULL bucket
+    // while the non-numeric path's rejoin dropped them; the documented
+    // precondition is a non-null unique key, so violations now behave
+    // identically instead of diverging by column type.)
     val toks = Option(tokensExpr).getOrElse(
       graft.functions.TextFunctions.tokenCount(col("text")))
-    val withTok = docs.withColumn("__ntok", toks.cast("long"))
+    val withTok = docs.where(col(orderCol).isNotNull)
+      .withColumn("__ntok", toks.cast("long"))
     docs.schema(orderCol).dataType match {
       case _: NumericType =>
         // Bucket is a pure function of the column value — deterministic
@@ -59,9 +66,17 @@ object Pack {
         // original rows on the unique order key.
         val n = docs.sparkSession.conf.get(
           "spark.sql.shuffle.partitions", "32").toInt
-        val narrow = rangeBuckets(
+        // localCheckpoint stores partitions only on executors — fast,
+        // but an executor loss mid-job is unrecoverable. When the
+        // session has a reliable checkpoint dir configured, use a real
+        // checkpoint instead (survives executor loss; the right trade
+        // at multi-TB scale where pass 2 can run minutes after pass 1).
+        val bucketed = rangeBuckets(
           withTok.select(col(orderCol), col("__ntok")), orderCol, n)
-          .localCheckpoint(true)
+        val narrow =
+          if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            bucketed.checkpoint(true)
+          else bucketed.localCheckpoint(true)
         val packed = assign(narrow, orderCol, budget)
           .select(col(orderCol), col("pack_id"), col("n_tokens"))
         docs.join(packed, Seq(orderCol))
