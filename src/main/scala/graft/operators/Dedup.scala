@@ -154,27 +154,39 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted-index join (AllPairs/
-    * PPJoin family): explode each doc's DISTINCT shingle hashes, join
-    * on the shingle, count shared shingles per pair, and derive
-    * `jaccard = shared / (|a| + |b| - shared)` from counts alone.
+  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index
+    * join (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et
+    * al. WWW'08): each doc's DISTINCT shingle hashes are laid out in a
+    * global rarest-first order, and only the PREFIX that any qualifying
+    * pair must collide on — the first `|d| − ⌈t·|d|⌉ + 1` shingles — is
+    * indexed. Candidates are then pruned by the length filter
+    * (`|∩| ≥ t·max(|a|,|b|)` forces comparable sizes) and the
+    * positional filter (a first shared prefix token at position p caps
+    * the remaining possible overlap at `1 + min(|a|−pₐ−1, |b|−p_b−1)`),
+    * and the survivors are verified exactly with one sorted-array
+    * intersection per pair: `jaccard = |∩| / (|a| + |b| − |∩|)`.
     *
     * Scale: never materializes a blocked cross product — only pairs
-    * that actually share a shingle exist after the join, and the
-    * per-pair cost is a counter, not an array intersection. `blockCols`
-    * additionally scope candidate pairs (metadata blocking). At 100 TB
-    * the one heavy shuffle is on the shingle hash; a frequency cutoff
-    * on pathological hot shingles is the standard extension. */
+    * sharing a PREFIX shingle exist after the join, and rarest-first
+    * ordering makes prefix join buckets the smallest-df ones (join rows
+    * per shingle grow as df², so excluding each doc's most frequent
+    * shingles from the index cuts candidate volume superlinearly).
+    * `blockCols` additionally scope candidate pairs (metadata
+    * blocking). At 100 TB the heavy shuffles are on the shingle hash
+    * (df aggregate, posting lists) and the doc id (array rebuild), all
+    * skew-bounded: the df count partial-aggregates map-side, and hot
+    * shingles (df > `maxShingleDf`) are dropped via a broadcast
+    * anti-join BEFORE any per-key collect, so no posting list exceeds
+    * the cutoff. */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.1,
       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    // One corpus scan + shingle pass: the hot-set aggregate and both
-    // inverted-index join legs all re-derive from this frame — without
-    // the checkpoint each consumer re-reads the text and re-runs the
-    // shingle kernel (3 full-corpus passes). The (id, blocks, shingle
-    // hashes, size) projection is far narrower than the text it
-    // replaces, and the per-consumer re-explode is cheap.
+    // One corpus scan + shingle pass: the df aggregate and the posting
+    // rebuild both re-derive from this frame — without the checkpoint
+    // each consumer re-reads the text and re-runs the shingle kernel.
+    // The (id, blocks, shingle hashes, size) projection is far narrower
+    // than the text it replaces.
     val sh = spread(docs)
       .select((idCol +: blockCols).map(col) :+
         TextExpressions.hashedShingles(col(textCol), n).as("__sh"): _*)
@@ -182,42 +194,88 @@ object Dedup {
       .localCheckpoint(true)
     val exploded = sh.select((blockCols :+ "__sz").map(col) :+ col(idCol) :+
       explode(col("__sh")).as("__g"): _*)
-    // PPJoin-style frequency cutoff: a pathological hot shingle ("click
-    // here to" at web scale) otherwise creates one giant join bucket with
-    // df² candidate rows. Dropping shingles with document frequency >
-    // maxShingleDf treats them as stop-shingles: they no longer count as
-    // shared, so jaccard is underestimated ONLY for pairs whose overlap
-    // is dominated by corpus-wide boilerplate — the pairs dedup should
-    // not merge on anyway. Shape matters at 100 TB: the HOT SET (df >
-    // cutoff) is tiny by construction, so it aggregates map-side
-    // (partial counts — no sort) and broadcasts into a left-anti join;
-    // a window-over-(block, shingle) would instead SORT the entire
-    // exploded corpus on both join legs.
-    val inv =
-      if (maxShingleDf == Long.MaxValue) exploded
+    // Hot-shingle cutoff: a pathological hot shingle ("click here to"
+    // at web scale) otherwise creates one giant posting list with df²
+    // candidate rows. Dropping shingles with document frequency >
+    // maxShingleDf treats them as stop-shingles: they no longer count
+    // as shared, so jaccard is underestimated ONLY for pairs whose
+    // overlap is dominated by corpus-wide boilerplate — the pairs dedup
+    // should not merge on anyway. Shape matters at 100 TB: the HOT SET
+    // (df > cutoff) is tiny by construction, so it aggregates map-side
+    // (partial counts — no sort, safe under any key skew) and
+    // broadcasts into a left-anti join; only THEN do per-shingle
+    // collects run, on keys provably bounded by the cutoff.
+    //
+    // `__df` also feeds the PPJoin global order (rarest shingles
+    // first). With the cutoff disabled there is no df table; any fixed
+    // global order keeps the prefix filter CORRECT (the order only
+    // tunes candidate volume), so that path orders by the hash alone.
+    val withDf =
+      if (maxShingleDf == Long.MaxValue) exploded.withColumn("__df", lit(0L))
       else {
-        // localCheckpoint: both join legs reference `inv`, and Catalyst
-        // inlines the subtree per leg with fresh exprIds — without the
-        // checkpoint the full df aggregate (a corpus scan + shingle
-        // pass) runs TWICE. The hot set itself is small (≤ total
-        // occurrences / cutoff entries), so materializing it is cheap.
-        val hot = exploded
+        val dfTab = exploded
           .groupBy((blockCols :+ "__g").map(col): _*)
           .agg(count(lit(1)).as("__df"))
-          .where(col("__df") > maxShingleDf)
+          .localCheckpoint(true) // consumed by the hot set AND the attach join
+        val hot = dfTab.where(col("__df") > maxShingleDf)
           .select((blockCols :+ "__g").map(col): _*)
-          .localCheckpoint(true)
         exploded.join(broadcast(hot), blockCols :+ "__g", "left_anti")
+          .join(dfTab, blockCols :+ "__g") // keys bounded ≤ cutoff → no skew
       }
-    val a = inv.select(col(idCol).as("id_a") +: col("__sz").as("sz_a") +:
-      col("__g") +: blockCols.map(col): _*)
-    val b = inv.select(col(idCol).as("id_b") +: col("__sz").as("sz_b") +:
-      col("__g") +: blockCols.map(col): _*)
-    a.join(b, blockCols :+ "__g")
-      .where(col("id_a") < col("id_b"))
-      .groupBy((blockCols :+ "id_a" :+ "id_b").map(col) :+
-        col("sz_a") :+ col("sz_b"): _*)
-      .agg(count(lit(1)).as("__shared"))
+    // Rebuild each doc's shingle set as ONE sorted array (rarest first,
+    // hash tie-break): the prefix is a slice, and exact verification is
+    // a per-pair array intersection instead of a join-and-count over
+    // every shared occurrence. `__sz` keeps counting dropped hot
+    // shingles (conservative underestimate, pinned by ExtSpec).
+    val eps = 1e-9
+    val docArr = withDf
+      .groupBy((blockCols :+ idCol :+ "__sz").map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__df").as("df"),
+        col("__g").as("g")))).as("__arr"))
+      .withColumn("__garr", transform(col("__arr"), x => x.getField("g")))
+      .withColumn("__nh", size(col("__garr")))
+      // Prefix length: |∩| ≥ ⌈t·|d|⌉ for any qualifying pair, and all
+      // shared shingles live in the non-hot array, so a doc only needs
+      // its first |nh| − ⌈t·|d|⌉ + 1 rarest shingles in the index. The
+      // eps guards the ceil against a Double quotient landing one ulp
+      // above an exact integer (which would over-prune a valid pair).
+      .withColumn("__plen", greatest(
+        col("__nh") - ceil(col("__sz") * threshold - eps) + 1, lit(0)))
+      .drop("__arr")
+      .localCheckpoint(true) // 4 consumers: 2 prefix legs + 2 verify joins
+    val pref = docArr.select((blockCols :+ idCol :+ "__sz" :+ "__nh")
+      .map(col) :+ posexplode(slice(col("__garr"), lit(1),
+        col("__plen").cast("int"))): _*)
+      .withColumnRenamed("col", "__g")
+    def leg(s: String) = pref.select(blockCols.map(col) :+ col("__g") :+
+      col(idCol).as(s"id_$s") :+ col("__sz").as(s"sz_$s") :+
+      col("__nh").as(s"nh_$s") :+ col("pos").as(s"pos_$s"): _*)
+    // Per-pair overlap floor (α): |∩| ≥ t·|a|, ≥ t·|b|, and ≥
+    // t(|a|+|b|)/(1+t) all follow from jaccard ≥ t; take the tightest.
+    val alpha = greatest(
+      ceil(col("sz_a") * threshold - eps),
+      ceil(col("sz_b") * threshold - eps),
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1.0 + threshold))
+        - eps))
+    // Positional filter: bounds decrease with position, so the pair's
+    // FIRST shared prefix token carries the largest — and provably
+    // valid — bound; if that row fails, every row fails, so row-wise
+    // filter + distinct keeps exactly the pairs whose first-token bound
+    // clears α.
+    val ubound = lit(1) + least(col("nh_a") - 1 - col("pos_a"),
+      col("nh_b") - 1 - col("pos_b"))
+    val cand = leg("a").join(leg("b"), blockCols :+ "__g")
+      .where(col("id_a") < col("id_b") && ubound >= alpha)
+      .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
+      .distinct()
+    // Exact verify: one sorted-array intersection per surviving pair.
+    def side(s: String) = docArr.select(blockCols.map(col) :+
+      col(idCol).as(s"id_$s") :+ col("__sz").as(s"sz_$s") :+
+      col("__garr").as(s"garr_$s"): _*)
+    cand.join(side("a"), blockCols :+ "id_a")
+      .join(side("b"), blockCols :+ "id_b")
+      .withColumn("__shared",
+        size(array_intersect(col("garr_a"), col("garr_b"))))
       .withColumn("jaccard", col("__shared").cast("double") /
         (col("sz_a") + col("sz_b") - col("__shared")).cast("double"))
       .where(col("jaccard") >= threshold)
