@@ -213,14 +213,27 @@ object Dedup {
     val withDf =
       if (maxShingleDf == Long.MaxValue) exploded.withColumn("__df", lit(0L))
       else {
-        val dfTab = exploded
+        val hot = exploded
           .groupBy((blockCols :+ "__g").map(col): _*)
           .agg(count(lit(1)).as("__df"))
-          .localCheckpoint(true) // consumed by the hot set AND the attach join
-        val hot = dfTab.where(col("__df") > maxShingleDf)
+          .where(col("__df") > maxShingleDf)
           .select((blockCols :+ "__g").map(col): _*)
+        // One post-anti-join shuffle does df-attach AND posting rebuild:
+        // group the surviving occurrences per shingle — every key is
+        // provably ≤ cutoff occurrences after the anti-join, so the
+        // collect can't see a skewed posting list — and re-explode with
+        // df = posting length. (Joining a separate df table back onto
+        // the exploded corpus would pay the same shuffle plus a second
+        // sorted leg for the table.)
         exploded.join(broadcast(hot), blockCols :+ "__g", "left_anti")
-          .join(dfTab, blockCols :+ "__g") // keys bounded ≤ cutoff → no skew
+          .groupBy((blockCols :+ "__g").map(col): _*)
+          .agg(collect_list(struct(col(idCol), col("__sz"))).as("__post"))
+          .withColumn("__df", size(col("__post")).cast("long"))
+          .select((blockCols :+ "__g" :+ "__df").map(col) :+
+            explode(col("__post")).as("__p"): _*)
+          .select((blockCols :+ "__g" :+ "__df").map(col) ++ Seq(
+            col("__p").getField(idCol).as(idCol),
+            col("__p").getField("__sz").as("__sz")): _*)
       }
     // Rebuild each doc's shingle set as ONE sorted array (rarest first,
     // hash tie-break): the prefix is a slice, and exact verification is
