@@ -506,6 +506,41 @@ class ExtSpec extends AnyFunSuite {
       s"df>5 shingles must stop generating pairs, got $cut")
   }
 
+  test("ngram pair-gen dispatch: count-verify below 0.5, PPJoin prefix at ≥0.5") {
+    // The engine's real callers sit in the dedup regime (t=0.1 declared
+    // key, t=0.3 Curate) — pinned to the count-verify path after the
+    // round-9 PPJoin-everywhere rewrite measured 3.3× slower there.
+    assert(!Dedup.usesPrefixIndex(0.1) && !Dedup.usesPrefixIndex(0.3))
+    assert(Dedup.usesPrefixIndex(0.5) && Dedup.usesPrefixIndex(0.8))
+  }
+
+  test("ngram pair-gen: count-verify and prefix paths produce identical pairs") {
+    // Mixed corpus: exact dup, near-dup, boilerplate-only overlap (hot
+    // shingles under the cutoff), unrelated doc — exercises the length,
+    // positional, and hot-set machinery of both paths.
+    val hot = "subscribe to our newsletter today"
+    val docs = (Seq(
+      (1L, "b", base), (2L, "b", base),
+      (3L, "b", base.replace("lazy", "sleepy") + " " + hot),
+      (4L, "b", s"totally different text body entirely $hot"),
+      (5L, "b", "unrelated words about distributed query planning engines"),
+      (6L, "c", base)) ++ // other block: must never pair across blocks
+      (10L to 15L).map(i => (i, "b", s"alpha$i beta$i gamma$i $hot")))
+      .toDF("doc_id", "blk", "text")
+    for (t <- Seq(0.05, 0.3, 0.5, 0.7);
+         cutoff <- Seq(Long.MaxValue, 4L)) {
+      def run(f: (org.apache.spark.sql.DataFrame, Seq[String], String,
+          String, Int, Double, Long) => org.apache.spark.sql.DataFrame) =
+        f(docs, Seq("blk"), "text", "doc_id", 3, t, cutoff)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 9))
+          .as[(Long, Long, Double)].collect().toSet
+      val cnt = run(Dedup.ngramPairsCountVerify)
+      val pre = run(Dedup.ngramPairsPrefix)
+      assert(cnt == pre,
+        s"paths diverge at t=$t cutoff=$cutoff: count=$cnt prefix=$pre")
+    }
+  }
+
   test("embeddingCosinePairs rejects a block larger than maxBlockRows") {
     val embs = (1L to 8L).map(i =>
       (i, "same", Array.tabulate(4)(j => 0.1f * (i + j))))
