@@ -60,6 +60,43 @@ object Bench {
     head + kept.mkString(",") + s"""},"queries_omitted":$omitted}"""
   }
 
+  /** Round-over-round regression tripwire (VERDICT r9 ask #2: a 3.7×
+    * per-key slowdown shipped under a hash-verified commit because only
+    * correctness, not time, was re-checked). Pure comparator so
+    * BenchSpec can pin it.
+    *
+    * Two benches never run on the same box state (each round gets a
+    * fresh VM; a cold page cache alone inflates a first run ~1.5-3×
+    * across the board — measured r10), so raw per-key ratios flag pure
+    * noise. The comparator therefore DRIFT-NORMALIZES: the median ratio
+    * over all shared keys estimates the box-speed shift (a real
+    * regression touches a few keys; the median tracks the untouched
+    * majority), and a key flags only when its normalized ratio exceeds
+    * `factor` AND it slowed by ≥ `minDelta` absolute seconds beyond the
+    * drift AND either side is ≥ `minSec` (sub-noise keys flap on
+    * scheduling, not code) AND it is not allowlisted with a reason (an
+    * intentional trade documented at the callsite).
+    *
+    * Returns (key, prev, cur, normalizedRatio) sorted by severity. */
+  def regressions(prev: Map[String, Double], cur: Map[String, Double],
+      factor: Double = 2.0, minSec: Double = 0.3, minDelta: Double = 0.5,
+      allow: Map[String, String] = Map.empty)
+      : Seq[(String, Double, Double, Double)] = {
+    val shared = cur.toSeq
+      .flatMap { case (k, c) => prev.get(k).map(p => (k, p, c)) }
+      .filter { case (_, p, c) => p > 0 && c > 0 }
+    if (shared.isEmpty) return Nil
+    val ratios = shared.map { case (_, p, c) => c / p }.sorted
+    val drift = ratios(ratios.size / 2)
+    shared
+      .map { case (k, p, c) => (k, p, c, (c / p) / drift) }
+      .filter { case (k, p, c, norm) =>
+        norm > factor && (c - p * drift) >= minDelta &&
+          (p >= minSec || c >= minSec) && !allow.contains(k)
+      }
+      .sortBy { case (_, _, _, norm) => -norm }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

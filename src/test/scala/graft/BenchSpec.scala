@@ -60,4 +60,98 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= 1750)
     assert(mapper.readTree(line).get("queries_omitted").asInt() > 0)
   }
+
+  // --- round-over-round regression tripwire -------------------------------
+
+  // An anchor of untouched keys: in a real ~100-key artifact the flat
+  // majority pins the drift estimate (median ratio) near the box shift.
+  private def flat(ratio: Double): Map[String, Double] =
+    (0 until 20).map(i => f"q_flat_$i%02d" -> 0.2 * (i + 1) * ratio).toMap
+
+  test("regressions flags the round-9 ngram slowdowns against round 8") {
+    // the exact medians that shipped in r9 under a hash-verified commit
+    val r8 = flat(1.0) ++ Map(
+      "q_dedup_ngram_jaccard" -> 0.91, "q_curate_corpus" -> 2.74,
+      "q_dedup_clusters" -> 1.69, "q_dedup_embed_cosine" -> 0.98,
+      "q_groupby_max" -> 1.89)
+    val r9 = flat(1.0) ++ Map(
+      "q_dedup_ngram_jaccard" -> 3.04, "q_curate_corpus" -> 10.21,
+      "q_dedup_clusters" -> 3.41, "q_dedup_embed_cosine" -> 1.77,
+      "q_groupby_max" -> 0.27, "q_new_key" -> 5.0)
+    val flagged = Bench.regressions(r8, r9).map(_._1)
+    assert(flagged == Seq("q_curate_corpus", "q_dedup_ngram_jaccard",
+      "q_dedup_clusters"), s"got $flagged")
+    // 1.8x stays under the 2x factor; faster keys and new keys never flag
+    assert(!flagged.contains("q_dedup_embed_cosine"))
+    assert(!flagged.contains("q_groupby_max"))
+    assert(!flagged.contains("q_new_key"))
+  }
+
+  test("regressions: a uniformly slower box (cold cache) flags nothing") {
+    // r10 measured a fresh-VM first run 1.5-3x slower on untouched agg
+    // keys; uniform drift must normalize away instead of crying wolf
+    val prev = flat(1.0) ++ Map("q_a" -> 0.19, "q_b" -> 0.44)
+    val cur = flat(2.0) ++ Map("q_a" -> 0.55, "q_b" -> 1.10)
+    assert(Bench.regressions(prev, cur).isEmpty)
+  }
+
+  test("regressions: noise, delta-floor, and allowlist exemptions") {
+    val prev = flat(1.0) ++ Map("q_tiny" -> 0.05, "q_big" -> 1.0)
+    val cur = flat(1.0) ++ Map("q_tiny" -> 0.2, "q_big" -> 3.0)
+    // q_tiny triples but both sides are sub-noise AND the delta is tiny
+    assert(Bench.regressions(prev, cur).map(_._1) == Seq("q_big"))
+    // a small absolute slowdown never flags even when the ratio is big
+    assert(Bench.regressions(flat(1.0) ++ Map("q_x" -> 0.1),
+      flat(1.0) ++ Map("q_x" -> 0.5), minDelta = 0.5).isEmpty)
+    assert(Bench.regressions(prev, cur,
+      allow = Map("q_big" -> "intentional: added verify gate")).isEmpty)
+  }
+
+  /** Live tripwire: when a FRESH local bench exists (bench_out.json newer
+    * than the last committed round artifact), its per-key medians must
+    * not regress >2x vs that artifact. Skipped (not silently passed)
+    * when no fresh bench is present, so `sbt test` stays meaningful in a
+    * clean checkout while a post-bench test run cannot miss a slowdown.
+    */
+  test("fresh local bench does not regress >2x vs last round artifact") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(".")
+    val rounds = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val out = Paths.get("bench_out.json")
+    assume(rounds.nonEmpty, "no committed round artifact")
+    assume(Files.exists(out), "no local bench_out.json")
+    val last = rounds.last
+    assume(Files.getLastModifiedTime(out).compareTo(
+      Files.getLastModifiedTime(last)) > 0,
+      s"bench_out.json is not newer than ${last.getFileName}")
+    // bench_out.json carries "queries" at top level; the driver's
+    // BENCH_r*.json wraps the compact stdout line inside a "tail"
+    // string — extract the last {"metric":...} line from it.
+    def medians(p: java.nio.file.Path): Map[String, Double] = {
+      val root = mapper.readTree(Files.readString(p))
+      val node =
+        if (root.has("queries")) root
+        else {
+          val tail = root.get("tail").asText()
+          val lines = "\\{\"metric\":.*\\}".r.findAllIn(tail).toSeq
+          assume(lines.nonEmpty, s"no bench line in ${p.getFileName}'s tail")
+          mapper.readTree(lines.last)
+        }
+      node.get("queries").properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    }
+    val allowPath = Paths.get("tools/bench_allowlist.json")
+    val allow: Map[String, String] =
+      if (Files.exists(allowPath))
+        mapper.readTree(Files.readString(allowPath)).properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty
+    val bad = Bench.regressions(medians(last), medians(out), allow = allow)
+    assert(bad.isEmpty, bad.map { case (k, p, c, norm) =>
+      f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized, vs ${last.getFileName})"
+    }.mkString("bench regressions:\n  ", "\n  ", ""))
+  }
 }

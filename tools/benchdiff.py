@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression tripwire (tooling only).
+
+Usage: python3 tools/benchdiff.py <prev.json> <cur.json> [--factor=2.0]
+       [--min-sec=0.3] [--min-delta=0.5]
+
+Compares per-key medians in two Bench artifacts (bench_out.json, or the
+driver's BENCH_r*.json wrapper whose "tail" embeds the compact stdout
+line). Mirrors graft.Bench.regressions / BenchSpec's live tripwire so
+the check can run without a JVM.
+
+Benches never run on identical box state (fresh VM per round; a cold
+page cache alone inflates a first run 1.5-3x across the board), so raw
+ratios flag pure noise. The comparator drift-normalizes by the median
+ratio over shared keys and flags only keys that are BOTH >factor slower
+after normalization AND >=min-delta absolute seconds beyond the drift,
+with either side >=min-sec, unless allowlisted with a reason in
+tools/bench_allowlist.json ({"key": "reason"}). Exits 1 on flags.
+"""
+import json
+import os
+import re
+import statistics
+import sys
+
+
+def medians(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d["queries"]
+    lines = re.findall(r'\{"metric":.*\}', d["tail"])
+    if not lines:
+        sys.exit(f"no bench line found in {path}'s tail")
+    return json.loads(lines[-1])["queries"]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1)
+                for a in sys.argv[1:] if a.startswith("--") and "=" in a)
+    factor = float(opts.get("factor", 2.0))
+    min_sec = float(opts.get("min-sec", 0.3))
+    min_delta = float(opts.get("min-delta", 0.5))
+    prev, cur = medians(args[0]), medians(args[1])
+    allow = {}
+    allow_path = os.path.join(os.path.dirname(__file__), "bench_allowlist.json")
+    if os.path.exists(allow_path):
+        with open(allow_path) as f:
+            allow = json.load(f)
+    shared = [(k, prev[k], c) for k, c in cur.items()
+              if k in prev and prev[k] > 0 and c > 0]
+    if not shared:
+        sys.exit("no shared keys between artifacts")
+    drift = statistics.median(c / p for _, p, c in shared)
+    bad = []
+    for k, p, c in shared:
+        norm = (c / p) / drift
+        if (norm > factor and (c - p * drift) >= min_delta
+                and (p >= min_sec or c >= min_sec) and k not in allow):
+            bad.append((norm, k, p, c))
+    if bad:
+        print(f"BENCH REGRESSIONS vs {args[0]} "
+              f"(drift {drift:.2f}x, factor {factor}):")
+        for norm, k, p, c in sorted(bad, reverse=True):
+            print(f"  {k}: {p:.2f}s -> {c:.2f}s ({norm:.1f}x normalized)")
+        sys.exit(1)
+    print(f"OK: no regressions beyond {factor}x drift-normalized "
+          f"({len(shared)} shared keys, box drift {drift:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
