@@ -53,20 +53,26 @@ object IncrementalDedup {
       .select("new_id", "dup_of", "jaccard")
   }
 
+  /** The docs of `newDocs` the dedup policy ADMITS this batch: no match
+    * in `matches` and not already indexed. The second anti-join makes
+    * the transition replay-idempotent — a re-delivered batch's docs are
+    * already in the index, so its admitted set is EMPTY and every
+    * downstream consumer (index append, split labeling, contamination
+    * flags) converges instead of double-processing. */
+  def admitted(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    newDocs
+      .join(matches.select(col("new_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Next index state: previous index + signatures of the ADMITTED new
     * docs (those without a match). `matches` is [[matchAgainst]]'s
     * output for this batch. */
   def append(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 128,
-      bands: Int = 32, shingleWords: Int = 3): DataFrame = {
-    val admitted = newDocs
-      .join(matches.select(col("new_id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-      // replay-idempotent: ids already indexed are skipped, so
-      // (index, batch) -> index' is the same function on a re-delivered
-      // batch (exactly-once under the streaming drain's checkpoint)
-      .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-    index.unionByName(
-      Dedup.bandedSignatures(admitted, textCol, idCol, k, bands, shingleWords))
-  }
+      bands: Int = 32, shingleWords: Int = 3): DataFrame =
+    index.unionByName(Dedup.bandedSignatures(
+      admitted(index, newDocs, matches, idCol), textCol, idCol, k, bands,
+      shingleWords))
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.TableStore
+import graft.operators.{Decontaminate, Sampling}
+
+/** Streaming corpus curation — the [[DedupMicroBatch]] drain composed
+  * with the two labeling stages a training-data pipeline applies on
+  * ingest: train/val/test split assignment ([[Sampling.split]]) and
+  * benchmark decontamination ([[Decontaminate.flag]]).
+  *
+  * Each arriving batch is deduplicated (intra-batch + against the
+  * persisted signature index), and the ADMITTED docs are labeled and
+  * appended to an admitted-corpus store carrying
+  * `(doc cols..., split, contamination, contaminated)`.
+  *
+  * Stream == batch by construction: both labels are PURE per-doc
+  * functions — the split is an md5 draw on (id, seed) (no dependence on
+  * batch boundaries, partitioning, or arrival order) and contamination
+  * compares each doc's own n-grams against the fixed eval dictionary —
+  * so a doc admitted in micro-batch 17 of a year-long ingest gets
+  * exactly the labels a one-shot batch run over the final corpus would
+  * give it. StreamSpec pins this parity plus replay idempotency (a
+  * re-delivered batch admits nothing, so the admitted store converges
+  * under the `dropDuplicates(idCol)` union — same crash-forward
+  * contract as the dedup drain's index and reject stores).
+  *
+  * Scale: per batch, work is proportional to the batch (the dedup
+  * drain's contract) plus one broadcast semi-join against the eval
+  * dictionary (KBs–MBs) — the labeling adds ZERO corpus-sized shuffles.
+  */
+object CurateMicroBatch {
+
+  /** One micro-batch transition. Dedups via
+    * [[DedupMicroBatch.processBatch]] (which writes the index + reject
+    * stores), then labels the admitted docs and appends them to
+    * `admittedStore`. Idempotent under batch re-delivery. */
+  def processBatch(batch: DataFrame, indexStore: TableStore,
+      rejectStore: TableStore, admittedStore: TableStore,
+      evalDocs: DataFrame, weights: Seq[(String, Double)],
+      seed: String = "0", threshold: Double = 0.5,
+      contaminationN: Int = 3, contaminationThreshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val adm = DedupMicroBatch.processBatch(batch, indexStore, rejectStore,
+      threshold)
+    val labeled = Sampling.split(adm, idCol, weights, seed)
+      .join(Decontaminate.flag(adm, evalDocs, contaminationN,
+          contaminationThreshold, textCol, idCol)
+          .select(col(idCol), col("contamination"), col("contaminated")),
+        Seq(idCol))
+    val next = admittedStore.read() match {
+      case None => labeled
+      // replay guard: a re-delivered batch's admitted set is empty, and
+      // even a partial overlap re-derives identical labels (pure per-doc
+      // functions), so the id-keyed dedup converges
+      case Some(prev) => prev.unionByName(labeled).dropDuplicates(idCol)
+    }
+    admittedStore.write(next)
+  }
+
+  /** Drain all available input once. Blocks until done. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, indexStore: TableStore, rejectStore: TableStore,
+      admittedStore: TableStore, evalDocs: DataFrame,
+      weights: Seq[(String, Double)], checkpoint: String,
+      seed: String = "0", threshold: Double = 0.5): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, indexStore, rejectStore, admittedStore,
+          evalDocs, weights, seed = seed, threshold = threshold)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

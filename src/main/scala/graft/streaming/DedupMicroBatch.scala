@@ -30,12 +30,18 @@ object DedupMicroBatch {
     * plus the batch, so applying the SAME batch twice (crash after the
     * writes, before the checkpoint commit → source re-delivery)
     * converges: already-indexed ids are skipped by
-    * [[IncrementalDedup.append]]'s anti-joins, and the reject log
+    * [[IncrementalDedup.admitted]]'s anti-joins, and the reject log
     * dedups on the pair key. Exposed (not inlined in the foreachBatch
     * closure) so the replay guarantee is directly testable — StreamSpec
-    * applies a batch twice and asserts both stores are unchanged. */
+    * applies a batch twice and asserts both stores are unchanged.
+    *
+    * Returns the docs ADMITTED this batch (full batch schema) so
+    * downstream labeling stages ([[CurateMicroBatch]]) can compose with
+    * the drain; on a replayed batch the returned frame is empty. The
+    * frame reads only the PRE-write index snapshot (TableStore versions
+    * are immutable), so it stays valid after the index write. */
   def processBatch(batch: DataFrame, indexStore: TableStore,
-      rejectStore: TableStore, threshold: Double): Unit = {
+      rejectStore: TableStore, threshold: Double): DataFrame = {
     // intra-batch: keep one representative per near-dup cluster
     val pairs = Dedup.minhashLsh(batch, threshold = threshold)
     val reps = Dedup.clusters(pairs)
@@ -49,6 +55,7 @@ object DedupMicroBatch {
         rejectStore.write(internal.limit(0)
           .select(col("doc_id").as("new_id"), col("doc_id").as("dup_of"),
             lit(0.0).as("jaccard")))
+        internal
       case Some(idx) =>
         val matches = IncrementalDedup.matchAgainst(idx, internal,
           threshold = threshold)
@@ -60,6 +67,7 @@ object DedupMicroBatch {
         // log converges instead of double-counting
         rejectStore.write(prev.unionByName(matches)
           .dropDuplicates("new_id", "dup_of"))
+        IncrementalDedup.admitted(idx, internal, matches)
     }
   }
 
@@ -75,6 +83,7 @@ object DedupMicroBatch {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, indexStore, rejectStore, threshold)
+        ()
       }
       .start()
     q.awaitTermination()

@@ -230,6 +230,86 @@ class StreamSpec extends AnyFunSuite {
     assert(rejects == Set((10L, 1L)), s"got $rejects")
   }
 
+  test("streaming curate drain: split + contamination labels == batch mode") {
+    import graft.operators.{Decontaminate, Sampling}
+    import graft.streaming.CurateMicroBatch
+    val idxStore = new TableStore(spark, tmp("cur-idx") + "/t")
+    val rejStore = new TableStore(spark, tmp("cur-rej") + "/t")
+    val admStore = new TableStore(spark, tmp("cur-adm") + "/t")
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep dark forest to hide from all the hunters"
+    val evalTxt = "what is the capital of france paris is the capital of " +
+      "france and has been since the tenth century"
+    // 1/2 distinct, 3 near-dups doc 1 cross-batch, 4 contains the eval
+    // passage verbatim, 5 distinct
+    val all = Seq(
+      (1L, base),
+      (2L, "completely different content about spark query engines " +
+        "processing large parquet tables with catalyst optimizer rules"),
+      (3L, base.replace("dog", "cat")),
+      (4L, "document discussing that " + evalTxt + " among other things"),
+      (5L, "entirely novel writing about distributed systems and exactly " +
+        "once stream processing guarantees"))
+    val evalDocs = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+    val b1 = all.take(2).toDF("doc_id", "text")
+    val b2 = all.drop(2).toDF("doc_id", "text")
+    CurateMicroBatch.processBatch(b1, idxStore, rejStore, admStore,
+      evalDocs, weights, threshold = 0.3)
+    CurateMicroBatch.processBatch(b2, idxStore, rejStore, admStore,
+      evalDocs, weights, threshold = 0.3)
+
+    val streamed = admStore.read().get
+      .select("doc_id", "split", "contaminated")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (i, s, c) => i -> (s, c) }.toMap
+    // doc 3 is a near-dup of indexed doc 1 → rejected, never labeled
+    assert(streamed.keySet == Set(1L, 2L, 4L, 5L), s"got ${streamed.keySet}")
+
+    // batch mode over the full corpus: same pure per-doc labels
+    val full = all.toDF("doc_id", "text")
+    val batchLabels = Sampling.split(full, "doc_id", weights)
+      .join(Decontaminate.flag(full, evalDocs)
+        .select("doc_id", "contaminated"), Seq("doc_id"))
+      .select("doc_id", "split", "contaminated")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (i, s, c) => i -> (s, c) }.toMap
+    streamed.foreach { case (id, got) =>
+      assert(got == batchLabels(id),
+        s"doc $id: stream=$got batch=${batchLabels(id)}")
+    }
+    // the contamination flag actually bites on the planted doc
+    assert(streamed(4L)._2, "doc 4 contains the eval passage verbatim")
+    assert(!streamed(1L)._2 && !streamed(2L)._2 && !streamed(5L)._2)
+  }
+
+  test("streaming curate: replaying a batch leaves the admitted store unchanged") {
+    import graft.streaming.CurateMicroBatch
+    val idxStore = new TableStore(spark, tmp("cur-rp-idx") + "/t")
+    val rejStore = new TableStore(spark, tmp("cur-rp-rej") + "/t")
+    val admStore = new TableStore(spark, tmp("cur-rp-adm") + "/t")
+    val evalDocs = Seq((100L, "held out evaluation question text"))
+      .toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.9, "test" -> 0.1)
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark forest")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "completely different content about spark query " +
+      "engines processing large parquet tables with catalyst"))
+      .toDF("doc_id", "text")
+    CurateMicroBatch.processBatch(b1, idxStore, rejStore, admStore,
+      evalDocs, weights, threshold = 0.3)
+    CurateMicroBatch.processBatch(b2, idxStore, rejStore, admStore,
+      evalDocs, weights, threshold = 0.3)
+    val before = admStore.read().get.collect().map(_.toSeq).toSet
+    // crash after the writes, before the checkpoint commit → re-delivery
+    CurateMicroBatch.processBatch(b2, idxStore, rejStore, admStore,
+      evalDocs, weights, threshold = 0.3)
+    assert(admStore.read().get.collect().map(_.toSeq).toSet == before,
+      "replayed batch mutated the admitted store")
+    assert(before.size == 2)
+  }
+
   test("streaming SCD2 drops change events below the watermark") {
     import graft.streaming.Scd2Stream
     import graft.streaming.Scd2Stream.Scd2Event
