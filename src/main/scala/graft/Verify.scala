@@ -22,9 +22,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A mistyped key would otherwise filter to an empty dump and read
-    // as a passing-but-empty spot check.
-    (only -- SparkEntry.verifyQueries.map(_._1))
-      .foreach(k => System.err.println(s"[verify] unknown key: $k"))
+    // as a passing-but-empty spot check — fail fast, don't just warn.
+    val unknown = only -- SparkEntry.verifyQueries.map(_._1)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown key(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     SparkEntry.verifyQueries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

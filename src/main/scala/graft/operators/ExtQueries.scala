@@ -248,18 +248,57 @@ object ExtQueries {
   )
 
   /** Build-once cache behind `q_sim_ann_ivf_search`: first call per
-    * corpus dir trains the IVF index and persists it via [[Ivf.persist]]
-    * into a temp TableStore root; every later call (and every other
-    * thread) serves from the persisted snapshot through [[Ivf.load]]. */
+    * corpus snapshot trains the IVF index and persists it via
+    * [[Ivf.persist]] into a temp TableStore root; every later call (and
+    * every other thread) serves from the persisted snapshot through
+    * [[Ivf.load]]. The cache key is (corpus dir, embeddings fingerprint)
+    * — size + mtime of the parquet files — so a rewritten corpus under
+    * the same path rebuilds instead of serving a stale index. Temp roots
+    * are deleted on JVM exit (they are per-process serving state, not a
+    * durable artifact; a real deployment would persist to a managed
+    * TableStore path with its own lifecycle). */
   private val ivfServeRoot =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cheap content fingerprint of the embeddings input: (path, length,
+    * mtime) of each parquet part, hashed. Local-filesystem stat calls
+    * only — O(#files), no data read. */
+  private def embeddingsFingerprint(d: String): String = {
+    val p = java.nio.file.Paths.get(d, "embeddings.parquet")
+    import scala.jdk.CollectionConverters._
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.iterator().asScala.toSeq.sortBy(_.toString)
+        finally st.close()
+      } else Seq(p)
+    val sig = parts.map { f =>
+      val sz = if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.size(f) else -1L
+      val mt = if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.getLastModifiedTime(f).toMillis else -1L
+      s"$f:$sz:$mt"
+    }.mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   private def servedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val root = ivfServeRoot.computeIfAbsent(d, dir => {
-      val r = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
-        .toString
+    val key = s"$d@${embeddingsFingerprint(d)}"
+    val root = ivfServeRoot.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
+      val r = dir.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files => F}
+        import java.util.Comparator
+        if (F.exists(dir)) {
+          val walk = F.walk(dir)
+          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { F.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      }
       val (assigned, centroids) =
-        Ivf.build(Tables(s, dir, "embeddings"), nlist = 16, iters = 2)
+        Ivf.build(Tables(s, d, "embeddings"), nlist = 16, iters = 2)
       Ivf.persist(s, r, assigned, centroids)
       r
     })

@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.NumericType
   * partition id — a string/UUID order column must never silently fall
   * into one bucket (the failure mode of a blind `cast("long")`, which
   * yields NULL for every non-numeric value).
+  *
+  * Precondition-violation semantics: rows whose `orderCol` is NULL are
+  * DROPPED from the output — identically on the numeric and non-numeric
+  * paths. NULL has no position in a total order, so there is no correct
+  * pack for such a row; dropping (rather than failing) keeps the
+  * operator total on dirty corpora, and callers that need fail-fast
+  * semantics should pre-assert non-nullness (cf. the quality.Check
+  * violation report, which surfaces exactly this class of row).
   */
 object Pack {
 
