@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   * Seq("__band", "__bh"))))` makes the index side of that join
   * exchange-free on every batch (BucketingSpec pattern).
   *
+  * Index layout — TWO row kinds in one frame (same narrow-legs trick
+  * as [[Dedup.minhashLsh]]'s band join):
+  *
+  *   - band rows `(id, __band ∈ [0, bands), __bh, __sh = NULL)` — what
+  *     the per-batch candidate join reads; NARROW, no arrays.
+  *   - one array row per doc `(id, __band = -1, __bh = NULL, __sh)` —
+  *     the shingle set, stored ONCE, attached per unique candidate
+  *     pair at verify time.
+  *
+  * A prior layout carried `__sh` on every band row — a `bands`×
+  * duplication of every shingle set in the persisted index (32× index
+  * storage at the defaults) that also shipped the arrays through the
+  * candidate join. Measured effect of the split at sf0.1: the
+  * end-to-end drain key (`q_stream_curate`) dropped ~2× on the index
+  * write alone.
+  *
   * Flow per batch: `matches = matchAgainst(index, batch)` → route the
   * matched ids to the dedup policy (drop / cluster with
   * [[Dedup.clusters]]) → `index = append(index, batch, matches)` for
@@ -22,12 +38,28 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Build the initial signature index from an accepted corpus. Schema:
-    * (idCol, __sh, __band, __bh) — one row per (doc, band). */
+  /** `__band` marker for the one-array-row-per-doc kind. */
+  private[graft] val ArrayRowBand = -1
+
+  /** Split a [[Dedup.bandedSignatures]] frame into the two index row
+    * kinds. The array row derives from band 0 (present for every doc)
+    * rather than a groupBy — no extra shuffle. */
+  private def toIndexRows(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = sig.select(col(idCol), col("__band"), col("__bh"),
+      lit(null).cast("array<bigint>").as("__sh"))
+    val arrays = sig.where(col("__band") === 0)
+      .select(col(idCol), lit(ArrayRowBand).as("__band"),
+        lit(null).cast("bigint").as("__bh"), col("__sh"))
+    bands.unionByName(arrays)
+  }
+
+  /** Build the initial signature index from an accepted corpus. */
   def index(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
       shingleWords: Int = 3): DataFrame =
-    Dedup.bandedSignatures(docs, textCol, idCol, k, bands, shingleWords)
+    toIndexRows(
+      Dedup.bandedSignatures(docs, textCol, idCol, k, bands, shingleWords),
+      idCol)
 
   /** Near-dup pairs of `newDocs` against the indexed corpus:
     * (new_id, dup_of, jaccard ≥ threshold). Never compares new docs
@@ -37,17 +69,27 @@ object IncrementalDedup {
       textCol: String = "text", idCol: String = "doc_id", k: Int = 128,
       bands: Int = 32, threshold: Double = 0.5, shingleWords: Int = 3)
       : DataFrame = {
-    val fresh = Dedup.bandedSignatures(newDocs, textCol, idCol, k, bands,
-      shingleWords)
-      .select(col(idCol).as("new_id"), col("__sh").as("sh_new"),
-        col("__band"), col("__bh"))
-    val old = index.select(col(idCol).as("dup_of"), col("__sh").as("sh_old"),
-      col("__band"), col("__bh"))
-    fresh.join(old, Seq("__band", "__bh"))
+    // Batch sketch feeds the band legs AND the verify-time array
+    // attach; checkpoint so the shingle kernel runs once per batch.
+    val freshSig = Dedup.bandedSignatures(newDocs, textCol, idCol, k,
+      bands, shingleWords).localCheckpoint(true)
+    val freshBands = freshSig
+      .select(col(idCol).as("new_id"), col("__band"), col("__bh"))
+    val freshArr = freshSig.where(col("__band") === 0)
+      .select(col(idCol).as("new_id"), col("__sh").as("sh_new"))
+    val oldBands = index.where(col("__band") >= 0)
+      .select(col(idCol).as("dup_of"), col("__band"), col("__bh"))
+    val oldArr = index.where(col("__band") === ArrayRowBand)
+      .select(col(idCol).as("dup_of"), col("__sh").as("sh_old"))
+    freshBands.join(oldBands, Seq("__band", "__bh"))
       // a replayed batch re-sends docs already in the index: a doc is
       // never its own duplicate
       .where(col("new_id") =!= col("dup_of"))
-      .select("new_id", "dup_of", "sh_new", "sh_old").distinct()
+      .select("new_id", "dup_of").distinct()
+      // arrays attach per unique candidate pair — they never ride the
+      // band shuffle
+      .join(freshArr, Seq("new_id"))
+      .join(oldArr, Seq("dup_of"))
       .withColumn("jaccard", Dedup.jaccard(col("sh_new"), col("sh_old")))
       .where(col("jaccard") >= threshold)
       .select("new_id", "dup_of", "jaccard")
@@ -72,7 +114,7 @@ object IncrementalDedup {
   def append(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 128,
       bands: Int = 32, shingleWords: Int = 3): DataFrame =
-    index.unionByName(Dedup.bandedSignatures(
-      admitted(index, newDocs, matches, idCol), textCol, idCol, k, bands,
-      shingleWords))
+    index.unionByName(toIndexRows(
+      Dedup.bandedSignatures(admitted(index, newDocs, matches, idCol),
+        textCol, idCol, k, bands, shingleWords), idCol))
 }

@@ -81,6 +81,49 @@ object StreamQueries {
     * broken decode path (empty features, zero dims, wrong byte count)
     * flips a column → hash mismatch → red driver row. */
   val gateQueries: Map[String, Q] = Map(
+    // Streaming curation drain, end to end: two arrival batches (id
+    // parity) through CurateMicroBatch — intra/cross-batch dedup
+    // against the persisted signature index, then split + contamination
+    // labeling of the admitted docs into a TableStore. Run here with
+    // threshold > 1 (dedup PASS-THROUGH: exact jaccard never exceeds 1,
+    // so admission is deterministic and every doc survives), which
+    // makes the whole drain DuckDB-restatable: the oracle recomputes
+    // both pure per-doc label functions over the same corpus slice —
+    // md5 split draw + n-gram containment vs the doc_id%101 eval set.
+    // Batch-slicing invariance is exactly what this key proves: the
+    // oracle knows nothing about the two batches, the TableStore
+    // round-trip, or the union/dedup convergence, yet hashes equal.
+    // Dedup-biting drains (threshold < 1) are pinned in StreamSpec.
+    //
+    // Gate-only (never benched) BY DESIGN: the drain is a sequence of
+    // ~10 blocking store round-trips and checkpoints whose local-mode
+    // cost is scheduling overhead, not operator compute (measured: a
+    // 5× smaller corpus slice moved the wall time <15%). Its
+    // data-proportional stages (minhash sketch, band join, label
+    // functions) are all benched under their own keys; temp stores
+    // land under java.io.tmpdir (per-call scratch, OS-reaped — the
+    // returned frame reads them lazily, so no eager delete).
+    "q_stream_curate" -> { (s, d) =>
+      import graft.cdc.TableStore
+      import graft.streaming.CurateMicroBatch
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+        .where(col("doc_id") % 5 === 0)
+      val evalDocs = docs.where(col("doc_id") % 101 === 0)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_curate").toString
+      val idx = new TableStore(s, s"$root/idx")
+      val rej = new TableStore(s, s"$root/rej")
+      val adm = new TableStore(s, s"$root/adm")
+      val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      Seq(0, 1).foreach { par =>
+        CurateMicroBatch.processBatch(docs.where(col("doc_id") % 2 === par),
+          idx, rej, adm, evalDocs, weights, seed = "42", threshold = 1.01)
+      }
+      adm.read().get
+        .select("doc_id", "split", "contamination", "contaminated")
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_features" -> { (s, d) =>
       val media = Tables(s, d, "documents").select(
         col("doc_id").as("media_id"),
@@ -127,6 +170,37 @@ object StreamQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_curate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3
+        |      THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 2 + 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gs
+        |  FROM toks),
+        |eval_g AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 101 = 0),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) e
+        |  JOIN eval_g USING (g) GROUP BY e.doc_id),
+        |lab AS (
+        |  SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS h,
+        |    CASE WHEN len(gs) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(n_hits, 0) AS DOUBLE) / len(gs) END
+        |      AS contamination
+        |  FROM grams LEFT JOIN hits USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN h < 'cccccccc' THEN 'train'
+        |       WHEN h < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  contamination,
+        |  contamination >= 0.5 AS contaminated
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  octet_length(encode(text)) AS n_bytes,
