@@ -137,6 +137,19 @@ class StreamSpec extends AnyFunSuite {
     val rejects = rejStore.read().get.select("new_id", "dup_of")
       .as[(Long, Long)].collect().toSet
     assert(rejects == Set((10L, 1L)), s"got $rejects")
+
+    // Narrow-index layout contract: band rows never carry shingle
+    // arrays (the prior layout duplicated every array bands-x in the
+    // persisted index), and each doc has EXACTLY one array row.
+    val idx = idxStore.read().get
+    assert(idx.where(col("__band") >= 0 && col("__sh").isNotNull)
+      .isEmpty, "band rows must not carry shingle arrays")
+    val arrRows = idx.where(col("__band") === -1)
+    assert(arrRows.where(col("__sh").isNull).isEmpty,
+      "array rows must carry the shingle set")
+    val perDoc = arrRows.groupBy("doc_id").count()
+      .where(col("count") =!= 1)
+    assert(perDoc.isEmpty, "exactly one array row per indexed doc")
   }
 
   test("streaming SCD2 (flatMapGroupsWithState) == batch Scd2 over 3 batches") {
