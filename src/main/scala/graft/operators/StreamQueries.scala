@@ -104,20 +104,21 @@ object StreamQueries {
     // land under java.io.tmpdir (per-call scratch, OS-reaped — the
     // returned frame reads them lazily, so no eager delete).
     "q_stream_curate" -> { (s, d) =>
-      import graft.cdc.TableStore
+      import graft.cdc.AppendStore
       import graft.streaming.CurateMicroBatch
       val docs = Tables(s, d, "documents").select("doc_id", "text")
         .where(col("doc_id") % 5 === 0)
       val evalDocs = docs.where(col("doc_id") % 101 === 0)
       val root = java.nio.file.Files
         .createTempDirectory("graft_stream_curate").toString
-      val idx = new TableStore(s, s"$root/idx")
-      val rej = new TableStore(s, s"$root/rej")
-      val adm = new TableStore(s, s"$root/adm")
+      val idx = new AppendStore(s, s"$root/idx")
+      val rej = new AppendStore(s, s"$root/rej")
+      val adm = new AppendStore(s, s"$root/adm")
       val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-      Seq(0, 1).foreach { par =>
+      Seq(0L, 1L).foreach { par =>
         CurateMicroBatch.processBatch(docs.where(col("doc_id") % 2 === par),
-          idx, rej, adm, evalDocs, weights, seed = "42", threshold = 1.01)
+          par, idx, rej, adm, evalDocs, weights, seed = "42",
+          threshold = 1.01)
       }
       adm.read().get
         .select("doc_id", "split", "contamination", "contaminated")

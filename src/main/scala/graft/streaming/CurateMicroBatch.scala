@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
-import graft.cdc.TableStore
+import graft.cdc.AppendStore
 import graft.operators.{Decontaminate, Sampling}
 
 /** Streaming corpus curation — the [[DedupMicroBatch]] drain composed
@@ -15,8 +15,9 @@ import graft.operators.{Decontaminate, Sampling}
   *
   * Each arriving batch is deduplicated (intra-batch + against the
   * persisted signature index), and the ADMITTED docs are labeled and
-  * appended to an admitted-corpus store carrying
-  * `(doc cols..., split, contamination, contaminated)`.
+  * landed as this batch's segment of an admitted-corpus [[AppendStore]]
+  * carrying `(doc cols..., split, contamination, contaminated)` — IO
+  * per batch proportional to the batch, never a corpus rewrite.
   *
   * Stream == batch by construction: both labels are PURE per-doc
   * functions — the split is an md5 draw on (id, seed) (no dependence on
@@ -25,9 +26,9 @@ import graft.operators.{Decontaminate, Sampling}
   * so a doc admitted in micro-batch 17 of a year-long ingest gets
   * exactly the labels a one-shot batch run over the final corpus would
   * give it. StreamSpec pins this parity plus replay idempotency (a
-  * re-delivered batch admits nothing, so the admitted store converges
-  * under the `dropDuplicates(idCol)` union — same crash-forward
-  * contract as the dedup drain's index and reject stores).
+  * replayed batch recomputes its transition from the pre-batch state
+  * and overwrites its own segments with identical content — the
+  * [[AppendStore]] contract).
   *
   * Scale: per batch, work is proportional to the batch (the dedup
   * drain's contract) plus one broadcast semi-join against the eval
@@ -36,36 +37,31 @@ import graft.operators.{Decontaminate, Sampling}
 object CurateMicroBatch {
 
   /** One micro-batch transition. Dedups via
-    * [[DedupMicroBatch.processBatch]] (which writes the index + reject
-    * stores), then labels the admitted docs and appends them to
-    * `admittedStore`. Idempotent under batch re-delivery. */
-  def processBatch(batch: DataFrame, indexStore: TableStore,
-      rejectStore: TableStore, admittedStore: TableStore,
-      evalDocs: DataFrame, weights: Seq[(String, Double)],
-      seed: String = "0", threshold: Double = 0.5,
-      contaminationN: Int = 3, contaminationThreshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val adm = DedupMicroBatch.processBatch(batch, indexStore, rejectStore,
-      threshold)
+    * [[DedupMicroBatch.processBatch]] (which lands the index + reject
+    * segments for `batchId`), then labels the admitted docs and lands
+    * them as segment `batchId` of `admittedStore`. Idempotent under
+    * batch re-delivery. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexStore: AppendStore, rejectStore: AppendStore,
+      admittedStore: AppendStore, evalDocs: DataFrame,
+      weights: Seq[(String, Double)], seed: String = "0",
+      threshold: Double = 0.5, contaminationN: Int = 3,
+      contaminationThreshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val adm = DedupMicroBatch.processBatch(batch, batchId, indexStore,
+      rejectStore, threshold)
     val labeled = Sampling.split(adm, idCol, weights, seed)
       .join(Decontaminate.flag(adm, evalDocs, contaminationN,
           contaminationThreshold, textCol, idCol)
           .select(col(idCol), col("contamination"), col("contaminated")),
         Seq(idCol))
-    val next = admittedStore.read() match {
-      case None => labeled
-      // replay guard: a re-delivered batch's admitted set is empty, and
-      // even a partial overlap re-derives identical labels (pure per-doc
-      // functions), so the id-keyed dedup converges
-      case Some(prev) => prev.unionByName(labeled).dropDuplicates(idCol)
-    }
-    admittedStore.write(next)
+    admittedStore.write(labeled, batchId)
   }
 
   /** Drain all available input once. Blocks until done. */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
-      schema: StructType, indexStore: TableStore, rejectStore: TableStore,
-      admittedStore: TableStore, evalDocs: DataFrame,
+      schema: StructType, indexStore: AppendStore, rejectStore: AppendStore,
+      admittedStore: AppendStore, evalDocs: DataFrame,
       weights: Seq[(String, Double)], checkpoint: String,
       seed: String = "0", threshold: Double = 0.5): Unit = {
     val q = spark.readStream
@@ -74,9 +70,10 @@ object CurateMicroBatch {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, indexStore, rejectStore, admittedStore,
-          evalDocs, weights, seed = seed, threshold = threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexStore, rejectStore,
+          admittedStore, evalDocs, weights, seed = seed,
+          threshold = threshold)
       }
       .start()
     q.awaitTermination()

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.AppendStore
+
+/** The log-structured segment store contract the streaming drains'
+  * exactly-once story rests on. */
+class AppendStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("segments accumulate; readBefore excludes the segment's own id") {
+    val store = new AppendStore(spark, tmp("as") + "/t")
+    assert(store.read().isEmpty)
+    assert(store.readBefore(0L).isEmpty)
+    store.write(Seq((1L, "a")).toDF("id", "v"), 0L)
+    store.write(Seq((2L, "b")).toDF("id", "v"), 1L)
+    assert(store.segments() == Seq(0L, 1L))
+    assert(store.read().get.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the transition for batch 1 must see ONLY batch 0's state
+    assert(store.readBefore(1L).get.as[(Long, String)].collect().toSet ==
+      Set((1L, "a")))
+    assert(store.readBefore(0L).isEmpty)
+  }
+
+  test("re-writing a segment replaces it — no duplicate rows on replay") {
+    val store = new AppendStore(spark, tmp("as-rp") + "/t")
+    store.write(Seq((1L, "a")).toDF("id", "v"), 0L)
+    store.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 1L)
+    // replayed batch 1 recomputes identical content → same state
+    store.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 1L)
+    assert(store.read().get.count() == 3)
+    // a diverging recomputation REPLACES (segment semantics, not append)
+    store.write(Seq((9L, "z")).toDF("id", "v"), 1L)
+    assert(store.read().get.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (9L, "z")))
+  }
+
+  test("torn segments (no _SUCCESS) are invisible to readers") {
+    val root = tmp("as-torn") + "/t"
+    val store = new AppendStore(spark, root)
+    store.write(Seq((1L, "a")).toDF("id", "v"), 0L)
+    // simulate a crash mid-write: segment dir exists, never committed
+    val torn = new java.io.File(root, "seg_" + "0" * 19 + "5")
+    assert(torn.mkdirs())
+    Files.writeString(torn.toPath.resolve("part-junk.parquet"), "half")
+    assert(store.segments() == Seq(0L))
+    assert(store.read().get.count() == 1)
+    assert(store.readBefore(99L).get.count() == 1)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cdc.TableStore
+import graft.cdc.{AppendStore, TableStore}
 import graft.operators.Multimodal
 import graft.pipeline.Runner
 import graft.streaming.CdcMicroBatch
@@ -107,8 +107,8 @@ class StreamSpec extends AnyFunSuite {
   test("streaming dedup drain: index grows by admitted docs, rejects record dup-of") {
     import graft.streaming.DedupMicroBatch
     val src = tmp("dedup-src")
-    val idxStore = new TableStore(spark, tmp("dedup-idx") + "/t")
-    val rejStore = new TableStore(spark, tmp("dedup-rej") + "/t")
+    val idxStore = new AppendStore(spark, tmp("dedup-idx") + "/t")
+    val rejStore = new AppendStore(spark, tmp("dedup-rej") + "/t")
     val ckpt = tmp("dedup-ckpt")
     val base = "the quick brown fox jumps over the lazy dog and then runs " +
       "far away into the deep dark forest to hide from all the hunters"
@@ -216,8 +216,8 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming dedup: replaying a batch leaves index and reject log unchanged") {
     import graft.streaming.DedupMicroBatch
-    val idxStore = new TableStore(spark, tmp("dedup-rp-idx") + "/t")
-    val rejStore = new TableStore(spark, tmp("dedup-rp-rej") + "/t")
+    val idxStore = new AppendStore(spark, tmp("dedup-rp-idx") + "/t")
+    val rejStore = new AppendStore(spark, tmp("dedup-rp-rej") + "/t")
     val base = "the quick brown fox jumps over the lazy dog and then runs " +
       "far away into the deep dark forest to hide from all the hunters"
     val other = "completely different content about spark query engines " +
@@ -226,14 +226,14 @@ class StreamSpec extends AnyFunSuite {
     val b2 = Seq((10L, base.replace("dog", "cat")), (11L, "entirely novel " +
       "writing about distributed systems and exactly once stream processing"))
       .toDF("doc_id", "text")
-    DedupMicroBatch.processBatch(b1, idxStore, rejStore, threshold = 0.3)
-    DedupMicroBatch.processBatch(b2, idxStore, rejStore, threshold = 0.3)
+    DedupMicroBatch.processBatch(b1, 0L, idxStore, rejStore, threshold = 0.3)
+    DedupMicroBatch.processBatch(b2, 1L, idxStore, rejStore, threshold = 0.3)
     val idxBefore = idxStore.read().get.collect().map(_.toSeq).toSet
     val rejBefore = rejStore.read().get.collect().map(_.toSeq).toSet
 
     // crash after both writes, before the checkpoint commit → the source
     // re-delivers batch 2 verbatim; the state transition must converge
-    DedupMicroBatch.processBatch(b2, idxStore, rejStore, threshold = 0.3)
+    DedupMicroBatch.processBatch(b2, 1L, idxStore, rejStore, threshold = 0.3)
     assert(idxStore.read().get.collect().map(_.toSeq).toSet == idxBefore,
       "replayed batch mutated the signature index")
     assert(rejStore.read().get.collect().map(_.toSeq).toSet == rejBefore,
@@ -246,9 +246,9 @@ class StreamSpec extends AnyFunSuite {
   test("streaming curate drain: split + contamination labels == batch mode") {
     import graft.operators.{Decontaminate, Sampling}
     import graft.streaming.CurateMicroBatch
-    val idxStore = new TableStore(spark, tmp("cur-idx") + "/t")
-    val rejStore = new TableStore(spark, tmp("cur-rej") + "/t")
-    val admStore = new TableStore(spark, tmp("cur-adm") + "/t")
+    val idxStore = new AppendStore(spark, tmp("cur-idx") + "/t")
+    val rejStore = new AppendStore(spark, tmp("cur-rej") + "/t")
+    val admStore = new AppendStore(spark, tmp("cur-adm") + "/t")
     val base = "the quick brown fox jumps over the lazy dog and then runs " +
       "far away into the deep dark forest to hide from all the hunters"
     val evalTxt = "what is the capital of france paris is the capital of " +
@@ -268,9 +268,9 @@ class StreamSpec extends AnyFunSuite {
 
     val b1 = all.take(2).toDF("doc_id", "text")
     val b2 = all.drop(2).toDF("doc_id", "text")
-    CurateMicroBatch.processBatch(b1, idxStore, rejStore, admStore,
+    CurateMicroBatch.processBatch(b1, 0L, idxStore, rejStore, admStore,
       evalDocs, weights, threshold = 0.3)
-    CurateMicroBatch.processBatch(b2, idxStore, rejStore, admStore,
+    CurateMicroBatch.processBatch(b2, 1L, idxStore, rejStore, admStore,
       evalDocs, weights, threshold = 0.3)
 
     val streamed = admStore.read().get
@@ -299,9 +299,9 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming curate: replaying a batch leaves the admitted store unchanged") {
     import graft.streaming.CurateMicroBatch
-    val idxStore = new TableStore(spark, tmp("cur-rp-idx") + "/t")
-    val rejStore = new TableStore(spark, tmp("cur-rp-rej") + "/t")
-    val admStore = new TableStore(spark, tmp("cur-rp-adm") + "/t")
+    val idxStore = new AppendStore(spark, tmp("cur-rp-idx") + "/t")
+    val rejStore = new AppendStore(spark, tmp("cur-rp-rej") + "/t")
+    val admStore = new AppendStore(spark, tmp("cur-rp-adm") + "/t")
     val evalDocs = Seq((100L, "held out evaluation question text"))
       .toDF("doc_id", "text")
     val weights = Seq("train" -> 0.9, "test" -> 0.1)
@@ -310,13 +310,13 @@ class StreamSpec extends AnyFunSuite {
     val b2 = Seq((2L, "completely different content about spark query " +
       "engines processing large parquet tables with catalyst"))
       .toDF("doc_id", "text")
-    CurateMicroBatch.processBatch(b1, idxStore, rejStore, admStore,
+    CurateMicroBatch.processBatch(b1, 0L, idxStore, rejStore, admStore,
       evalDocs, weights, threshold = 0.3)
-    CurateMicroBatch.processBatch(b2, idxStore, rejStore, admStore,
+    CurateMicroBatch.processBatch(b2, 1L, idxStore, rejStore, admStore,
       evalDocs, weights, threshold = 0.3)
     val before = admStore.read().get.collect().map(_.toSeq).toSet
     // crash after the writes, before the checkpoint commit → re-delivery
-    CurateMicroBatch.processBatch(b2, idxStore, rejStore, admStore,
+    CurateMicroBatch.processBatch(b2, 1L, idxStore, rejStore, admStore,
       evalDocs, weights, threshold = 0.3)
     assert(admStore.read().get.collect().map(_.toSeq).toSet == before,
       "replayed batch mutated the admitted store")
