@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * index stores each accepted document's banded MinHash keys plus its
   * shingle hashes (for exact-Jaccard verification), so admitting a new
   * batch costs `sketch(batch) + join(batch×index on (band, band_hash))
-  * + verify(candidates)` — work proportional to the BATCH, not the
-  * corpus. Landing the index in a `TableStore(bucketBy = Some((n,
-  * Seq("__band", "__bh"))))` makes the index side of that join
-  * exchange-free on every batch (BucketingSpec pattern).
+  * + verify(candidates)` — compute proportional to the BATCH, not the
+  * corpus. In that join the BATCH side is the small one: it broadcasts
+  * (AQE picks this up at any realistic batch:index ratio), so the
+  * index side is a map-only scan of the NARROW band rows — no index
+  * shuffle, no array bytes touched until a candidate pair exists.
+  * Persisted through [[graft.cdc.AppendStore]] segments the index is
+  * also never rewritten: each batch lands only its own admitted
+  * signatures.
   *
   * Index layout — TWO row kinds in one frame (same narrow-legs trick
   * as [[Dedup.minhashLsh]]'s band join):
