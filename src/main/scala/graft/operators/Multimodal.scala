@@ -124,9 +124,42 @@ object Multimodal {
 
   /** Decode one payload: JDK image codecs first, then JDK audio
     * codecs, then the deterministic stub (video/unknown/corrupt). */
+  /** Magic-byte container sniff — dispatch BEFORE attempting a codec.
+    * In a mixed 100 TB corpus the overwhelming majority of payloads is
+    * not decodable media; without the sniff every such row pays a full
+    * failed ImageIO reader probe plus an AudioSystem
+    * UnsupportedAudioFileException construction. Formats listed = what
+    * the JDK codecs behind [[decodeImage]]/[[decodeAudio]] can actually
+    * open (PNG/JPEG/GIF/BMP/TIFF; WAV/AIFF/AU) — anything else goes
+    * straight to the deterministic stub. */
+  private[operators] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P'.toByte && p(2) == 'N'.toByte &&
+        p(3) == 'G'.toByte) ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == '8'.toByte) ||
+      (p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||
+      (p(0) == 'I'.toByte && p(1) == 'I'.toByte && p(2) == 0x2A.toByte &&
+        p(3) == 0.toByte) ||
+      (p(0) == 'M'.toByte && p(1) == 'M'.toByte && p(2) == 0.toByte &&
+        p(3) == 0x2A.toByte))
+
+  private[operators] def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == 'F'.toByte && p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte) ||
+      (p(0) == 'F'.toByte && p(1) == 'O'.toByte && p(2) == 'R'.toByte &&
+        p(3) == 'M'.toByte && p(8) == 'A'.toByte && p(9) == 'I'.toByte &&
+        p(10) == 'F'.toByte) ||
+      (p(0) == '.'.toByte && p(1) == 's'.toByte && p(2) == 'n'.toByte &&
+        p(3) == 'd'.toByte))
+
   def decode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures =
-    decodeImage(payload)
-      .orElse(decodeAudio(payload))
+    (if (looksLikeImage(payload)) decodeImage(payload)
+     else if (looksLikeAudio(payload)) decodeAudio(payload)
+     else None)
       .map { case (w, h, feat) => MediaFeatures(id, kind, payload.length, w, h, feat) }
       .getOrElse(stubDecode(id, kind, payload))
 
@@ -176,9 +209,11 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Resize with the real codec when possible, stub otherwise. */
+  /** Resize with the real codec when possible, stub otherwise (same
+    * sniff-first dispatch as [[decode]]). */
   def resize(payload: Array[Byte], target: Int): Array[Byte] =
-    resizeImage(payload, target).getOrElse(stubResize(payload, target))
+    (if (looksLikeImage(payload)) resizeImage(payload, target) else None)
+      .getOrElse(stubResize(payload, target))
 
   /** STUB frame sampling: split the payload into `frames` equal spans
     * ("frames") and keep every `stride`-th one — the video path's
