@@ -17,10 +17,16 @@ import graft.functions.TextExpressions
   *
   * Scale: the eval set is benchmarks — KBs-to-MBs, thousands of docs —
   * so its distinct-shingle dictionary BROADCASTS; the 100 TB corpus is
-  * sketched map-only (one pass, custom expression) and the hit count is
-  * a broadcast-hash semi-join + partial aggregate. Zero corpus
-  * shuffles besides the per-doc hit aggregate, which runs map-side
-  * first (partial count on the already-doc-local exploded rows).
+  * sketched in ONE pass (custom expression, one kernel run per row),
+  * exploded with the doc's shingle count riding each row (O(1) array
+  * length, no array bytes duplicated), broadcast-LEFT-joined against
+  * the dictionary, and aggregated per doc — map-side partial counts on
+  * the already-doc-local rows, so the ONLY corpus shuffle is the tiny
+  * per-doc (id, sz, hits) aggregate. `explode_outer` keeps empty docs
+  * in the aggregate, so no second corpus scan or join-back exists (a
+  * prior shape localCheckpointed the corpus-wide shingle arrays and
+  * re-joined them — an O(corpus) materialization this plan avoids
+  * entirely).
   */
 object Decontaminate {
 
@@ -33,18 +39,14 @@ object Decontaminate {
     val evalGrams = evalDocs
       .select(explode(TextExpressions.hashedShingles(col(textCol), n)).as("__g"))
       .distinct()
-    // Sketch once: the hit semi-join and the final left join both read
-    // this frame (see Dedup — Catalyst would otherwise re-scan and
-    // re-sketch the corpus per consumer).
-    val sh = docs.select(col(idCol),
-        TextExpressions.hashedShingles(col(textCol), n).as("__sh"))
-      .withColumn("__sz", size(col("__sh")))
-      .localCheckpoint(true)
-    val hits = sh.select(col(idCol), explode(col("__sh")).as("__g"))
-      .join(broadcast(evalGrams), Seq("__g"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
-    sh.join(hits, Seq(idCol), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("__hit", lit(1))
+    docs
+      .select(col(idCol), TextExpressions.hashedShingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("__sz"),
+        explode_outer(col("__sh")).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"), "left")
+      .groupBy(col(idCol), col("__sz"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
       .withColumn("contamination",
         when(col("__sz") === 0, 0.0)
           .otherwise(col("n_hits").cast("double") / col("__sz")))
