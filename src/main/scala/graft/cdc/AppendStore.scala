@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.streaming.CurateMicroBatch]]).
   *
   * {{{
-  *   <root>/seg_00000000000000000000/part-*.parquet  // batch 0
-  *   <root>/seg_00000000000000000001/part-*.parquet  // batch 1
+  *   <root>/seg_00000000000000000000/part-*.parquet            // batch 0
+  *   <root>/seg_00000000000000000001/part-*.parquet            // batch 1
+  *   <root>/seg_00000000000000000000_00000000000000000041/...  // compacted 0..41
   * }}}
   *
   * Why not [[TableStore]] snapshots: a snapshot `write(prev ∪ delta)`
@@ -34,43 +35,97 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * writes it last); readers skip torn segments, and a crash
   * mid-segment-write is healed by the replay's overwrite.
   *
-  * Compaction (merging old segments to bound file counts) is a
-  * maintenance concern deliberately left out: it must preserve id-range
-  * boundaries for `readBefore` determinism (e.g. merge seg_0..seg_41
-  * into one dir tagged with that range) and the drains here never need
-  * it at test scale. At 100 TB you would compact cold segments on a
-  * schedule, exactly like any LSM table.
-  */
+  * Compaction — [[compact]] merges the committed id range `[0, upTo]`
+  * into one RANGE segment (`seg_<lo>_<hi>`), bounding file/dir counts
+  * on a long-running drain (the LSM maintenance step). Crash-safe
+  * without a manifest via CONTAINMENT VISIBILITY: readers ignore any
+  * committed segment whose id range is covered by another committed
+  * segment's range, so the instant the range dir commits, the
+  * originals become invisible — a crash before their (best-effort)
+  * deletion never double-counts. `readBefore` determinism is preserved
+  * because compaction only merges ids strictly below any batch the
+  * source could still (re)deliver: callers pass `upTo` < the
+  * checkpoint frontier, and the range segment never straddles a future
+  * batch's `readBefore` boundary. */
 final class AppendStore(spark: SparkSession, root: String) {
 
   private val rootPath = new Path(root)
   private def fs =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def segDir(id: Long) = new Path(rootPath, f"seg_$id%020d")
+  private def segName(lo: Long, hi: Long): String =
+    if (lo == hi) f"seg_$lo%020d" else f"seg_$lo%020d_$hi%020d"
 
-  /** Committed segment ids, ascending. */
-  def segments(): Seq[Long] =
-    if (!fs.exists(rootPath)) Nil
-    else fs.listStatus(rootPath).toSeq.map(_.getPath)
+  /** Committed segment ranges after containment filtering, ascending by
+    * lo. Single-batch segments are (id, id) ranges. */
+  private def ranges(): Seq[(Long, Long, Path)] = {
+    if (!fs.exists(rootPath)) return Nil
+    val committed = fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("seg_") &&
         fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("seg_").toLong).sorted
+      .flatMap { p =>
+        p.getName.stripPrefix("seg_").split("_") match {
+          case Array(a)    => Some((a.toLong, a.toLong, p))
+          case Array(a, b) => Some((a.toLong, b.toLong, p))
+          case _           => None
+        }
+      }
+    // containment visibility: a segment covered by a (strictly wider)
+    // committed range was compacted into it — invisible, pending delete
+    committed.filterNot { case (lo, hi, p) =>
+      committed.exists { case (l2, h2, p2) =>
+        p2 != p && l2 <= lo && hi <= h2 && (h2 - l2) > (hi - lo)
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Committed segment ids (ascending); range segments contribute their
+    * bounds' full span conceptually but are listed by `lo`. */
+  def segments(): Seq[Long] = ranges().map(_._1)
 
   /** Land `df` as segment `batchId`, overwriting any previous content
     * of that segment (idempotent batch replay). */
   def write(df: DataFrame, batchId: Long): Unit =
-    df.write.mode("overwrite").parquet(segDir(batchId).toString)
+    df.write.mode("overwrite")
+      .parquet(new Path(rootPath, segName(batchId, batchId)).toString)
 
-  private def union(ids: Seq[Long]): Option[DataFrame] =
-    if (ids.isEmpty) None
-    else Some(spark.read.parquet(ids.map(segDir(_).toString): _*))
+  private def union(rs: Seq[(Long, Long, Path)]): Option[DataFrame] =
+    if (rs.isEmpty) None
+    else Some(spark.read.parquet(rs.map(_._3.toString): _*))
 
   /** All committed state. */
-  def read(): Option[DataFrame] = union(segments())
+  def read(): Option[DataFrame] = union(ranges())
 
   /** State as of BEFORE `batchId` — what the transition function for
-    * batch `batchId` must read so its output is replay-invariant. */
-  def readBefore(batchId: Long): Option[DataFrame] =
-    union(segments().filter(_ < batchId))
+    * batch `batchId` must read so its output is replay-invariant.
+    * Refuses a boundary that splits a compacted range (compaction
+    * below the checkpoint frontier makes this unreachable in the
+    * drains; the guard turns a misuse into an error, not wrong data). */
+  def readBefore(batchId: Long): Option[DataFrame] = {
+    val rs = ranges()
+    rs.find(r => r._1 < batchId && batchId <= r._2).foreach { r =>
+      sys.error(s"readBefore($batchId) splits compacted range " +
+        s"[${r._1}, ${r._2}] — compact only below the replay frontier")
+    }
+    union(rs.filter(_._2 < batchId))
+  }
+
+  /** Merge all committed segments with ids in `[0, upTo]` into one
+    * range segment. Call with `upTo` strictly below the streaming
+    * checkpoint frontier (batches that can never be re-delivered).
+    * Idempotent; a crash at any point leaves a readable store (the
+    * originals stay visible until the range dir commits, then become
+    * invisible by containment and are best-effort deleted). */
+  def compact(upTo: Long): Unit = {
+    val victims = ranges().filter(_._2 <= upTo)
+    if (victims.size <= 1) return
+    val lo = victims.map(_._1).min
+    val hi = victims.map(_._2).max
+    val target = new Path(rootPath, segName(lo, hi))
+    union(victims).get.write.mode("overwrite").parquet(target.toString)
+    // best-effort cleanup — already invisible to readers either way
+    victims.foreach { case (_, _, p) =>
+      try { fs.delete(p, true); () } catch { case _: Exception => () }
+    }
+  }
 }

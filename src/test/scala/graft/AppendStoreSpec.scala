@@ -48,6 +48,46 @@ class AppendStoreSpec extends AnyFunSuite {
       Set((1L, "a"), (9L, "z")))
   }
 
+  test("compact merges a prefix; originals invisible by containment") {
+    val root = tmp("as-cp") + "/t"
+    val store = new AppendStore(spark, root)
+    store.write(Seq((1L, "a")).toDF("id", "v"), 0L)
+    store.write(Seq((2L, "b")).toDF("id", "v"), 1L)
+    store.write(Seq((3L, "c")).toDF("id", "v"), 2L)
+    store.write(Seq((4L, "d")).toDF("id", "v"), 5L)
+    store.compact(upTo = 2L)
+    // same data, fewer segments; later segments untouched
+    assert(store.read().get.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(store.segments() == Seq(0L, 5L))
+    // a future batch's readBefore still reconstructs its prior state
+    assert(store.readBefore(5L).get.count() == 3)
+    assert(store.readBefore(3L).get.count() == 3)
+    // but a boundary splitting the compacted range is refused
+    intercept[RuntimeException](store.readBefore(2L))
+    // compaction is idempotent
+    store.compact(upTo = 2L)
+    assert(store.read().get.count() == 4)
+  }
+
+  test("crash between range-commit and cleanup never double-counts") {
+    val root = tmp("as-crash") + "/t"
+    val store = new AppendStore(spark, root)
+    store.write(Seq((1L, "a")).toDF("id", "v"), 0L)
+    store.write(Seq((2L, "b")).toDF("id", "v"), 1L)
+    // simulate the crash: a committed range dir exists AND the original
+    // segment dirs still exist (cleanup never ran)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write
+      .parquet(new java.io.File(root,
+        "seg_" + "0" * 20 + "_" + "0" * 19 + "1").toString)
+    assert(store.read().get.count() == 2, "originals must be invisible")
+    // future batches reconstruct cleanly past the range
+    assert(store.readBefore(2L).get.count() == 2)
+    // a batch INSIDE the compacted range can no longer replay — the
+    // guard makes the precondition violation loud instead of silent
+    intercept[RuntimeException](store.readBefore(1L))
+  }
+
   test("torn segments (no _SUCCESS) are invisible to readers") {
     val root = tmp("as-torn") + "/t"
     val store = new AppendStore(spark, root)
