@@ -48,8 +48,12 @@ object CurateMicroBatch {
       threshold: Double = 0.5, contaminationN: Int = 3,
       contaminationThreshold: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
+    // The labeled plan references the admitted frame twice (split +
+    // contamination legs) and its lineage re-runs the batch dedup per
+    // reference — pin it once; batch-sized, so the materialization is
+    // cheap by the drain's own contract.
     val adm = DedupMicroBatch.processBatch(batch, batchId, indexStore,
-      rejectStore, threshold)
+      rejectStore, threshold).localCheckpoint(true)
     val labeled = Sampling.split(adm, idCol, weights, seed)
       .join(Decontaminate.flag(adm, evalDocs, contaminationN,
           contaminationThreshold, textCol, idCol)
