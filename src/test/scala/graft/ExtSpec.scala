@@ -570,4 +570,27 @@ class ExtSpec extends AnyFunSuite {
     assert(persisted == fresh && fresh.nonEmpty,
       "search over the persisted index must equal search over the fresh build")
   }
+
+  test("decontaminate: empty, tiny, and exact-leak docs") {
+    import graft.operators.Decontaminate
+    val docs = Seq(
+      (1L, ""),                                     // zero shingles
+      (2L, "two words"),                            // whole-text shingle
+      (3L, "the quick brown fox jumps over fences"), // partial overlap
+      (4L, "completely unrelated content here now")).toDF("doc_id", "text")
+    val eval = Seq((9L, "two words"),
+      (10L, "the quick brown fox sits")).toDF("doc_id", "text")
+    val out = Decontaminate.flag(docs, eval).orderBy("doc_id")
+      .select("doc_id", "n_hits", "contamination", "contaminated")
+      .as[(Long, Long, Double, Boolean)].collect()
+    // empty doc: no shingles -> defined 0.0, never NULL, never flagged
+    assert(out(0) == ((1L, 0L, 0.0, false)), s"got ${out(0)}")
+    // tiny doc identical to an eval doc: its single whole-text shingle
+    // hits -> contamination 1.0
+    assert(out(1) == ((2L, 1L, 1.0, true)), s"got ${out(1)}")
+    // 3-gram overlap: eval doc 10 contributes 'the quick brown' and
+    // 'quick brown fox' among doc 3's 5 shingles -> 2/5
+    assert(out(2) == ((3L, 2L, 0.4, false)), s"got ${out(2)}")
+    assert(out(3) == ((4L, 0L, 0.0, false)), s"got ${out(3)}")
+  }
 }
