@@ -541,6 +541,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram pair-gen: paths agree on the real documents fixture at the dispatch boundary") {
+    // Synthetic-doc equality above; this pins it on real corpus text
+    // (500 sf0.01 docs, planted near-dups) at the t where dispatch
+    // flips — the threshold a caller is most likely to sit near.
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    def run(f: (org.apache.spark.sql.DataFrame, Seq[String], String,
+        String, Int, Double, Long) => org.apache.spark.sql.DataFrame) =
+      f(docs, Seq("lang"), "text", "doc_id", 3, 0.5,
+        Dedup.DefaultMaxShingleDf)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val cnt = run(Dedup.ngramPairsCountVerify)
+    val pre = run(Dedup.ngramPairsPrefix)
+    assert(cnt == pre && cnt.nonEmpty,
+      s"fixture paths diverge at t=0.5: count=${cnt.size} prefix=${pre.size}")
+  }
+
   test("embeddingCosinePairs rejects a block larger than maxBlockRows") {
     val embs = (1L to 8L).map(i =>
       (i, "same", Array.tabulate(4)(j => 0.1f * (i + j))))
