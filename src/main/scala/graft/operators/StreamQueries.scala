@@ -120,6 +120,11 @@ object StreamQueries {
           par, idx, rej, adm, evalDocs, weights, seed = "42",
           threshold = 1.01)
       }
+      // compaction must be invisible to readers — the oracle pins it:
+      // both admitted segments merge into one range segment and the
+      // hash against DuckDB (which knows nothing of segments) still
+      // matches
+      adm.compact(upTo = 1L)
       adm.read().get
         .select("doc_id", "split", "contamination", "contaminated")
         .orderBy("doc_id")
