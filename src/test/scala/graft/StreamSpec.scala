@@ -297,6 +297,47 @@ class StreamSpec extends AnyFunSuite {
     assert(!streamed(1L)._2 && !streamed(2L)._2 && !streamed(5L)._2)
   }
 
+  test("streaming curate: runAvailableNow drain labels across checkpointed batches") {
+    import graft.streaming.CurateMicroBatch
+    val src = tmp("cur-drain-src")
+    val idxStore = new AppendStore(spark, tmp("cur-drain-idx") + "/t")
+    val rejStore = new AppendStore(spark, tmp("cur-drain-rej") + "/t")
+    val admStore = new AppendStore(spark, tmp("cur-drain-adm") + "/t")
+    val ckpt = tmp("cur-drain-ckpt")
+    val evalDocs = Seq((100L, "held out evaluation question text"))
+      .toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.9, "test" -> 0.1)
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep dark forest to hide from all the hunters"
+    val schema = Seq((1L, base)).toDF("doc_id", "text").schema
+
+    // drain 1: one distinct doc
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    CurateMicroBatch.runAvailableNow(spark, src, schema, idxStore, rejStore,
+      admStore, evalDocs, weights, ckpt, threshold = 0.3)
+    // drain 2: a near-dup of the indexed doc + a new doc — the
+    // checkpoint hands the second drain a HIGHER batchId, so the
+    // cross-batch index match must reject the near-dup
+    Seq((10L, base.replace("dog", "cat")), (11L, "entirely novel writing " +
+      "about distributed systems and exactly once stream processing"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    CurateMicroBatch.runAvailableNow(spark, src, schema, idxStore, rejStore,
+      admStore, evalDocs, weights, ckpt, threshold = 0.3)
+
+    val admitted = admStore.read().get.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(admitted.keySet == Set(1L, 11L), s"got ${admitted.keySet}")
+    val rejects = rejStore.read().get.select("new_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(rejects == Set((10L, 1L)), s"got $rejects")
+    // labels match the pure batch-mode function
+    val expected = graft.operators.Sampling.split(
+      Seq((1L, base), (11L, "x")).toDF("doc_id", "text"), "doc_id", weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(admitted == expected, s"stream=$admitted batch=$expected")
+  }
+
   test("streaming curate: replaying a batch leaves the admitted store unchanged") {
     import graft.streaming.CurateMicroBatch
     val idxStore = new AppendStore(spark, tmp("cur-rp-idx") + "/t")
