@@ -89,9 +89,15 @@ final class AppendStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite")
       .parquet(new Path(rootPath, segName(batchId, batchId)).toString)
 
+  // mergeSchema: a store outlives its writer's schema — an ingest that
+  // adds a column after a restart must not have old/new segments win
+  // arbitrarily by footer order. Added columns surface as NULLs on old
+  // rows (unionByName semantics); the footer-merge cost is bounded by
+  // the segment count, which compaction bounds in turn.
   private def union(rs: Seq[(Long, Long, Path)]): Option[DataFrame] =
     if (rs.isEmpty) None
-    else Some(spark.read.parquet(rs.map(_._3.toString): _*))
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(rs.map(_._3.toString): _*))
 
   /** All committed state. */
   def read(): Option[DataFrame] = union(ranges())

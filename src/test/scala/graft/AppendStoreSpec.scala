@@ -88,6 +88,16 @@ class AppendStoreSpec extends AnyFunSuite {
     intercept[RuntimeException](store.readBefore(1L))
   }
 
+  test("schema evolution across segments merges; old rows get NULLs") {
+    val store = new AppendStore(spark, tmp("as-ev") + "/t")
+    store.write(Seq((1L, "a")).toDF("id", "v"), 0L)
+    // the writer evolved: a new column appears in later segments
+    store.write(Seq((2L, "b", 0.5)).toDF("id", "v", "score"), 1L)
+    val rows = store.read().get.select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(0.5))), s"got $rows")
+  }
+
   test("torn segments (no _SUCCESS) are invisible to readers") {
     val root = tmp("as-torn") + "/t"
     val store = new AppendStore(spark, root)
