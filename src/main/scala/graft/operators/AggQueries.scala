@@ -184,6 +184,22 @@ object AggQueries {
       dest.join(incoming, Seq("o_orderkey"), "left_anti").orderBy("o_orderkey")
     },
 
+    // Salted left join — the skew-mitigation path for hot keys beyond
+    // AQE's skew-split (one key larger than executor memory): probe
+    // rows get a deterministic content-derived salt, the build side
+    // replicates saltFactor×, and the (key, salt) join spreads each hot
+    // key over saltFactor tasks. The oracle is the PLAIN left join —
+    // salting must be result-invisible, which is exactly the contract
+    // worth pinning in the driver gate.
+    "q_join_skew_salted" -> { (s, d) =>
+      val probe = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val build = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Skew.saltedLeftJoin(probe, build, "l_orderkey", saltFactor = 8)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
     // Semi join ≡ EXISTS: orders that have at least one late-shipped
     // line (left_semi keeps left columns only, dedup'd — no fan-out).
     "q_join_semi_exists" -> { (s, d) =>
@@ -506,6 +522,10 @@ object AggQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_join_skew_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_join_anti_upsert" ->
       """SELECT * FROM orders
         |WHERE o_orderdate < TIMESTAMP '2000-01-01'
