@@ -191,8 +191,12 @@ object AggQueries {
     // key over saltFactor tasks. The oracle is the PLAIN left join —
     // salting must be result-invisible, which is exactly the contract
     // worth pinning in the driver gate.
+    // Probe sliced to a fixed modulus: the key pins result-invisibility
+    // (the semantics), not throughput — the full-corpus shuffle shape is
+    // already benched by q_join_left_fact_dim.
     "q_join_skew_salted" -> { (s, d) =>
       val probe = Tables(s, d, "lineitem")
+        .where(col("l_orderkey") % 7 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       val build = Tables(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
@@ -525,6 +529,7 @@ object AggQueries {
     "q_join_skew_salted" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 7 = 0
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_join_anti_upsert" ->
       """SELECT * FROM orders
