@@ -562,6 +562,39 @@ object Dedup {
       .select((blockCols :+ "id_a" :+ "id_b").map(col): _*)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the normalized embeddings
+    * ([[Ivf.build]]'s Lloyd kernel — map-side codegen'd assignment,
+    * driver-held KB centroids), then compare pairs ONLY within a
+    * cluster. Cross-cluster pairs are deliberately never examined —
+    * that is the method's accepted trade: quadratic work drops from
+    * corpus² to Σ cell², and the pairs it does emit are verified with
+    * an exact dot product, so precision is 1 while recall is bounded
+    * by how often near-dups share a cell (gate-measured on the
+    * fixture; grows with cell size, i.e. smaller `nClusters`).
+    *
+    * Scale: clustering cost is the [[Ivf.build]] story (iters map-only
+    * assignment passes + tiny per-cell mean aggregates); pair
+    * generation is [[embeddingCosinePairs]] blocked on the cell id —
+    * one shuffle on the cell key, per-cell quadratic work bounded by
+    * `maxClusterRows` (fail-fast, names the LSH alternative). At
+    * 100 TB you size `nClusters` ≈ corpus/√maxClusterRows so cells
+    * stay bounded, exactly like the paper's FAISS sharding. */
+  def semanticPairs(embs: DataFrame, nClusters: Int = 8, iters: Int = 2,
+      threshold: Double = 0.35, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxClusterRows: Long = 1L << 16)
+      : DataFrame = {
+    val (assigned, _) = Ivf.build(embs, nlist = nClusters, iters = iters,
+      vecCol = vecCol, idCol = idCol)
+    // assigned carries the already-normalized vector; re-normalizing in
+    // embeddingCosinePairs is idempotent, so reuse is safe.
+    embeddingCosinePairs(
+      assigned.select(col("vec_id").as(idCol), col("cell"),
+        col("__v").as(vecCol)),
+      blockCols = Seq("cell"), vecCol = vecCol, idCol = idCol,
+      threshold = threshold, maxBlockRows = maxClusterRows)
+  }
+
   /** SCALE-PATH embedding-cosine near-dup pairs: sign-random-projection
     * LSH candidate generation INSIDE each block (Charikar 2002, same
     * [[graft.functions.LshBuckets]] kernel as ANN search), exact dot

@@ -195,6 +195,19 @@ object ExtQueries {
         .orderBy("label", "id_a", "id_b")
     },
 
+    // SemDeDup-style semantic dedup (cluster embeddings, compare pairs
+    // only within a cluster — the modern curation step for LLM corpora).
+    // Raw operator benched here; correctness rides the [[gateQueries]]
+    // override (cluster assignment is engine-specific, so the raw pair
+    // set has no SQL restatement — the gate pins precision, planted
+    // recall, and the DuckDB-exact global pair count instead).
+    "q_dedup_semantic" -> { (s, d) =>
+      Dedup.semanticPairs(Tables(s, d, "embeddings"), nClusters = 8,
+        threshold = 0.35)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+
     // Brute-force cosine top-k: exact baseline for similarity search.
     "q_sim_topk" -> { (s, d) =>
       val e = Tables(s, d, "embeddings")
@@ -389,6 +402,39 @@ object ExtQueries {
       recall.crossJoin(spurious).select(col("n_exact"),
         coalesce(col("__recall") >= 0.95, lit(true)).as("recall_ge_095"),
         (col("__spur") === 0).as("no_spurious_pairs"))
+    },
+
+    // Semantic-dedup gate. Three driver-visible claims:
+    //   n_exact_global — the DuckDB-recomputable count of ALL global
+    //     cosine≥t pairs (real oracle value, hash-compared);
+    //   planted_recall_1 — 50 EXACT duplicate vectors (same embedding,
+    //     shifted id) unioned into the corpus must ALL be recovered at
+    //     t=0.9: an identical vector has an identical centroid argmax,
+    //     so co-location is structural, not probabilistic — a broken
+    //     assignment or pair stage flips this to false;
+    //   no_spurious_pairs — precision 1: every emitted pair is in the
+    //     exact global pair set (clustering may MISS cross-cluster
+    //     pairs — the method's documented trade — but must never
+    //     invent one).
+    "q_dedup_semantic" -> { (s, d) =>
+      val embs = Tables(s, d, "embeddings")
+      val exact = Dedup.embeddingCosinePairs(
+        embs.withColumn("__all", lit(1)), blockCols = Seq("__all"),
+        threshold = 0.35).select("id_a", "id_b")
+      val sem = Dedup.semanticPairs(embs, nClusters = 8, threshold = 0.35)
+        .select("id_a", "id_b")
+      val planted = embs.where(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val sem9 = Dedup.semanticPairs(embs.unionByName(planted),
+        nClusters = 8, threshold = 0.9).select("id_a", "id_b")
+      val plantedOk = sem9.agg(
+        (count(lit(1)) === 50 && sum(when(
+          col("id_b") === col("id_a") + 1000000L, 1).otherwise(0)) === 50)
+          .as("planted_recall_1"))
+      val spurious = sem.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0).as("no_spurious_pairs"))
+      exact.agg(count(lit(1)).as("n_exact_global"))
+        .crossJoin(plantedOk).crossJoin(spurious)
     },
 
     // LSH ANN per-row optimality gate: for every (query, rank) the ANN
@@ -794,6 +840,15 @@ object ExtQueries {
         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
         |SELECT (SELECT count(*) FROM p) AS n_exact,
         |  true AS recall_ge_095, true AS no_spurious_pairs""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT (SELECT count(*) FROM p) AS n_exact_global,
+        |  true AS planted_recall_1, true AS no_spurious_pairs""".stripMargin,
     "q_sim_ann_lsh" ->
       """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
         |FROM embeddings, range(1, 6) t(r)

@@ -588,6 +588,29 @@ class ExtSpec extends AnyFunSuite {
       "search over the persisted index must equal search over the fresh build")
   }
 
+  test("semanticPairs: planted duplicates recovered, no spurious pairs") {
+    import graft.operators.Dedup
+    // three well-separated directions + exact duplicates of two of them
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val embs = Seq(
+      (1L, v(1, 0, 0)), (2L, v(0, 1, 0)), (3L, v(0, 0, 1)),
+      (4L, v(0.99, 0.1, 0)),              // near-dup of 1 (cos ~0.995)
+      (101L, v(1, 0, 0)), (102L, v(0, 1, 0))) // exact dups of 1 and 2
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticPairs(embs, nClusters = 3, iters = 2,
+      threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical vectors share a centroid argmax structurally; the
+    // near-dup lands with its original for any sane clustering of
+    // three orthogonal directions
+    assert(pairs.contains((1L, 101L)) && pairs.contains((2L, 102L)),
+      s"planted duplicates not recovered: $pairs")
+    assert(pairs.contains((1L, 4L)), s"near-dup of 1 missing: $pairs")
+    // precision 1: nothing across the orthogonal directions
+    val exact = Set((1L, 4L), (1L, 101L), (2L, 102L), (4L, 101L))
+    assert(pairs.subsetOf(exact), s"spurious pairs: ${pairs -- exact}")
+  }
+
   test("decontaminate: empty, tiny, and exact-leak docs") {
     import graft.operators.Decontaminate
     val docs = Seq(
