@@ -595,6 +595,24 @@ object Dedup {
       threshold = threshold, maxBlockRows = maxClusterRows)
   }
 
+  /** Semantic dedup policy over [[semanticPairs]]: label connected
+    * components of the near-dup graph ([[clusters]]) and keep each
+    * component's canonical (minimum-id) member — the same
+    * representative selection [[Curate.corpus]] applies to text
+    * near-dups. Rows in no pair pass through untouched. */
+  def semanticDedup(embs: DataFrame, nClusters: Int = 8, iters: Int = 2,
+      threshold: Double = 0.35, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxClusterRows: Long = 1L << 16)
+      : DataFrame = {
+    val pairs = semanticPairs(embs, nClusters, iters, threshold, vecCol,
+      idCol, maxClusterRows)
+      .select(col("id_a"), col("id_b"))
+    val reps = clusters(pairs)
+    embs.join(reps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
   /** SCALE-PATH embedding-cosine near-dup pairs: sign-random-projection
     * LSH candidate generation INSIDE each block (Charikar 2002, same
     * [[graft.functions.LshBuckets]] kernel as ANN search), exact dot

@@ -609,6 +609,12 @@ class ExtSpec extends AnyFunSuite {
     // precision 1: nothing across the orthogonal directions
     val exact = Set((1L, 4L), (1L, 101L), (2L, 102L), (4L, 101L))
     assert(pairs.subsetOf(exact), s"spurious pairs: ${pairs -- exact}")
+
+    // representative policy: each component keeps its min id only
+    val kept = Dedup.semanticDedup(embs, nClusters = 3, iters = 2,
+      threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"got $kept")
   }
 
   test("decontaminate: empty, tiny, and exact-leak docs") {
