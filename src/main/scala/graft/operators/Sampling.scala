@@ -80,6 +80,46 @@ object Sampling {
       seed: String = "0", labelCol: String = "split"): DataFrame =
     df.withColumn(labelCol, splitLabel(col(idCol), weights, seed))
 
+  /** Deterministic domain-mixture sampling (the DoReMi-style data-mix
+    * step): pick per-domain keep fractions so the SAMPLED corpus hits
+    * `targetShares` (a probability vector over `domainCol` values)
+    * exactly in expectation, NEVER up-sampling — the feasible total is
+    * `T = min_d(n_d / s_d)` (the binding domain is kept whole,
+    * fraction 1) and every other domain keeps `s_d · T / n_d`.
+    * Domains outside the target are dropped.
+    *
+    * Determinism: fractions derive from exact counts with the same
+    * IEEE-754 expression shape the DuckDB oracle restates
+    * (`min(n/s)`, then `s·T/n`), and membership is the md5 draw — so
+    * the selected ROW SET is engine- and partitioning-invariant, not
+    * just the realized proportions.
+    *
+    * Scale: one tiny count aggregate (K domains of driver-held model
+    * state, like Ivf centroids), then the map-only stratified draw —
+    * zero corpus shuffles. */
+  def mixture(df: DataFrame, idCol: String, domainCol: String,
+      targetShares: Seq[(String, Double)], seed: String = "0")
+      : DataFrame = {
+    require(targetShares.nonEmpty && targetShares.forall(_._2 > 0.0),
+      "target shares must be positive")
+    require(math.abs(targetShares.map(_._2).sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targetShares.map(_._2).sum}")
+    val domains = targetShares.map(_._1)
+    val counts = df.where(col(domainCol).isin(domains: _*))
+      .groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = domains.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"target domains absent from corpus: ${missing.mkString(", ")}")
+    val minRatio = targetShares
+      .map { case (d, s) => counts(d).toDouble / s }.min
+    val fractions = targetShares.map { case (d, s) =>
+      d -> (s * minRatio / counts(d).toDouble)
+    }
+    stratifiedSample(df, idCol, domainCol, fractions,
+      defaultFraction = 0.0, seed = seed)
+  }
+
   /** Deterministic stratified sample: per-stratum fractions (e.g. keep
     * 50% of `en`, 25% of `de`, `defaultFraction` of everything else).
     * The draw hashes ONLY (id, seed) — the same row keeps or drops

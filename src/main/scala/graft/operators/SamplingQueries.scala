@@ -34,6 +34,20 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Domain-mixture sampling (DoReMi-style data mix): keep fractions
+    // chosen so the sample hits target lang shares (en .5 / de .2 /
+    // fr .3) at the max feasible total — the binding domain keeps
+    // fraction 1, nothing is ever up-sampled. The oracle recomputes the
+    // fractions from the SAME count + IEEE-754 expression shape
+    // (min(n/s), then s·T/n) and restates the md5 draw, so the exact
+    // ROW SET is hash-checked, not just the realized proportions.
+    "q_sample_mixture" -> { (s, d) =>
+      Sampling.mixture(Tables(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3),
+        seed = "77")
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: concat-then-chunk pack assignment over the
     // doc_id-ordered token stream, 4096-token packs — distributed
     // two-pass prefix sum (the oracle restates the global running sum
@@ -65,6 +79,21 @@ object SamplingQueries {
         |           WHEN lang = 'de' THEN h < '40000000'
         |           ELSE h < '19999999' END
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH tgt(lang, s) AS (
+        |  VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)),
+        |cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents JOIN tgt USING (lang) GROUP BY lang),
+        |j AS (SELECT t.lang, t.s, c.n FROM tgt t JOIN cnt c USING (lang)),
+        |fr AS (
+        |  SELECT lang, s * (SELECT min(n / s) FROM j) / n AS f FROM j)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN fr USING (lang)
+        |WHERE f >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':77'), 1, 8)
+        |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, ntok AS n_tokens,
         |  CAST(floor((cum - ntok) / 4096.0) AS BIGINT) AS pack_id

@@ -189,6 +189,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling: binding domain kept whole, shares hit target, never up-samples") {
+    import graft.operators.Sampling
+    // skewed corpus: a=600, b=100, c=50; target 0.5/0.2/0.3 → c binds
+    // (50/0.3 ≈ 167), so T ≈ 167: keep all of c, ~83 of a, ~33 of b
+    val rows = (1L to 600L).map(i => (i, "a")) ++
+      (1001L to 1100L).map(i => (i, "b")) ++
+      (2001L to 2050L).map(i => (i, "c")) ++
+      (3001L to 3100L).map(i => (i, "x")) // outside the target: dropped
+    val df = rows.toDF("id", "dom")
+    val out = Sampling.mixture(df, "id", "dom",
+      Seq("a" -> 0.5, "b" -> 0.2, "c" -> 0.3), seed = "m")
+      .as[(Long, String)].collect()
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom.getOrElse("x", 0) == 0, "non-target domain must drop")
+    assert(byDom("c") == 50, "binding domain must be kept whole")
+    assert(byDom("a") <= 600 && byDom("b") <= 100, "never up-sample")
+    // realized shares concentrate near the target (md5 draw is
+    // uniform; 3-sigma-ish slack for the ~83/33 expected counts)
+    val total = out.length.toDouble
+    assert(math.abs(byDom("a") / total - 0.5) < 0.12, s"a share ${byDom("a") / total}")
+    assert(math.abs(byDom("b") / total - 0.2) < 0.10, s"b share ${byDom("b") / total}")
+    // a target domain absent from the corpus fails fast
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(df, "id", "dom", Seq("a" -> 0.5, "zz" -> 0.5))
+    }
+  }
+
   test("pack: string order column — exact global prefix sum, >1 bucket, no corpus-wide global window") {
     import graft.operators.Pack
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
