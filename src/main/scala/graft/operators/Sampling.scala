@@ -99,22 +99,36 @@ object Sampling {
     * zero corpus shuffles. */
   def mixture(df: DataFrame, idCol: String, domainCol: String,
       targetShares: Seq[(String, Double)], seed: String = "0")
-      : DataFrame = {
+      : DataFrame =
+    mixtureBy(df, idCol, domainCol, targetShares, lit(1L), seed)
+
+  /** [[mixture]] with shares over an integral per-row WEIGHT instead of
+    * row counts — the practical form: training mixes are specified in
+    * TOKEN shares, so pass the token count as the weight. The weight
+    * must be integral: per-domain totals then sum EXACTLY (long
+    * arithmetic is order-independent where a double sum is not), which
+    * keeps the derived fractions bit-reproducible against the DuckDB
+    * oracle. Membership stays the per-row md5 draw, so the expected
+    * WEIGHT share hits the target while row selection remains
+    * engine/partitioning-invariant. */
+  def mixtureBy(df: DataFrame, idCol: String, domainCol: String,
+      targetShares: Seq[(String, Double)], weight: Column,
+      seed: String = "0"): DataFrame = {
     require(targetShares.nonEmpty && targetShares.forall(_._2 > 0.0),
       "target shares must be positive")
     require(math.abs(targetShares.map(_._2).sum - 1.0) < 1e-9,
       s"target shares must sum to 1, got ${targetShares.map(_._2).sum}")
     val domains = targetShares.map(_._1)
-    val counts = df.where(col(domainCol).isin(domains: _*))
-      .groupBy(domainCol).count()
+    val totals = df.where(col(domainCol).isin(domains: _*))
+      .groupBy(domainCol).agg(sum(weight.cast("long")).as("__w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missing = domains.filterNot(counts.contains)
+    val missing = domains.filterNot(d => totals.get(d).exists(_ > 0))
     require(missing.isEmpty,
-      s"target domains absent from corpus: ${missing.mkString(", ")}")
+      s"target domains absent (or zero-weight) in corpus: ${missing.mkString(", ")}")
     val minRatio = targetShares
-      .map { case (d, s) => counts(d).toDouble / s }.min
+      .map { case (d, s) => totals(d).toDouble / s }.min
     val fractions = targetShares.map { case (d, s) =>
-      d -> (s * minRatio / counts(d).toDouble)
+      d -> (s * minRatio / totals(d).toDouble)
     }
     stratifiedSample(df, idCol, domainCol, fractions,
       defaultFraction = 0.0, seed = seed)

@@ -48,6 +48,20 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Token-weighted mixture — the practical form (training mixes are
+    // specified in TOKEN shares): per-domain totals are exact long sums
+    // of the whitespace token count, so the derived fractions stay
+    // bit-reproducible against the oracle's identical restatement.
+    "q_sample_mixture_tokens" -> { (s, d) =>
+      Sampling.mixtureBy(Tables(s, d, "documents")
+          .select("doc_id", "lang", "text"),
+        "doc_id", "lang", Seq("en" -> 0.6, "zh" -> 0.4),
+        weight = graft.functions.TextFunctions.tokenCount(col("text")),
+        seed = "78")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: concat-then-chunk pack assignment over the
     // doc_id-ordered token stream, 4096-token packs — distributed
     // two-pass prefix sum (the oracle restates the global running sum
@@ -92,6 +106,25 @@ object SamplingQueries {
         |FROM documents d JOIN fr USING (lang)
         |WHERE f >= 1.0
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':77'), 1, 8)
+        |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_sample_mixture_tokens" ->
+      """WITH tgt(lang, s) AS (VALUES ('en', 0.6), ('zh', 0.4)),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS ntok
+        |  FROM documents JOIN tgt USING (lang)),
+        |cnt AS (
+        |  SELECT lang, CAST(sum(ntok) AS DOUBLE) AS n
+        |  FROM tok GROUP BY lang),
+        |j AS (SELECT t.lang, t.s, c.n FROM tgt t JOIN cnt c USING (lang)),
+        |fr AS (
+        |  SELECT lang, s * (SELECT min(n / s) FROM j) / n AS f FROM j)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN fr USING (lang)
+        |WHERE f >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':78'), 1, 8)
         |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
         |ORDER BY d.doc_id""".stripMargin,
     "q_pack_sequences" ->
