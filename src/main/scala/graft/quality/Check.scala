@@ -73,6 +73,60 @@ object Check {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Row-level routing for ingest-time quarantine: split `df` into
+    * (clean, quarantined) on the row-routable rules. [[NotNull]] and
+    * [[AcceptedValues]] evaluate per row (map-only); [[Relationship]]
+    * flags rows whose non-NULL key is absent from the ref via one left
+    * join against the distinct key set (dim-sized refs broadcast under
+    * AQE — the same join [[apply]] already shapes). [[Unique]] is NOT
+    * row-routable — which copy of a duplicate is "bad" is a dedup
+    * policy, not a row predicate; route duplicates through
+    * `Upsert.withDedup` / dedup-latest instead — and is rejected here
+    * so a misconfigured gate fails loudly.
+    *
+    * Quarantined rows keep the full input schema plus a `__violations`
+    * column naming every failed rule — enough to repair and re-ingest
+    * (the reject-log pattern of the dedup drain, applied to quality).
+    */
+  def route(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "at least one rule required")
+    rules.collectFirst { case u: Unique => u }.foreach { u =>
+      throw new IllegalArgumentException(
+        s"Unique(${u.columns.mkString(",")}) is not row-routable — " +
+          "dedup policy decides which duplicate survives (Upsert.withDedup)")
+    }
+    var cur = df
+    val flags = rules.zipWithIndex.map { case (r, i) =>
+      val name = s"__viol_$i"
+      r match {
+        case NotNull(c) =>
+          cur = cur.withColumn(name, col(c).isNull)
+          name -> s"not_null($c)"
+        case AcceptedValues(c, vs) =>
+          cur = cur.withColumn(name,
+            col(c).isNotNull && !col(c).isin(vs: _*))
+          name -> s"accepted_values($c)"
+        case Relationship(c, ref, rc) =>
+          val hit = s"__ref_hit_$i"
+          cur = cur
+            .join(ref.select(col(rc).as(c)).distinct()
+              .withColumn(hit, lit(true)), Seq(c), "left")
+            .withColumn(name, col(c).isNotNull && col(hit).isNull)
+            .drop(hit)
+          name -> s"relationship($c)"
+        case u: Unique => throw new IllegalStateException(u.toString)
+      }
+    }
+    val anyViol = flags.map(f => col(f._1)).reduce(_ || _)
+    val labels = concat_ws(",",
+      flags.map { case (n, label) => when(col(n), label) }: _*)
+    val clean = cur.where(!anyViol).drop(flags.map(_._1): _*)
+      .select(df.columns.map(col): _*)
+    val dirty = cur.where(anyViol).withColumn("__violations", labels)
+      .select((df.columns :+ "__violations").map(col): _*)
+    (clean, dirty)
+  }
+
   /** `dbt build` gate: throw if any rule is violated (first offenders in
     * the message). */
   def enforce(df: DataFrame, rules: Seq[Rule], what: String = "table"): Unit = {

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.cdc.{TableStore, Upsert}
+import graft.cdc.{AppendStore, TableStore, Upsert}
+import graft.quality.Check
 
 /** §2.10 — the reference's pull-based micro-batch CDC restated as
   * Structured Streaming.
@@ -35,6 +36,34 @@ object CdcMicroBatch {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val dest = store.read().getOrElse(batch.limit(0))
         store.write(Upsert(dest, batch, keys))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Gated drain: each micro-batch routes through [[Check.route]] —
+    * clean rows run the normal upsert, violating rows land with their
+    * `__violations` labels as that batch's segment of a quarantine
+    * [[AppendStore]] (repair-and-reingest material, never silently
+    * dropped, never poisoning the destination). Exactly-once holds for
+    * both sides: the upsert is idempotent per batch and the quarantine
+    * segment is an idempotent overwrite keyed by batchId. */
+  def runAvailableNowGated(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: TableStore, keys: Seq[String],
+      checkpoint: String, rules: Seq[Check.Rule],
+      quarantine: AppendStore): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (clean, dirty) = Check.route(batch, rules)
+        val dest = store.read().getOrElse(clean.limit(0))
+        store.write(Upsert(dest, clean, keys))
+        quarantine.write(dirty, batchId)
         ()
       }
       .start()

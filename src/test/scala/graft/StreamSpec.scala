@@ -48,6 +48,47 @@ class StreamSpec extends AnyFunSuite {
     assert(state.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("gated streaming upsert: violating rows quarantined, clean rows merge") {
+    import graft.quality.Check
+    val src = tmp("gate-src")
+    val store = new TableStore(spark, tmp("gate-store") + "/t")
+    val quarantine = new AppendStore(spark, tmp("gate-q") + "/t")
+    val ckpt = tmp("gate-ckpt")
+    val schema = Seq((Option(1L), "a", "2024-01-01"))
+      .toDF("id", "attr", "track").schema
+    val rules = Seq(Check.NotNull("id"),
+      Check.AcceptedValues("attr", Seq("a", "b")))
+
+    // batch 1: one clean row, one null key, one bad attr value
+    Seq((Option(1L), "a", "2024-01-01"), (Option.empty[Long], "b", "2024-01-01"),
+      (Option(2L), "z", "2024-01-01"))
+      .toDF("id", "attr", "track").write.mode("append").parquet(src)
+    CdcMicroBatch.runAvailableNowGated(spark, src, schema, store,
+      Seq("id"), ckpt, rules, quarantine)
+    assert(store.read().get.select("id").as[Long].collect().toSeq == Seq(1L))
+    val q1 = quarantine.read().get
+      .select("id", "attr", "__violations")
+      .as[(Option[Long], String, String)].collect().toSet
+    assert(q1 == Set((None, "b", "not_null(id)"),
+      (Some(2L), "z", "accepted_values(attr)")), s"got $q1")
+
+    // batch 2: clean update of id=1 + another violator
+    Seq((Option(1L), "b", "2024-01-02"), (Option(3L), "y", "2024-01-02"))
+      .toDF("id", "attr", "track").write.mode("append").parquet(src)
+    CdcMicroBatch.runAvailableNowGated(spark, src, schema, store,
+      Seq("id"), ckpt, rules, quarantine)
+    val state = store.read().get.select("id", "attr")
+      .as[(Long, String)].collect().toSet
+    assert(state == Set((1L, "b")), s"dest must hold only clean rows: $state")
+    assert(quarantine.read().get.count() == 3)
+
+    // Unique is not row-routable — the gate must refuse it loudly
+    intercept[IllegalArgumentException] {
+      Check.route(Seq((1L, "a")).toDF("id", "attr"),
+        Seq(Check.Unique(Seq("id"))))
+    }
+  }
+
   test("streaming tumbling window agg matches the batch computation") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val batchResult = CdcMicroBatch.tumblingCounts(events)
