@@ -351,6 +351,28 @@ object AggQueries {
         .orderBy("event_id")
     },
 
+    // As-of with a match-age bound (pandas merge_asof tolerance):
+    // payloads older than 2 hours null out. The oracle keeps DuckDB's
+    // ASOF join and nulls out-of-tolerance matches — monotonicity makes
+    // the two formulations equal (if the latest match is too old, every
+    // earlier one is older).
+    "q_join_asof_tolerance" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = purchases.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"))
+      AsOfJoin.backward(
+        ev.select("event_id", "user_id", "ts"), right,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("last_purchase_value"),
+        tolerance = Some("2 HOURS"))
+        .orderBy("event_id")
+    },
+
     // J4/C2 — keep-latest-per-key dedup as window argmax (the idiomatic
     // form of DELETE WHERE (key,track) NOT IN (SELECT key, MAX(track)...)).
     // Tie-break is a total order over all columns — (key, track) alone is
@@ -584,6 +606,19 @@ object AggQueries {
         |    FROM events WHERE event_type = 'purchase')
         |  WHERE rn = 1)
         |SELECT e.event_id, e.user_id, e.ts, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  CASE WHEN e.ts - p.ts <= INTERVAL 2 HOUR THEN p.value END
+        |    AS last_purchase_value
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,

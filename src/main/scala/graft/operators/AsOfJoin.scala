@@ -19,12 +19,21 @@ import org.apache.spark.sql.functions._
   * Equal timestamps: the right row sorts before the left row at the
   * same instant (tag ordering), matching inclusive `l.ts >= r.ts`
   * ASOF semantics.
+  *
+  * `tolerance` (a Spark interval string, e.g. `"2 HOURS"`) bounds the
+  * match age: a carried payload older than `leftTs - tolerance` nulls
+  * out — pandas `merge_asof(tolerance=...)` semantics. Correctness
+  * rests on monotonicity: if the LATEST right row at or before `ts` is
+  * already out of tolerance, every earlier one is older still, so
+  * nulling the carried match is exactly "no match within tolerance".
+  * Same single shuffle — the matched timestamp rides the same window.
   */
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTs))
@@ -43,11 +52,16 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matchedTs = last(when(col("__side") === 0, col("__t")),
+      ignoreNulls = true).over(w)
+    val inTol = tolerance.fold(lit(true)) { tol =>
+      matchedTs >= col("__t") - expr(s"INTERVAL $tol")
+    }
     l.unionByName(r)
       .select(Seq(col(key), col("__t"), col("__side")) ++
         leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => last(col(s"__p_$c"), ignoreNulls = true)
-          .over(w).as(c)): _*)
+        payloadCols.map(c => when(inTol,
+          last(col(s"__p_$c"), ignoreNulls = true).over(w)).as(c)): _*)
       .where(col("__side") === 1) // keep only left rows
       .drop("__t", "__side")
   }
