@@ -373,6 +373,25 @@ object AggQueries {
         .orderBy("event_id")
     },
 
+    // Forward as-of: the EARLIEST purchase at or after each event
+    // (pandas merge_asof direction="forward") — mirrored union+window
+    // plan, same single key shuffle.
+    "q_join_asof_forward" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = purchases.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("value").as("next_purchase_value"))
+      AsOfJoin.forward(
+        ev.select("event_id", "user_id", "ts"), right,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("next_purchase_value"))
+        .orderBy("event_id")
+    },
+
     // J4/C2 — keep-latest-per-key dedup as window argmax (the idiomatic
     // form of DELETE WHERE (key,track) NOT IN (SELECT key, MAX(track)...)).
     // Tie-break is a total order over all columns — (key, track) alone is
@@ -621,6 +640,18 @@ object AggQueries {
         |    AS last_purchase_value
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  p.value AS next_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
     "q_dedup_latest_per_key" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

@@ -65,4 +65,49 @@ object AsOfJoin {
       .where(col("__side") === 1) // keep only left rows
       .drop("__t", "__side")
   }
+
+  /** Forward as-of join: attach the EARLIEST right row with the same
+    * key and `rightTs ≥ leftTs` (pandas `merge_asof
+    * direction="forward"`) — the "next quote after the trade" lookup.
+    * Same one-shuffle union+window shape as [[backward]], mirrored: the
+    * running `last` becomes a `first(ignoreNulls)` over the FOLLOWING
+    * frame, and the left row sorts before the right row at equal
+    * timestamps (inclusive `r.ts >= l.ts`). `tolerance` bounds the
+    * match age forward: matches later than `leftTs + tolerance` null
+    * out (monotonicity argument mirrors backward's). */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(0)) // left sorts before right at equal ts
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matchedTs = first(when(col("__side") === 1, col("__t")),
+      ignoreNulls = true).over(w)
+    val inTol = tolerance.fold(lit(true)) { tol =>
+      matchedTs <= col("__t") + expr(s"INTERVAL $tol")
+    }
+    l.unionByName(r)
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c => when(inTol,
+          first(col(s"__p_$c"), ignoreNulls = true).over(w)).as(c)): _*)
+      .where(col("__side") === 0) // keep only left rows
+      .drop("__t", "__side")
+  }
 }
