@@ -32,6 +32,12 @@ object Check {
     * `ref`'s `refColumn` (referential integrity). */
   final case class Relationship(column: String, ref: DataFrame,
       refColumn: String) extends Rule
+  /** dbt_utils `accepted_range`: every non-NULL `column` value must lie
+    * in [min, max] (inclusive; NULL bound = unbounded on that side).
+    * NULLs are ignored, matching [[AcceptedValues]] — pair with
+    * [[NotNull]] to also forbid them. */
+  final case class InRange(column: String, min: Option[Double],
+      max: Option[Double]) extends Rule
 
   /** Violations frame: (rule, column_name, violating_value, n_rows).
     * Empty iff every rule passes. */
@@ -69,8 +75,23 @@ object Check {
           .agg(count(lit(1)).as("n_rows"))
           .select(lit("relationship").as("rule"), lit(c).as("column_name"),
             col(c).cast("string").as("violating_value"), col("n_rows"))
+      case r: InRange =>
+        df.where(rangeViolation(r))
+          .groupBy(col(r.column))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("in_range").as("rule"),
+            lit(r.column).as("column_name"),
+            col(r.column).cast("string").as("violating_value"),
+            col("n_rows"))
     }
     parts.reduce(_.unionByName(_))
+  }
+
+  private def rangeViolation(r: InRange) = {
+    val c = col(r.column)
+    val below = r.min.map(m => c < lit(m)).getOrElse(lit(false))
+    val above = r.max.map(m => c > lit(m)).getOrElse(lit(false))
+    c.isNotNull && (below || above)
   }
 
   /** Row-level routing for ingest-time quarantine: split `df` into
@@ -114,6 +135,9 @@ object Check {
             .withColumn(name, col(c).isNotNull && col(hit).isNull)
             .drop(hit)
           name -> s"relationship($c)"
+        case r: InRange =>
+          cur = cur.withColumn(name, rangeViolation(r))
+          name -> s"in_range(${r.column})"
         case u: Unique => throw new IllegalStateException(u.toString)
       }
     }

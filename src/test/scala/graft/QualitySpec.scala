@@ -67,6 +67,22 @@ class QualitySpec extends AnyFunSuite {
       Seq(Check.Relationship("ref_id", ref, "id"))).isEmpty)
   }
 
+  test("in_range rule: bounds inclusive, NULLs ignored, open sides unbounded") {
+    val df = Seq(Option(0.5), Option(1.0), Option(1.5), Option(-2.0), None)
+      .toDF("score")
+    val v = Check(df, Seq(Check.InRange("score", Some(0.0), Some(1.0))))
+      .collect().map(r => (Option(r.getString(2)), r.getLong(3))).toSet
+    assert(v == Set((Some("1.5"), 1L), (Some("-2.0"), 1L)), s"got $v")
+    // open-ended: only a lower bound
+    assert(Check(df, Seq(Check.InRange("score", Some(0.0), None))).count() == 1)
+    // route: violators quarantined with the rule label
+    val (clean, dirty) = Check.route(df,
+      Seq(Check.InRange("score", Some(0.0), Some(1.0))))
+    assert(clean.count() == 3) // 0.5, 1.0 (inclusive), NULL (ignored)
+    assert(dirty.select("__violations").as[String].collect().toSet ==
+      Set("in_range(score)"))
+  }
+
   test("enforce throws with offenders in the message") {
     val e = intercept[IllegalStateException] {
       Check.enforce(fixture, Seq(Check.Unique(Seq("id"))), "fixture")
