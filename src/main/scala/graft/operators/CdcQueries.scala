@@ -120,7 +120,8 @@ object CdcQueries {
         .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       Check(Tables(s, d, "lineitem"), Seq(
           Check.Unique(Seq("l_orderkey")),
-          Check.Relationship("l_orderkey", earlyOrders, "o_orderkey")))
+          Check.Relationship("l_orderkey", earlyOrders, "o_orderkey"),
+          Check.InRange("l_discount", Some(0.0), Some(0.05))))
         .unionByName(Check(Tables(s, d, "orders"), Seq(
           Check.NotNull("o_custkey"),
           Check.AcceptedValues("o_orderstatus", Seq("O", "F")))))
@@ -141,6 +142,13 @@ object CdcQueries {
         |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
         |                           WHERE o_orderdate < TIMESTAMP '1996-01-01')
         |  GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT 'in_range', 'l_discount', CAST(l_discount AS VARCHAR),
+        |    count(*)
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.05)
+        |  GROUP BY l_discount
         |  UNION ALL
         |  SELECT 'not_null', 'o_custkey', CAST(NULL AS VARCHAR), count(*)
         |  FROM orders WHERE o_custkey IS NULL HAVING count(*) > 0
