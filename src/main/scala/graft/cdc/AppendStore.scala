@@ -46,8 +46,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * because compaction only merges ids strictly below any batch the
   * source could still (re)deliver: callers pass `upTo` < the
   * checkpoint frontier, and the range segment never straddles a future
-  * batch's `readBefore` boundary. */
-final class AppendStore(spark: SparkSession, root: String) {
+  * batch's `readBefore` boundary.
+  *
+  * `sortBy` — optional CLUSTERING of every landed segment (applied by
+  * both [[write]] and [[compact]], so the layout survives merges):
+  * rows are sorted within each task's output file, giving parquet
+  * row-group min/max stats tight ranges on the sort key. A store whose
+  * reads probe a key (the dedup drains' signature index) declares its
+  * probe key here so pushed-down predicates SKIP row groups the probe
+  * can't touch, instead of scanning the whole accumulated index every
+  * batch. `sortWithinPartitions`, not a global sort: no extra shuffle,
+  * no range-sampling re-execution of the batch lineage — clustering is
+  * per-file, which is exactly the granularity row-group stats prune at. */
+object AppendStore {
+  /** Compaction cadence for a micro-batch drain: every `every`-th
+    * batch, merge each store's segments strictly below the replay
+    * frontier. When `foreachBatch` runs batch N, batches < N are
+    * committed in the streaming checkpoint and can never be
+    * re-delivered — so `upTo = N - 1` is safe, and a replay of batch N
+    * still finds its `readBefore(N)` boundary un-split. Keeps a
+    * year-long drain's segment count bounded by `every` (plus the one
+    * range segment) instead of one directory per batch forever;
+    * idempotent, so a replayed batch re-running the policy no-ops. */
+  def maybeCompact(every: Int, batchId: Long, stores: AppendStore*): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      stores.foreach(_.compact(batchId - 1))
+}
+
+final class AppendStore(spark: SparkSession, root: String,
+    sortBy: Seq[String] = Nil) {
 
   private val rootPath = new Path(root)
   private def fs =
@@ -83,10 +110,14 @@ final class AppendStore(spark: SparkSession, root: String) {
     * bounds' full span conceptually but are listed by `lo`. */
   def segments(): Seq[Long] = ranges().map(_._1)
 
+  private def clustered(df: DataFrame): DataFrame =
+    if (sortBy.isEmpty) df
+    else df.sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+
   /** Land `df` as segment `batchId`, overwriting any previous content
     * of that segment (idempotent batch replay). */
   def write(df: DataFrame, batchId: Long): Unit =
-    df.write.mode("overwrite")
+    clustered(df).write.mode("overwrite")
       .parquet(new Path(rootPath, segName(batchId, batchId)).toString)
 
   // mergeSchema: a store outlives its writer's schema — an ingest that
@@ -128,7 +159,8 @@ final class AppendStore(spark: SparkSession, root: String) {
     val lo = victims.map(_._1).min
     val hi = victims.map(_._2).max
     val target = new Path(rootPath, segName(lo, hi))
-    union(victims).get.write.mode("overwrite").parquet(target.toString)
+    clustered(union(victims).get).write.mode("overwrite")
+      .parquet(target.toString)
     // best-effort cleanup — already invisible to readers either way
     victims.foreach { case (_, _, p) =>
       try { fs.delete(p, true); () } catch { case _: Exception => () }

@@ -3,21 +3,30 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.BloomFunctions
+
 /** Incremental near-dup detection against a PERSISTED signature index —
   * the batch-arrival form of [[Dedup.minhashLsh]].
   *
   * At 100 TB the corpus is never re-sketched per arriving batch: the
   * index stores each accepted document's banded MinHash keys plus its
   * shingle hashes (for exact-Jaccard verification), so admitting a new
-  * batch costs `sketch(batch) + join(batch×index on (band, band_hash))
+  * batch costs `sketch(batch) + probe(index on (band, band_hash))
   * + verify(candidates)` — compute proportional to the BATCH, not the
-  * corpus. In that join the BATCH side is the small one: it broadcasts
-  * (AQE picks this up at any realistic batch:index ratio), so the
-  * index side is a map-only scan of the NARROW band rows — no index
-  * shuffle, no array bytes touched until a candidate pair exists.
-  * Persisted through [[graft.cdc.AppendStore]] segments the index is
-  * also never rewritten: each batch lands only its own admitted
-  * signatures.
+  * corpus. In that probe the BATCH side is the small one: it
+  * broadcasts (AQE picks this up at any realistic batch:index ratio),
+  * AND a bloom filter of the batch's (band, band_hash) keys — built
+  * driver-side per batch, batch-bounded — is applied directly on the
+  * index scan, so only ~candidate rows (plus the 1% fpp) ever reach
+  * the join; everything else dies inside the scan's codegen stage. No
+  * index shuffle, no index aggregate, no array bytes touched until a
+  * candidate pair exists. Persisted through [[graft.cdc.AppendStore]]
+  * segments declared with [[indexSortCols]], index files are CLUSTERED
+  * by `(__band, __bh, id)`: the band probe's pushed-down `__band >= 0`
+  * and [[admitted]]'s pushed `(__band = -1, id range)` predicates skip
+  * whole row groups, so per-batch index IO shrinks toward the row
+  * groups the batch's keys can actually touch instead of the full
+  * accumulated index.
   *
   * Index layout — TWO row kinds in one frame (same narrow-legs trick
   * as [[Dedup.minhashLsh]]'s band join):
@@ -44,6 +53,15 @@ object IncrementalDedup {
 
   /** `__band` marker for the one-array-row-per-doc kind. */
   private[graft] val ArrayRowBand = -1
+
+  /** Clustering key for the persisted index's [[graft.cdc.AppendStore]]
+    * segments: band rows sort by their probe key `(__band, __bh)` and
+    * the array rows (`__band = -1`, `__bh` NULL) cluster together at
+    * the front ordered by id — so both probe shapes (the band join's
+    * `__band >= 0` + bloom, [[admitted]]'s `__band = -1` + id range)
+    * get tight parquet row-group stats to prune against. */
+  def indexSortCols(idCol: String = "doc_id"): Seq[String] =
+    Seq("__band", "__bh", idCol)
 
   /** Split a [[Dedup.bandedSignatures]] frame into the two index row
     * kinds. The array row derives from band 0 (present for every doc)
@@ -77,11 +95,25 @@ object IncrementalDedup {
     // attach; checkpoint so the shingle kernel runs once per batch.
     val freshSig = Dedup.bandedSignatures(newDocs, textCol, idCol, k,
       bands, shingleWords).localCheckpoint(true)
+    // Batch-bounded bloom over the batch's (band, bh) keys, applied ON
+    // the index scan: the broadcast join alone would still feed every
+    // index band row into the probe; with the bloom, non-candidate
+    // rows die inside the scan's codegen stage, and with the sorted
+    // segment layout ([[indexSortCols]]) the pushed `__band >= 0`
+    // skips the array-row row groups outright. Cost: one count + one
+    // aggregate over the CHECKPOINTED batch sketch — O(batch).
+    val nKeys = freshSig.count()
+    if (nKeys == 0)
+      return freshSig.select(col(idCol).as("new_id"),
+        col(idCol).as("dup_of"), lit(0.0).as("jaccard")).limit(0)
+    val bandKey = xxhash64(col("__band"), col("__bh"))
+    val batchKeyBloom = freshSig.stat.bloomFilter(bandKey, nKeys, 0.01)
     val freshBands = freshSig
       .select(col(idCol).as("new_id"), col("__band"), col("__bh"))
     val freshArr = freshSig.where(col("__band") === 0)
       .select(col(idCol).as("new_id"), col("__sh").as("sh_new"))
     val oldBands = index.where(col("__band") >= 0)
+      .where(BloomFunctions.mightContainLong(batchKeyBloom, bandKey))
       .select(col(idCol).as("dup_of"), col("__band"), col("__bh"))
     val oldArr = index.where(col("__band") === ArrayRowBand)
       .select(col(idCol).as("dup_of"), col("__sh").as("sh_old"))
@@ -100,17 +132,36 @@ object IncrementalDedup {
   }
 
   /** The docs of `newDocs` the dedup policy ADMITS this batch: no match
-    * in `matches` and not already indexed. The second anti-join makes
-    * the transition replay-idempotent — a re-delivered batch's docs are
-    * already in the index, so its admitted set is EMPTY and every
-    * downstream consumer (index append, split labeling, contamination
-    * flags) converges instead of double-processing. */
+    * in `matches` and not already indexed. The second check makes the
+    * transition idempotent under a re-delivered batch OR a doc resent
+    * in a LATER batch (`matchAgainst` filters self-matches by id, so an
+    * exact resend would otherwise be re-admitted).
+    *
+    * The membership check is BATCH-BOUNDED, never a corpus aggregate:
+    * one `[min, max]` id-range predicate (pushed down to parquet — the
+    * sorted segment layout gives the array-row id column tight
+    * row-group stats to skip against) narrows the index's
+    * one-row-per-doc leg, then a broadcast semi-join against the
+    * batch's ids keeps only ids actually resent — a map-only index
+    * scan with no shuffle, and the surviving `present` set (≤ batch)
+    * broadcasts into the final anti-join. A prior shape ran
+    * `index.select(id).distinct()` here — a corpus-wide
+    * shuffle-aggregate every batch. */
   def admitted(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
-      idCol: String = "doc_id"): DataFrame =
-    newDocs
+      idCol: String = "doc_id"): DataFrame = {
+    val fresh = newDocs
       .join(matches.select(col("new_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
-      .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    // bounded action: min/max of the batch's own ids
+    val bounds = newDocs.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0)) return fresh // empty batch
+    val present = index
+      .where(col("__band") === ArrayRowBand &&
+        col(idCol) >= lit(bounds.get(0)) && col(idCol) <= lit(bounds.get(1)))
+      .select(col(idCol))
+      .join(broadcast(newDocs.select(col(idCol))), Seq(idCol), "left_semi")
+    fresh.join(broadcast(present), Seq(idCol), "left_anti")
+  }
 
   /** Next index state: previous index + signatures of the ADMITTED new
     * docs (those without a match). `matches` is [[matchAgainst]]'s

@@ -111,7 +111,8 @@ object StreamQueries {
       val evalDocs = docs.where(col("doc_id") % 101 === 0)
       val root = java.nio.file.Files
         .createTempDirectory("graft_stream_curate").toString
-      val idx = new AppendStore(s, s"$root/idx")
+      val idx = new AppendStore(s, s"$root/idx",
+        IncrementalDedup.indexSortCols())
       val rej = new AppendStore(s, s"$root/rej")
       val adm = new AppendStore(s, s"$root/adm")
       val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

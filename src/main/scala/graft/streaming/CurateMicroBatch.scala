@@ -62,12 +62,17 @@ object CurateMicroBatch {
     admittedStore.write(labeled, batchId)
   }
 
-  /** Drain all available input once. Blocks until done. */
+  /** Drain all available input once. Blocks until done. Every
+    * `compactEvery` batches the three stores' segments below the
+    * replay frontier merge into one range segment
+    * ([[AppendStore.maybeCompact]]) so a long-running drain's
+    * directory count stays bounded. */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
       schema: StructType, indexStore: AppendStore, rejectStore: AppendStore,
       admittedStore: AppendStore, evalDocs: DataFrame,
       weights: Seq[(String, Double)], checkpoint: String,
-      seed: String = "0", threshold: Double = 0.5): Unit = {
+      seed: String = "0", threshold: Double = 0.5,
+      compactEvery: Int = 16): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -78,6 +83,8 @@ object CurateMicroBatch {
         processBatch(batch, batchId, indexStore, rejectStore,
           admittedStore, evalDocs, weights, seed = seed,
           threshold = threshold)
+        AppendStore.maybeCompact(compactEvery, batchId,
+          indexStore, rejectStore, admittedStore)
       }
       .start()
     q.awaitTermination()

@@ -71,10 +71,16 @@ object DedupMicroBatch {
     admitted
   }
 
-  /** Drain all available input once. Blocks until done. */
+  /** Drain all available input once. Blocks until done. Every
+    * `compactEvery` batches the stores' segments below the replay
+    * frontier merge into one range segment
+    * ([[AppendStore.maybeCompact]]) so a long-running drain's
+    * directory count stays bounded instead of growing one segment per
+    * batch forever. */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
       schema: StructType, indexStore: AppendStore, rejectStore: AppendStore,
-      checkpoint: String, threshold: Double = 0.5): Unit = {
+      checkpoint: String, threshold: Double = 0.5,
+      compactEvery: Int = 16): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -83,7 +89,8 @@ object DedupMicroBatch {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexStore, rejectStore, threshold)
-        ()
+        AppendStore.maybeCompact(compactEvery, batchId,
+          indexStore, rejectStore)
       }
       .start()
     q.awaitTermination()

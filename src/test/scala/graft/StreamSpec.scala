@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.{AppendStore, TableStore}
-import graft.operators.Multimodal
+import graft.operators.{IncrementalDedup, Multimodal}
 import graft.pipeline.Runner
 import graft.streaming.CdcMicroBatch
 
@@ -148,7 +148,8 @@ class StreamSpec extends AnyFunSuite {
   test("streaming dedup drain: index grows by admitted docs, rejects record dup-of") {
     import graft.streaming.DedupMicroBatch
     val src = tmp("dedup-src")
-    val idxStore = new AppendStore(spark, tmp("dedup-idx") + "/t")
+    val idxStore = new AppendStore(spark, tmp("dedup-idx") + "/t",
+      IncrementalDedup.indexSortCols())
     val rejStore = new AppendStore(spark, tmp("dedup-rej") + "/t")
     val ckpt = tmp("dedup-ckpt")
     val base = "the quick brown fox jumps over the lazy dog and then runs " +
@@ -257,7 +258,8 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming dedup: replaying a batch leaves index and reject log unchanged") {
     import graft.streaming.DedupMicroBatch
-    val idxStore = new AppendStore(spark, tmp("dedup-rp-idx") + "/t")
+    val idxStore = new AppendStore(spark, tmp("dedup-rp-idx") + "/t",
+      IncrementalDedup.indexSortCols())
     val rejStore = new AppendStore(spark, tmp("dedup-rp-rej") + "/t")
     val base = "the quick brown fox jumps over the lazy dog and then runs " +
       "far away into the deep dark forest to hide from all the hunters"
@@ -284,10 +286,108 @@ class StreamSpec extends AnyFunSuite {
     assert(rejects == Set((10L, 1L)), s"got $rejects")
   }
 
+  test("incremental dedup probe: bloom on the index scan + pushed prunable filters") {
+    val idxStore = new AppendStore(spark, tmp("prune-idx") + "/t",
+      IncrementalDedup.indexSortCols())
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    idxStore.write(IncrementalDedup.index(corpus), 0L)
+    val idx = idxStore.read().get
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "fresh writing with entirely original vocabulary and phrasing"))
+      .toDF("doc_id", "text")
+
+    // The index-side band scan must carry (a) the batch-key bloom — the
+    // map-side row cut that keeps join input ∝ batch — and (b) the
+    // pushed `__band >= 0`, which with the sorted segment layout skips
+    // the array-row row groups at the parquet reader.
+    val matches = IncrementalDedup.matchAgainst(idx, batch, threshold = 0.3)
+    val mPlan = matches.queryExecution.executedPlan.toString
+    assert(mPlan.contains("bloom_might_contain_long"),
+      s"index scan lost the batch-key bloom probe:\n$mPlan")
+    assert(mPlan.contains("GreaterThanOrEqual(__band,0)"),
+      s"band filter not pushed to the index scan:\n$mPlan")
+
+    // The membership probe must push the batch's id range (row-group
+    // prunable on the sorted layout) and never aggregate the corpus.
+    val adm = IncrementalDedup.admitted(idx, batch, matches)
+    val aPlan = adm.queryExecution.executedPlan.toString
+    assert(aPlan.contains("EqualTo(__band,-1)"),
+      s"array-row filter not pushed:\n$aPlan")
+    assert(aPlan.contains("GreaterThanOrEqual(doc_id,"),
+      s"batch id lower bound not pushed:\n$aPlan")
+    // the PushedFilters display string truncates, so pin the upper
+    // bound on the Filter condition itself
+    assert("doc_id#\\d+L? <= 11".r.findFirstIn(aPlan).isDefined,
+      s"batch id upper bound missing from the index scan:\n$aPlan")
+
+    // probe shape changed, semantics didn't
+    assert(matches.select("new_id", "dup_of").as[(Long, Long)]
+      .collect().toSet == Set((10L, 1L)))
+    assert(adm.select("doc_id").as[Long].collect().toSet == Set(11L))
+  }
+
+  test("index segments land clustered by (band, band-hash, id)") {
+    val root = tmp("sorted-idx") + "/t"
+    val store = new AppendStore(spark, root, IncrementalDedup.indexSortCols())
+    val docs = (1 to 60).map(i => (i.toLong,
+      s"document number $i about subject ${i % 7} carrying tokens " +
+        s"${i * 31} ${i * 17} ${i * 13} and a tail of filler words"))
+      .toDF("doc_id", "text")
+    store.write(IncrementalDedup.index(docs), 0L)
+    val seg = new java.io.File(root, "seg_" + "0" * 20)
+    val parts = seg.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, s"no parquet files in $seg")
+    parts.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select("__band", "__bh", "doc_id").collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) Long.MinValue else r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(rows == rows.sorted,
+        s"segment file ${f.getName} not clustered — row-group stats useless")
+    }
+  }
+
+  test("drain compaction cadence: segments bounded, content unchanged") {
+    import graft.streaming.DedupMicroBatch
+    val cIdx = new AppendStore(spark, tmp("cmp-idx") + "/t",
+      IncrementalDedup.indexSortCols())
+    val cRej = new AppendStore(spark, tmp("cmp-rej") + "/t")
+    val uIdx = new AppendStore(spark, tmp("unc-idx") + "/t",
+      IncrementalDedup.indexSortCols())
+    val uRej = new AppendStore(spark, tmp("unc-rej") + "/t")
+    (0 until 6).foreach { b =>
+      val batch = Seq(
+        (b * 10L, s"batch $b first document carries distinctive tokens " +
+          s"${b * 100 + 1} ${(b * 100 + 1) * 7} ${(b * 100 + 1) * 11}"),
+        (b * 10L + 1, s"batch $b second text speaks about matters " +
+          s"${b * 100 + 2} ${(b * 100 + 2) * 7} ${(b * 100 + 2) * 11}"))
+        .toDF("doc_id", "text")
+      DedupMicroBatch.processBatch(batch, b.toLong, cIdx, cRej, threshold = 0.3)
+      AppendStore.maybeCompact(2, b.toLong, cIdx, cRej)
+      DedupMicroBatch.processBatch(batch, b.toLong, uIdx, uRej, threshold = 0.3)
+    }
+    // every=2 over 6 batches: [0,3] range + segments 4, 5
+    assert(cIdx.segments().size <= 3,
+      s"compaction cadence did not bound segments: ${cIdx.segments()}")
+    assert(cIdx.segments().size < uIdx.segments().size)
+    assert(cIdx.read().get.collect().map(_.toSeq).toSet ==
+      uIdx.read().get.collect().map(_.toSeq).toSet,
+      "compaction changed index content")
+    assert(cRej.read().get.collect().map(_.toSeq).toSet ==
+      uRej.read().get.collect().map(_.toSeq).toSet,
+      "compaction changed reject content")
+  }
+
   test("streaming curate drain: split + contamination labels == batch mode") {
     import graft.operators.{Decontaminate, Sampling}
     import graft.streaming.CurateMicroBatch
-    val idxStore = new AppendStore(spark, tmp("cur-idx") + "/t")
+    val idxStore = new AppendStore(spark, tmp("cur-idx") + "/t",
+      IncrementalDedup.indexSortCols())
     val rejStore = new AppendStore(spark, tmp("cur-rej") + "/t")
     val admStore = new AppendStore(spark, tmp("cur-adm") + "/t")
     val base = "the quick brown fox jumps over the lazy dog and then runs " +
@@ -341,7 +441,8 @@ class StreamSpec extends AnyFunSuite {
   test("streaming curate: runAvailableNow drain labels across checkpointed batches") {
     import graft.streaming.CurateMicroBatch
     val src = tmp("cur-drain-src")
-    val idxStore = new AppendStore(spark, tmp("cur-drain-idx") + "/t")
+    val idxStore = new AppendStore(spark, tmp("cur-drain-idx") + "/t",
+      IncrementalDedup.indexSortCols())
     val rejStore = new AppendStore(spark, tmp("cur-drain-rej") + "/t")
     val admStore = new AppendStore(spark, tmp("cur-drain-adm") + "/t")
     val ckpt = tmp("cur-drain-ckpt")
@@ -381,7 +482,8 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming curate: replaying a batch leaves the admitted store unchanged") {
     import graft.streaming.CurateMicroBatch
-    val idxStore = new AppendStore(spark, tmp("cur-rp-idx") + "/t")
+    val idxStore = new AppendStore(spark, tmp("cur-rp-idx") + "/t",
+      IncrementalDedup.indexSortCols())
     val rejStore = new AppendStore(spark, tmp("cur-rp-rej") + "/t")
     val admStore = new AppendStore(spark, tmp("cur-rp-adm") + "/t")
     val evalDocs = Seq((100L, "held out evaluation question text"))
