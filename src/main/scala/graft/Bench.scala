@@ -38,6 +38,7 @@ object Bench {
       pipeline: Either[String, Double],
       sfDir: String,
       detailFile: String,
+      mins: Map[String, Double] = Map.empty,
       budget: Int = 1750): String = {
     val pipeJson = pipeline.fold(
       e => s""""pipeline_error":"${esc(e.take(120))}"""",
@@ -45,8 +46,17 @@ object Bench {
     val errJson = errors
       .map { case (n, e) => "\"" + n + "\":\"" + esc(e.take(60)) + "\"" }
       .mkString("\"errors\":{", ",", "},")
+    // Min for the slowest keys, right in the headline: min is the
+    // contention-robust statistic for a fixed plan (two rounds of
+    // verdict time went to artifact medians inflated by a busy box).
+    val minJson =
+      if (mins.isEmpty) ""
+      else medians.sortBy(-_._2).take(8)
+        .flatMap { case (n, _) => mins.get(n).map(m =>
+          "\"" + n + "\":" + fmt2(m)) }
+        .mkString("\"mins\":{", ",", "},")
     val head =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$errJson"queries":{"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$errJson$minJson"queries":{"""
     // ,"queries_omitted":NNN}} suffix worst case ~25 chars — reserve it.
     val reserve = 25
     val entries = medians.sortBy(-_._2)
@@ -87,7 +97,12 @@ object Bench {
       .filter { case (_, p, c) => p > 0 && c > 0 }
     if (shared.isEmpty) return Nil
     val ratios = shared.map { case (_, p, c) => c / p }.sorted
-    val drift = ratios(ratios.size / 2)
+    // statistics.median semantics (average the two middle elements on
+    // even counts) so this tripwire and tools/benchdiff.py can never
+    // disagree on the drift estimate
+    val drift =
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     shared
       .map { case (k, p, c) => (k, p, c, (c / p) / drift) }
       .filter { case (k, p, c, norm) =>
@@ -124,6 +139,15 @@ object Bench {
       case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var err: Option[String] = None
+        // One UNTIMED warmup per key: the first execution absorbs
+        // page-cache faults, codegen compilation and file-listing for
+        // that key's tables — folding it into the median inflated two
+        // rounds' committed artifacts into contention ghosts.
+        try { fn(spark, sfDir).count(); () }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(200))
+        }
         var i = 0
         while (i < runs && err.isEmpty) {
           val t0 = System.nanoTime()
@@ -162,9 +186,10 @@ object Bench {
       "\"" + r.name + "\":\"" + esc(e) + "\"")).mkString("{", ",", "}")
     val details = results.map { r =>
       val med = if (r.times.nonEmpty) fmt(median(r.times)) else "null"
+      val mn = if (r.times.nonEmpty) fmt(r.times.min) else "null"
       val runsJson = r.times.map(fmt).mkString("[", ",", "]")
       val errJson = r.err.fold("null")(e => "\"" + esc(e) + "\"")
-      s""""${r.name}":{"t_median":$med,"t_runs":$runsJson,"err":$errJson}"""
+      s""""${r.name}":{"t_median":$med,"t_min":$mn,"t_runs":$runsJson,"err":$errJson}"""
     }.mkString("{", ",", "}")
     val total = ok.map(r => median(r.times)).sum
     val pipeJson = pipelineTotal.fold(
@@ -185,6 +210,7 @@ object Bench {
     println(compactLine(
       ok.map(r => r.name -> median(r.times)),
       results.flatMap(r => r.err.map(r.name -> _)),
-      total, runs, pipelineTotal, sfDir, out.toString))
+      total, runs, pipelineTotal, sfDir, out.toString,
+      mins = ok.map(r => r.name -> r.times.min).toMap))
   }
 }

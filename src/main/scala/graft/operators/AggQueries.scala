@@ -373,6 +373,27 @@ object AggQueries {
         .orderBy("event_id")
     },
 
+    // Hot-key as-of: partition by (key, day bucket) with per-bucket
+    // carry-in summaries instead of one task per key — the oracle is
+    // the SAME DuckDB ASOF join as q_join_asof, pinning that bucketing
+    // is result-invisible (the point of the variant).
+    "q_join_asof_bucketed" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = purchases.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"))
+      AsOfJoin.backwardBucketed(
+        ev.select("event_id", "user_id", "ts"), right,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("last_purchase_value"),
+        bucketSeconds = 86400L)
+        .orderBy("event_id")
+    },
+
     // Forward as-of: the EARLIEST purchase at or after each event
     // (pandas merge_asof direction="forward") — mirrored union+window
     // plan, same single key shuffle.
@@ -618,6 +639,17 @@ object AggQueries {
         |FROM events JOIN b ON value >= lo AND value < hi
         |ORDER BY event_id, band_name""".stripMargin,
     "q_join_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_join_asof_bucketed" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (
         |    SELECT *, row_number() OVER (PARTITION BY user_id, ts

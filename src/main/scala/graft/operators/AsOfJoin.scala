@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,62 +12,100 @@ import org.apache.spark.sql.functions._
   * Composed from built-ins (preference (a) of the custom-operator
   * ladder — no custom SparkPlan needed): tag and union both sides on
   * (key, time), then a single `last(ignoreNulls)` running window per
-  * key carries the latest right payload forward onto each left row.
+  * key carries the latest right ROW forward onto each left row.
   * ONE shuffle on the key, O(n log n) within partitions — no per-key
   * loops, no range cross product; survives any fact:quote ratio.
+  * Caveat: `partitionBy(key)` serializes each key into one task, so a
+  * single hot key (one symbol carrying most of both sides) bounds the
+  * operator by that task — use [[backwardBucketed]] for that shape.
+  *
+  * The carried value is ONE STRUCT per right row `(matched ts,
+  * payloads...)`, not per-payload `last` calls: carrying payloads
+  * separately would skip a matched row whose payload is NULL and
+  * substitute an older row's value — and under `tolerance` could emit
+  * a payload from a row OUTSIDE tolerance, or mix payload columns
+  * from different right rows. The struct is all-or-nothing, matching
+  * pandas `merge_asof` (the matched row's values, NULLs included).
   *
   * Equal timestamps: the right row sorts before the left row at the
   * same instant (tag ordering), matching inclusive `l.ts >= r.ts`
   * ASOF semantics.
   *
   * `tolerance` (a Spark interval string, e.g. `"2 HOURS"`) bounds the
-  * match age: a carried payload older than `leftTs - tolerance` nulls
+  * match age: a carried match older than `leftTs - tolerance` nulls
   * out — pandas `merge_asof(tolerance=...)` semantics. Correctness
   * rests on monotonicity: if the LATEST right row at or before `ts` is
   * already out of tolerance, every earlier one is older still, so
   * nulling the carried match is exactly "no match within tolerance".
-  * Same single shuffle — the matched timestamp rides the same window.
+  * Same single shuffle — the matched timestamp rides inside the
+  * carried struct, so the gate and the payloads see the same row.
   */
 object AsOfJoin {
+
+  /** The carried match as one struct: `__mt` = the right row's ts,
+    * then that SAME row's payloads. */
+  private def matchStruct(payloadCols: Seq[String]): Column =
+    struct(col("__t").as("__mt") +:
+      payloadCols.map(c => col(s"__p_$c")): _*)
+
+  /** Final projection shared by all variants: keep left rows, gate the
+    * carried struct on tolerance, project its fields. */
+  private def projectMatch(unioned: DataFrame, key: String,
+      leftCols: Seq[String], payloadCols: Seq[String], carried: Column,
+      leftTag: Int, inTol: Column => Column): DataFrame = {
+    val ok = inTol(col("__m").getField("__mt"))
+    unioned
+      .withColumn("__m", carried)
+      .where(col("__side") === leftTag)
+      .select(Seq(col(key)) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c =>
+          when(ok, col("__m").getField(s"__p_$c")).as(c)): _*)
+  }
+
+  /** Tag-and-pad legs: both sides get (key, __t, __side, left cols,
+    * __p_ payload cols), NULL-padded where absent. */
+  private def legs(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      leftTag: Int, rightTag: Int): (DataFrame, DataFrame) = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(leftTag))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(rightTag))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    (l, r)
+  }
 
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       payloadCols: Seq[String],
       tolerance: Option[String] = None): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__side", lit(1)) // left sorts after right at equal ts
-      .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
-    val r = right
-      .withColumn("__t", col(rightTs))
-      .withColumn("__side", lit(0))
-      .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
-
+    // left sorts after right at equal ts → inclusive l.ts >= r.ts
+    val (l, r) = legs(left, right, key, leftTs, rightTs, payloadCols,
+      leftTag = 1, rightTag = 0)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matchedTs = last(when(col("__side") === 0, col("__t")),
+    val carried = last(when(col("__side") === 0, matchStruct(payloadCols)),
       ignoreNulls = true).over(w)
-    val inTol = tolerance.fold(lit(true)) { tol =>
-      matchedTs >= col("__t") - expr(s"INTERVAL $tol")
-    }
-    l.unionByName(r)
-      .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => when(inTol,
-          last(col(s"__p_$c"), ignoreNulls = true).over(w)).as(c)): _*)
-      .where(col("__side") === 1) // keep only left rows
-      .drop("__t", "__side")
+    projectMatch(l.unionByName(r), key, left.columns.toSeq, payloadCols,
+      carried, leftTag = 1,
+      inTol = mt => tolerance.fold(lit(true))(tol =>
+        mt >= col("__t") - expr(s"INTERVAL $tol")))
   }
 
   /** Forward as-of join: attach the EARLIEST right row with the same
-    * key and `rightTs ≥ leftTs` (pandas `merge_asof
+    * key and `rightTs >= leftTs` (pandas `merge_asof
     * direction="forward"`) — the "next quote after the trade" lookup.
     * Same one-shuffle union+window shape as [[backward]], mirrored: the
     * running `last` becomes a `first(ignoreNulls)` over the FOLLOWING
@@ -79,35 +117,93 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payloadCols: Seq[String],
       tolerance: Option[String] = None): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__side", lit(0)) // left sorts before right at equal ts
-      .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
-    val r = right
-      .withColumn("__t", col(rightTs))
-      .withColumn("__side", lit(1))
-      .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
-
+    // left sorts before right at equal ts → inclusive r.ts >= l.ts
+    val (l, r) = legs(left, right, key, leftTs, rightTs, payloadCols,
+      leftTag = 0, rightTag = 1)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    val matchedTs = first(when(col("__side") === 1, col("__t")),
+    val carried = first(when(col("__side") === 1, matchStruct(payloadCols)),
       ignoreNulls = true).over(w)
-    val inTol = tolerance.fold(lit(true)) { tol =>
-      matchedTs <= col("__t") + expr(s"INTERVAL $tol")
-    }
-    l.unionByName(r)
-      .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payloadCols.map(c => when(inTol,
-          first(col(s"__p_$c"), ignoreNulls = true).over(w)).as(c)): _*)
-      .where(col("__side") === 0) // keep only left rows
-      .drop("__t", "__side")
+    projectMatch(l.unionByName(r), key, left.columns.toSeq, payloadCols,
+      carried, leftTag = 0,
+      inTol = mt => tolerance.fold(lit(true))(tol =>
+        mt <= col("__t") + expr(s"INTERVAL $tol")))
+  }
+
+  /** [[backward]] for the HOT-KEY case. `partitionBy(key)` puts one
+    * key's whole history in one task; with a single dominant symbol
+    * that task IS the runtime. This variant partitions by
+    * `(key, time bucket)` so a hot key's rows spread over
+    * `range / bucketSeconds` tasks, and the per-bucket carry-in (the
+    * last right row from any strictly earlier bucket) arrives via a
+    * per-bucket summary window — one row per (key, bucket), the same
+    * two-pass trick as Pack's distributed prefix sum. Result is
+    * row-identical to [[backward]] (spec-pinned, including
+    * tolerance): the carry-in keeps the matched row's ORIGINAL
+    * timestamp, so the tolerance gate sees exactly what the
+    * single-partition window would.
+    *
+    * Cost: one extra shuffle of the narrow per-bucket summaries
+    * (≤ #right-buckets rows) and a second window over #buckets rows
+    * per key — both bounded by bucket count, never by row count. */
+  def backwardBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      bucketSeconds: Long = 86400L,
+      tolerance: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val leftCols = left.columns.toSeq
+    val (l, r) = legs(left, right, key, leftTs, rightTs, payloadCols,
+      leftTag = 1, rightTag = 0)
+    def withBucket(df: DataFrame): DataFrame = df.withColumn("__bkt",
+      floor(col("__t").cast("double") / bucketSeconds).cast("long"))
+    val lb = withBucket(l)
+    val rb = withBucket(r)
+
+    // Per-(key, bucket) right summary: the bucket's LAST row as one
+    // struct (max over structs = argmax by time; payload fields ride
+    // along atomically, same all-or-nothing contract as the window).
+    val summaries = rb.groupBy(col(key), col("__bkt"))
+      .agg(max(matchStruct(payloadCols)).as("__last"))
+
+    // Carry-in per LEFT bucket: the latest summary from any STRICTLY
+    // earlier bucket. One row per (key, bucket) on both legs — the
+    // hot key serializes over its bucket count here, not its rows.
+    // Tag order puts the left marker BEFORE the same bucket's summary
+    // so the running last() never leaks the current bucket's rows
+    // (those are already in the bucket's own union).
+    val marks = lb.select(col(key), col("__bkt")).distinct()
+      .select(col(key), col("__bkt"), lit(0).as("__tag"),
+        lit(null).cast(summaries.schema("__last").dataType).as("__last"))
+    val sums = summaries
+      .select(col(key), col("__bkt"), lit(1).as("__tag"), col("__last"))
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__bkt"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryIns = marks.unionByName(sums)
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wb))
+      .where(col("__tag") === 0 && col("__carry").isNotNull)
+      .select(col(key), col("__bkt"), col("__carry"))
+
+    // Re-materialize each carry-in as a right row inside the LEFT
+    // bucket, at its ORIGINAL timestamp (strictly before the bucket,
+    // so it sorts first; tolerance stays exact).
+    val carryRows = carryIns.select(
+      Seq(col(key), col("__carry").getField("__mt").as("__t"),
+        lit(0).as("__side"), col("__bkt")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c =>
+          col("__carry").getField(s"__p_$c").as(s"__p_$c")): _*)
+
+    val w = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(when(col("__side") === 0, matchStruct(payloadCols)),
+      ignoreNulls = true).over(w)
+    projectMatch(lb.unionByName(rb).unionByName(carryRows), key,
+      leftCols, payloadCols, carried, leftTag = 1,
+      inTol = mt => tolerance.fold(lit(true))(tol =>
+        mt >= col("__t") - expr(s"INTERVAL $tol")))
   }
 }

@@ -126,6 +126,26 @@ object CdcQueries {
           Check.NotNull("o_custkey"),
           Check.AcceptedValues("o_orderstatus", Seq("O", "F")))))
         .orderBy("rule", "column_name", "violating_value")
+    },
+
+    // Row-level quarantine routing (Check.route — the ingest-time gate
+    // CdcMicroBatch.runAvailableNowGated drains): clean rows pass with
+    // NULL __violations, violators carry every failed rule's label in
+    // rule order. Three overlapping rules so multi-label rows exist;
+    // the oracle restates the per-row predicates and label concat.
+    "q_quality_quarantine" -> { (s, d) =>
+      import graft.quality.Check
+      val earlyOrders = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val li = Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+      val (clean, dirty) = Check.route(li, Seq(
+        Check.InRange("l_discount", Some(0.0), Some(0.05)),
+        Check.AcceptedValues("l_returnflag", Seq("A", "N")),
+        Check.Relationship("l_orderkey", earlyOrders, "o_orderkey")))
+      clean.withColumn("__violations", lit(null).cast("string"))
+        .unionByName(dirty)
+        .orderBy("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
     }
   )
 
@@ -158,6 +178,28 @@ object CdcQueries {
         |  WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
         |  GROUP BY o_orderstatus)
         |ORDER BY rule, column_name, violating_value NULLS FIRST""".stripMargin,
+    "q_quality_quarantine" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_returnflag,
+        |  CASE WHEN
+        |      (l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05))
+        |      OR (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N'))
+        |      OR (l_orderkey IS NOT NULL AND l_orderkey NOT IN (
+        |            SELECT o_orderkey FROM orders
+        |            WHERE o_orderdate < TIMESTAMP '1996-01-01'))
+        |    THEN concat_ws(',',
+        |      CASE WHEN l_discount IS NOT NULL
+        |        AND (l_discount < 0.0 OR l_discount > 0.05)
+        |        THEN 'in_range(l_discount)' END,
+        |      CASE WHEN l_returnflag IS NOT NULL
+        |        AND l_returnflag NOT IN ('A', 'N')
+        |        THEN 'accepted_values(l_returnflag)' END,
+        |      CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN (
+        |            SELECT o_orderkey FROM orders
+        |            WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        |        THEN 'relationship(l_orderkey)' END)
+        |  END AS __violations
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_discount, l_returnflag""".stripMargin,
     "q_cdc_upsert" ->
       """WITH dest AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),

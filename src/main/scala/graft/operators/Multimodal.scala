@@ -128,10 +128,16 @@ object Multimodal {
     * In a mixed 100 TB corpus the overwhelming majority of payloads is
     * not decodable media; without the sniff every such row pays a full
     * failed ImageIO reader probe plus an AudioSystem
-    * UnsupportedAudioFileException construction. Formats listed = what
-    * the JDK codecs behind [[decodeImage]]/[[decodeAudio]] can actually
-    * open (PNG/JPEG/GIF/BMP/TIFF; WAV/AIFF/AU) — anything else goes
-    * straight to the deterministic stub. */
+    * UnsupportedAudioFileException construction. The magic list IS the
+    * supported-format contract — deliberately NARROWER than whatever
+    * readers happen to be registered with the running JDK's ImageIO
+    * (e.g. WBMP, or plugins a deployment adds): dispatch must be a
+    * pure function of the payload bytes so the same corpus routes
+    * identically on every executor and JVM, never of registry state.
+    * Supported: PNG/JPEG/GIF/BMP/TIFF; WAV/AIFF/AU — anything else
+    * goes straight to the deterministic stub; extending support means
+    * adding BOTH the magic and verifying the codec, not widening the
+    * probe. */
   private[operators] def looksLikeImage(p: Array[Byte]): Boolean =
     p.length >= 4 && (
       (p(0) == 0x89.toByte && p(1) == 'P'.toByte && p(2) == 'N'.toByte &&

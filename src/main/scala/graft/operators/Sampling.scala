@@ -119,8 +119,12 @@ object Sampling {
     require(math.abs(targetShares.map(_._2).sum - 1.0) < 1e-9,
       s"target shares must sum to 1, got ${targetShares.map(_._2).sum}")
     val domains = targetShares.map(_._1)
+    // cast + coalesce so a non-string domain column or an all-NULL
+    // weight reaches the descriptive require below instead of a
+    // ClassCastException/NPE here
     val totals = df.where(col(domainCol).isin(domains: _*))
-      .groupBy(domainCol).agg(sum(weight.cast("long")).as("__w"))
+      .groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = domains.filterNot(d => totals.get(d).exists(_ > 0))
     require(missing.isEmpty,

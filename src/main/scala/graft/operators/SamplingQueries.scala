@@ -112,8 +112,9 @@ object SamplingQueries {
       """WITH tgt(lang, s) AS (VALUES ('en', 0.6), ('zh', 0.4)),
         |tok AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS ntok
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      END AS ntok
         |  FROM documents JOIN tgt USING (lang)),
         |cnt AS (
         |  SELECT lang, CAST(sum(ntok) AS DOUBLE) AS n
@@ -134,7 +135,9 @@ object SamplingQueries {
         |        sum(ntok) OVER (ORDER BY doc_id
         |          ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM (SELECT doc_id,
-        |              len(string_split_regex(trim(text), '\s+')) AS ntok
+        |              CASE WHEN trim(text) = '' THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+'))
+        |                END AS ntok
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin
   )

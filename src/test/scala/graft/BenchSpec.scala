@@ -61,6 +61,19 @@ class BenchSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("queries_omitted").asInt() > 0)
   }
 
+  test("compact line surfaces mins for the slowest keys") {
+    val meds = mkMedians(95)
+    val mins = meds.map { case (n, m) => n -> m * 0.8 }.toMap
+    val line = Bench.compactLine(
+      meds, Nil, 42.0, 3, Right(5.0), "/sf", "o.json", mins = mins)
+    assert(line.length <= 1750, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("mins").size() == 8)
+    // slowest key's min is the one contention adjudication needs
+    assert(node.get("mins").has("q_some_operator_name_094"))
+    assert(node.get("queries").has("q_some_operator_name_094"))
+  }
+
   // --- round-over-round regression tripwire -------------------------------
 
   // An anchor of untouched keys: in a real ~100-key artifact the flat
@@ -85,6 +98,16 @@ class BenchSpec extends AnyFunSuite {
     assert(!flagged.contains("q_dedup_embed_cosine"))
     assert(!flagged.contains("q_groupby_max"))
     assert(!flagged.contains("q_new_key"))
+  }
+
+  test("regressions drift == statistics.median on even shared-key counts") {
+    // ratios [1, 1, 2, 4]: averaging the middles gives drift 1.5 and
+    // flags the 4x key (norm 2.67); the old upper-middle index pick
+    // (drift 2.0, norm 2.0) would let it slide — and disagree with
+    // tools/benchdiff.py on the same artifacts.
+    val prev = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    val cur = Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0, "d" -> 4.0)
+    assert(Bench.regressions(prev, cur).map(_._1) == Seq("d"))
   }
 
   test("regressions: a uniformly slower box (cold cache) flags nothing") {

@@ -38,6 +38,80 @@ class JoinSpec extends AnyFunSuite {
     assert(out(4L).isEmpty)
   }
 
+  test("as-of join: NULL payload of the matched row stays NULL (merge_asof)") {
+    // pandas merge_asof returns the MATCHED row's values, NULLs
+    // included — a per-payload last(ignoreNulls) would leak the older
+    // 1.5/1.0 instead, and could mix payload columns across rows.
+    val left = Seq((1L, 10L, ts("2024-01-01 00:06:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:01:00"), Option(1.5), Option(1.0)),
+      (10L, ts("2024-01-01 00:05:00"), Option.empty[Double], Option(3.0))
+    ).toDF("user_id", "ts", "bid", "ask")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("bid", "ask"))
+      .select("event_id", "bid", "ask")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(out == ((1L, None, Some(3.0))),
+      s"payloads must all come from the matched 00:05 row, got $out")
+  }
+
+  test("as-of tolerance: no payload leaks from an out-of-tolerance row") {
+    // matched row (01:30) is IN tolerance but its payload is NULL; the
+    // older non-NULL row (00:30) is OUT of tolerance. Output must be
+    // NULL — carrying payloads separately would emit 7.0 here.
+    val left = Seq((1L, 10L, ts("2024-01-01 02:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:30:00"), Option(7.0)),
+      (10L, ts("2024-01-01 01:30:00"), Option.empty[Double])
+    ).toDF("user_id", "ts", "rate")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("rate"), tolerance = Some("1 HOUR"))
+      .select("rate").as[Option[Double]].collect().head
+    assert(out.isEmpty, s"out-of-tolerance payload leaked: $out")
+  }
+
+  test("forward as-of: NULL payload of the matched row stays NULL") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:06:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:10:00"), Option.empty[Double]),
+      (10L, ts("2024-01-01 00:20:00"), Option(9.0))
+    ).toDF("user_id", "ts", "rate")
+    val out = AsOfJoin.forward(left, right, "user_id", "ts", "ts",
+        Seq("rate"))
+      .select("rate").as[Option[Double]].collect().head
+    assert(out.isEmpty, s"matched 00:10 row has NULL rate, got $out")
+  }
+
+  test("bucketed as-of == plain as-of (hot key spread over time buckets)") {
+    // Hot key 1 carries most rows across 8 days; key 2 is sparse; some
+    // buckets have no quotes (carry-in from earlier buckets), the
+    // first bucket has none at all (null matches).
+    val base = ts("2024-01-01 00:00:00").getTime
+    def at(h: Long) = new java.sql.Timestamp(base + h * 3600 * 1000)
+    val left = ((1 to 150).map(i => (i.toLong, 1L, at(i.toLong))) ++
+      (1 to 12).map(i => (1000L + i, 2L, at(i * 13L))))
+      .toDF("event_id", "user_id", "ts")
+    // quotes only in hours 30-90, none afterwards → later buckets
+    // depend entirely on carry-in; NULL rate at hour 60 pins the
+    // struct semantics through the summary path too
+    val right = (Seq((1L, at(30), Option(30.0)), (1L, at(55), Option(55.0)),
+      (1L, at(60), Option.empty[Double]), (1L, at(90), Option(90.0)),
+      (2L, at(40), Option(40.0))))
+      .toDF("user_id", "ts", "rate")
+    for (tol <- Seq(None, Some("36 HOURS"))) {
+      val plain = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("rate"), tol).collect().map(_.toSeq).toSet
+      val bucketed = AsOfJoin.backwardBucketed(left, right, "user_id",
+        "ts", "ts", Seq("rate"), bucketSeconds = 86400L, tolerance = tol)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain,
+        s"tolerance=$tol: bucketed != plain\n missing=${plain -- bucketed}\n extra=${bucketed -- plain}")
+    }
+  }
+
   test("range join: [lo, hi) boundary semantics, long intervals found") {
     val points = Seq((1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 250.0))
       .toDF("event_id", "value")
