@@ -413,6 +413,25 @@ object AggQueries {
         .orderBy("event_id")
     },
 
+    // Forward mirror of the hot-key variant — same DuckDB oracle as
+    // q_join_asof_forward (bucketing result-invisible).
+    "q_join_asof_forward_bucketed" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val right = purchases.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("value").as("next_purchase_value"))
+      AsOfJoin.forwardBucketed(
+        ev.select("event_id", "user_id", "ts"), right,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("next_purchase_value"),
+        bucketSeconds = 86400L)
+        .orderBy("event_id")
+    },
+
     // J4/C2 — keep-latest-per-key dedup as window argmax (the idiomatic
     // form of DELETE WHERE (key,track) NOT IN (SELECT key, MAX(track)...)).
     // Tie-break is a total order over all columns — (key, track) alone is
@@ -674,6 +693,18 @@ object AggQueries {
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
     "q_join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  p.value AS next_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_join_asof_forward_bucketed" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (
         |    SELECT *, row_number() OVER (PARTITION BY user_id, ts

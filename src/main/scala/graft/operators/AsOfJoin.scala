@@ -206,4 +206,59 @@ object AsOfJoin {
       inTol = mt => tolerance.fold(lit(true))(tol =>
         mt >= col("__t") - expr(s"INTERVAL $tol")))
   }
+
+  /** [[forward]] for the HOT-KEY case — the exact mirror of
+    * [[backwardBucketed]]: per-bucket summaries carry each bucket's
+    * EARLIEST right row, and a left bucket's carry-in is the earliest
+    * summary from any strictly LATER bucket (the summary sorts before
+    * the marker at equal bucket, so a current→following frame never
+    * leaks the bucket's own rows). Row-identical to [[forward]],
+    * spec-pinned including tolerance. */
+  def forwardBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      bucketSeconds: Long = 86400L,
+      tolerance: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val leftCols = left.columns.toSeq
+    val (l, r) = legs(left, right, key, leftTs, rightTs, payloadCols,
+      leftTag = 0, rightTag = 1)
+    def withBucket(df: DataFrame): DataFrame = df.withColumn("__bkt",
+      floor(col("__t").cast("double") / bucketSeconds).cast("long"))
+    val lb = withBucket(l)
+    val rb = withBucket(r)
+
+    val summaries = rb.groupBy(col(key), col("__bkt"))
+      .agg(min(matchStruct(payloadCols)).as("__first"))
+
+    val sums = summaries
+      .select(col(key), col("__bkt"), lit(0).as("__tag"), col("__first"))
+    val marks = lb.select(col(key), col("__bkt")).distinct()
+      .select(col(key), col("__bkt"), lit(1).as("__tag"),
+        lit(null).cast(summaries.schema("__first").dataType).as("__first"))
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__bkt"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carryIns = marks.unionByName(sums)
+      .withColumn("__carry", first(col("__first"), ignoreNulls = true).over(wb))
+      .where(col("__tag") === 1 && col("__carry").isNotNull)
+      .select(col(key), col("__bkt"), col("__carry"))
+
+    val carryRows = carryIns.select(
+      Seq(col(key), col("__carry").getField("__mt").as("__t"),
+        lit(1).as("__side"), col("__bkt")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c =>
+          col("__carry").getField(s"__p_$c").as(s"__p_$c")): _*)
+
+    val w = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = first(when(col("__side") === 1, matchStruct(payloadCols)),
+      ignoreNulls = true).over(w)
+    projectMatch(lb.unionByName(rb).unionByName(carryRows), key,
+      leftCols, payloadCols, carried, leftTag = 0,
+      inTol = mt => tolerance.fold(lit(true))(tol =>
+        mt <= col("__t") + expr(s"INTERVAL $tol")))
+  }
 }

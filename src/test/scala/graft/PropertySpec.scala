@@ -257,6 +257,59 @@ class PropertySpec extends AnyFunSuite {
     assert(numGot.map(t => (t._2, t._3)) == got.map(t => (t._2, t._3)))
   }
 
+  test("as-of joins ≡ brute-force reference (directions × tolerance × bucketed)") {
+    import graft.operators.AsOfJoin
+    val leftGen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0L, 2L)
+      t <- Gen.chooseNum(0L, 60L)
+    } yield (k, t))
+    val rightGen = Gen.listOfN(25, for {
+      k <- Gen.chooseNum(0L, 2L)
+      t <- Gen.chooseNum(0L, 60L)
+      p <- Gen.option(Gen.chooseNum(1, 9).map(_.toDouble))
+    } yield (k, t, p))
+    forAll(leftGen, rightGen) { (ls, rs0) =>
+      // unique (key, ts) on the right — a timestamp tie makes the
+      // matched ROW engine-nondeterministic in any as-of definition
+      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("event_id", "k", "ts")
+      val right = rs.map { case (k, t, p) =>
+        (k, new java.sql.Timestamp(t * 1000), p) }.toDF("k", "ts", "p")
+      val tolSec = 7L
+      // reference semantics: the matched row's payload, NULLs included;
+      // tolerance nulls the whole match, never substitutes another row
+      def refB(withTol: Boolean): Map[Long, Option[Double]] =
+        ls.zipWithIndex.map { case ((k, t), i) =>
+          val m = rs.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+          i.toLong -> m.flatMap(r =>
+            if (withTol && t - r._2 > tolSec) None else r._3)
+        }.toMap
+      def refF(withTol: Boolean): Map[Long, Option[Double]] =
+        ls.zipWithIndex.map { case ((k, t), i) =>
+          val m = rs.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+          i.toLong -> m.flatMap(r =>
+            if (withTol && r._2 - t > tolSec) None else r._3)
+        }.toMap
+      def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+        df.select("event_id", "p").as[(Long, Option[Double])].collect().toMap
+      for (tol <- Seq(Option.empty[String], Some("7 SECONDS"))) {
+        val expB = refB(tol.isDefined)
+        val expF = refF(tol.isDefined)
+        // bucketSeconds=13 forces multi-bucket carry-ins at t ∈ [0,60]
+        assert(got(AsOfJoin.backward(
+          left, right, "k", "ts", "ts", Seq("p"), tol)) == expB)
+        assert(got(AsOfJoin.backwardBucketed(
+          left, right, "k", "ts", "ts", Seq("p"), 13L, tol)) == expB)
+        assert(got(AsOfJoin.forward(
+          left, right, "k", "ts", "ts", Seq("p"), tol)) == expF)
+        assert(got(AsOfJoin.forwardBucketed(
+          left, right, "k", "ts", "ts", Seq("p"), 13L, tol)) == expF)
+      }
+    }
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at the same threshold") {
     import graft.operators.Dedup
     // LSH candidates are exact-Jaccard VERIFIED, so the output can
