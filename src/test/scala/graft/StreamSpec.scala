@@ -330,6 +330,42 @@ class StreamSpec extends AnyFunSuite {
     assert(adm.select("doc_id").as[Long].collect().toSet == Set(11L))
   }
 
+  test("bloom probe cuts index rows entering the band join (metrics)") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    val idxStore = new AppendStore(spark, tmp("bloomcut-idx") + "/t",
+      IncrementalDedup.indexSortCols())
+    val corpus = (1 to 200).map(i => (i.toLong,
+      s"corpus document $i speaks of matters ${i * 7} ${i * 13} " +
+        s"${i * 29} ${i * 31} and nothing else of note"))
+      .toDF("doc_id", "text")
+    idxStore.write(IncrementalDedup.index(corpus), 0L)
+    val idx = idxStore.read().get
+    val batch = Seq((900L, "a single probe document with its own fresh " +
+      "vocabulary entirely unlike the indexed corpus"))
+      .toDF("doc_id", "text")
+    // AQE off so the executed plan is directly traversable for metrics
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val matches = IncrementalDedup.matchAgainst(idx, batch, threshold = 0.5)
+      matches.collect()
+      val plan = matches.queryExecution.executedPlan
+      val bloomFilters = plan.collect {
+        case f: FilterExec
+            if f.condition.toString.contains("bloom_might_contain_long") => f
+      }
+      assert(bloomFilters.nonEmpty, s"no bloom filter node in:\n$plan")
+      val f = bloomFilters.head
+      val scanned = f.child.metrics("numOutputRows").value
+      val survived = f.metrics("numOutputRows").value
+      // 200 docs × 32 bands = 6400 narrow band rows scanned; an
+      // unrelated 1-doc batch keeps ~fpp of them. The join input is
+      // now ∝ batch, not ∝ index.
+      assert(scanned >= 6000, s"expected the full band leg, got $scanned")
+      assert(survived <= scanned / 10,
+        s"bloom kept $survived of $scanned index rows — not cutting")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("index segments land clustered by (band, band-hash, id)") {
     val root = tmp("sorted-idx") + "/t"
     val store = new AppendStore(spark, root, IncrementalDedup.indexSortCols())
