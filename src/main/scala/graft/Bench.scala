@@ -164,15 +164,18 @@ object Bench {
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts pre-sorted
 
     // End-to-end pipeline: raw upsert → staging → SCD2 → marts into a
-    // throwaway TableStore root. One timed run (the DAG is dominated by
-    // writes; repeat runs would measure the no-op incremental path).
+    // throwaway TableStore root. One UNTIMED warmup into its own root
+    // (same rationale as the per-key warmup — a rerun into the SAME
+    // root would measure the no-op incremental path instead), then one
+    // timed run into a fresh root.
     val pipelineTotal: Either[String, Double] =
       try {
-        val work = java.nio.file.Files
+        def freshRoot() = java.nio.file.Files
           .createTempDirectory("graft-bench-pipeline").toString
+        val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+        graft.pipeline.Runner.runAll(spark, sfDir, freshRoot(), asOf)
         val t0 = System.nanoTime()
-        graft.pipeline.Runner.runAll(spark, sfDir, work,
-          java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+        graft.pipeline.Runner.runAll(spark, sfDir, freshRoot(), asOf)
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName)
