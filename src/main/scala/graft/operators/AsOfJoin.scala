@@ -146,7 +146,12 @@ object AsOfJoin {
     *
     * Cost: one extra shuffle of the narrow per-bucket summaries
     * (≤ #right-buckets rows) and a second window over #buckets rows
-    * per key — both bounded by bucket count, never by row count. */
+    * per key — both bounded by bucket count, never by row count.
+    * Lineage note: the RIGHT side is evaluated twice (in-bucket leg +
+    * summary aggregate) and the LEFT gets one extra column-pruned pass
+    * (the bucket markers read only (key, ts) — plan-verified). Pass a
+    * cached/checkpointed frame if the right side's lineage is
+    * expensive to recompute. */
   def backwardBucketed(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String],
       bucketSeconds: Long = 86400L,
@@ -213,7 +218,8 @@ object AsOfJoin {
     * summary from any strictly LATER bucket (the summary sorts before
     * the marker at equal bucket, so a current→following frame never
     * leaks the bucket's own rows). Row-identical to [[forward]],
-    * spec-pinned including tolerance. */
+    * spec-pinned including tolerance. Same cost/lineage notes as
+    * [[backwardBucketed]]. */
   def forwardBucketed(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String],
       bucketSeconds: Long = 86400L,
