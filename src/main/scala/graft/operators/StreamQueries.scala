@@ -93,7 +93,10 @@ object StreamQueries {
     // Batch-slicing invariance is exactly what this key proves: the
     // oracle knows nothing about the two batches, the TableStore
     // round-trip, or the union/dedup convergence, yet hashes equal.
-    // Dedup-biting drains (threshold < 1) are pinned in StreamSpec.
+    // Near-dup-biting drains (0 < threshold < 1) are pinned in
+    // StreamSpec; the EXACT-dup-biting drain (threshold = 1, where
+    // jaccard 1 ⇔ equal distinct-shingle sets, which DuckDB can
+    // restate) is oracle-gated below (q_stream_curate_dedup).
     //
     // Gate-only (never benched) BY DESIGN: the drain is a sequence of
     // ~10 blocking store round-trips and checkpoints whose local-mode
@@ -126,6 +129,44 @@ object StreamQueries {
       // hash against DuckDB (which knows nothing of segments) still
       // matches
       adm.compact(upTo = 1L)
+      adm.read().get
+        .select("doc_id", "split", "contamination", "contaminated")
+        .orderBy("doc_id")
+    },
+
+    // The drain with dedup BITING, under the same oracle gate: the
+    // fixture has no duplicate texts, so clones are PLANTED — one at
+    // +2,000,000 (even offset: same parity → intra-batch dedup must
+    // keep the min id) and one at +1,000,001 (odd offset: opposite
+    // parity → the index probe must reject it with jaccard 1 when its
+    // twin was admitted a batch earlier). At threshold = 1.0 a match
+    // is exactly "equal distinct 3-gram sets", so the oracle restates
+    // the whole admission policy batch by batch (min-id rep per
+    // (parity, gram set); batch-1 reps drop when batch 0 admitted the
+    // same set) plus the same label functions as q_stream_curate.
+    "q_stream_curate_dedup" -> { (s, d) =>
+      import graft.cdc.AppendStore
+      import graft.streaming.CurateMicroBatch
+      val base = Tables(s, d, "documents").select("doc_id", "text")
+        .where(col("doc_id") % 5 === 0)
+      val docs = base
+        .unionByName(base.select((col("doc_id") + 1000001L).as("doc_id"),
+          col("text")))
+        .unionByName(base.select((col("doc_id") + 2000000L).as("doc_id"),
+          col("text")))
+      val evalDocs = base.where(col("doc_id") % 101 === 0)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_curate_dedup").toString
+      val idx = new AppendStore(s, s"$root/idx",
+        IncrementalDedup.indexSortCols())
+      val rej = new AppendStore(s, s"$root/rej")
+      val adm = new AppendStore(s, s"$root/adm")
+      val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      Seq(0L, 1L).foreach { par =>
+        CurateMicroBatch.processBatch(docs.where(col("doc_id") % 2 === par),
+          par, idx, rej, adm, evalDocs, weights, seed = "42",
+          threshold = 1.0)
+      }
       adm.read().get
         .select("doc_id", "split", "contamination", "contaminated")
         .orderBy("doc_id")
@@ -201,6 +242,52 @@ object StreamQueries {
         |         ELSE CAST(coalesce(n_hits, 0) AS DOUBLE) / len(gs) END
         |      AS contamination
         |  FROM grams LEFT JOIN hits USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN h < 'cccccccc' THEN 'train'
+        |       WHEN h < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  contamination,
+        |  contamination >= 0.5 AS contaminated
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_stream_curate_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000001, text FROM base
+        |  UNION ALL SELECT doc_id + 2000000, text FROM base),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM docs),
+        |grams AS (
+        |  SELECT doc_id, doc_id % 2 AS b,
+        |    list_sort(list_distinct(CASE WHEN len(t) <= 3
+        |      THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 2 + 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS gs
+        |  FROM toks),
+        |reps AS (
+        |  SELECT min(doc_id) AS doc_id, b, gs FROM grams GROUP BY b, gs),
+        |admitted AS (
+        |  SELECT doc_id, gs FROM reps WHERE b = 0
+        |  UNION ALL
+        |  SELECT r1.doc_id, r1.gs FROM reps r1
+        |  WHERE r1.b = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM reps r0 WHERE r0.b = 0 AND r0.gs = r1.gs)),
+        |eval_g AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM grams
+        |  WHERE doc_id % 101 = 0 AND doc_id < 1000001),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) e
+        |  JOIN eval_g USING (g) GROUP BY e.doc_id),
+        |lab AS (
+        |  SELECT a.doc_id,
+        |    substr(md5(CAST(a.doc_id AS VARCHAR) || ':42'), 1, 8) AS h,
+        |    CASE WHEN len(a.gs) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(n_hits, 0) AS DOUBLE) / len(a.gs) END
+        |      AS contamination
+        |  FROM admitted a LEFT JOIN hits USING (doc_id))
         |SELECT doc_id,
         |  CASE WHEN h < 'cccccccc' THEN 'train'
         |       WHEN h < 'e6666666' THEN 'val'
