@@ -57,29 +57,51 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5, shingleWords: Int = 3): DataFrame = {
-    val rows = k / bands
-    // Sketch ONCE: both band-join legs and the verify stage read this
-    // frame. Without the checkpoint Catalyst inlines the subtree per
-    // consumer (fresh exprIds), so the corpus would be scanned and
-    // shingle+minhash-sketched once per leg — at 100 TB that is 2-3
-    // full-corpus passes for one. The materialized frame is the
-    // narrow (id, shingles, signature) projection, far smaller than
-    // re-reading text.
-    val sig = spread(docs)
+      threshold: Double = 0.5, shingleWords: Int = 3): DataFrame =
+    pairsFromSignatures(
+      docSignatures(docs, textCol, idCol, k, shingleWords),
+      idCol, k, bands, threshold)
+
+  /** The ONE minhash sketch pass: (id, __sh shingle hashes, __sig
+    * k-minhash) per doc, localCheckpointed. Every minhash consumer —
+    * [[minhashLsh]]'s band legs + verify, [[IncrementalDedup]]'s index
+    * probe / membership / index rows — derives from this frame, so a
+    * caller holding several stages (the streaming drain sketches once
+    * per batch for intra-dedup + index probe + index append) pays ONE
+    * kernel pass instead of one per stage. Without the checkpoint
+    * Catalyst inlines the subtree per consumer (fresh exprIds) and the
+    * corpus is re-scanned+re-sketched per leg — at 100 TB that is 2-3
+    * full-corpus passes for one. The materialized frame is the narrow
+    * (id, shingles, signature) projection, far smaller than re-reading
+    * text. */
+  private[graft] def docSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 128,
+      shingleWords: Int = 3): DataFrame =
+    spread(docs)
       .select(col(idCol),
         TextExpressions.hashedShingles(col(textCol), shingleWords).as("__sh"))
       .withColumn("__sig", TextExpressions.minhashSigFromHashes(col("__sh"), k))
       .localCheckpoint(true)
 
-    // Band-join legs carry ONLY (id, band, band-hash): the shingle
-    // arrays no longer ride through the bucket shuffle (where explode
-    // duplicates every array `bands` times) nor through the pair
-    // distinct. Vectors rejoin per unique pair afterwards.
-    val banded = sig.select(col(idCol),
+  /** Narrow (id, __band, __bh) LSH band rows derived from
+    * [[docSignatures]] — the shape both band-join legs and the
+    * persisted index carry. Shingle arrays never ride these rows
+    * (explode would duplicate every array `bands`×). */
+  private[graft] def bandRows(sig: DataFrame, idCol: String = "doc_id",
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = k / bands
+    sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)), b)))
         .as(Seq("__band", "__bh")))
+  }
+
+  /** Verified near-dup pairs from a precomputed [[docSignatures]]
+    * frame — [[minhashLsh]] minus the sketch pass. */
+  private[graft] def pairsFromSignatures(sig: DataFrame,
+      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val banded = bandRows(sig, idCol, k, bands)
     val a = banded.select(col(idCol).as("id_a"), col("__band"), col("__bh"))
     val b = banded.select(col(idCol).as("id_b"), col("__band"), col("__bh"))
     val cand = a.join(b, Seq("__band", "__bh"))
@@ -92,23 +114,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
-
-  /** Banded MinHash-LSH signature rows — (idCol, __sh shingle hashes,
-    * __band, __bh band hash), one row per (doc, band). The shared
-    * sketch kernel behind [[minhashLsh]] and [[IncrementalDedup]]. */
-  def bandedSignatures(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
-      shingleWords: Int = 3): DataFrame = {
-    val rows = k / bands
-    spread(docs)
-      .select(col(idCol),
-        TextExpressions.hashedShingles(col(textCol), shingleWords).as("__sh"))
-      .withColumn("__sig", TextExpressions.minhashSigFromHashes(col("__sh"), k))
-      .select(col(idCol), col("__sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("__sig"), b * lit(rows) + lit(1), lit(rows)), b)))
-          .as(Seq("__band", "__bh")))
   }
 
   /** Exact Jaccard over two shingle arrays (set semantics). */

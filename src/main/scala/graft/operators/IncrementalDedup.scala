@@ -63,25 +63,33 @@ object IncrementalDedup {
   def indexSortCols(idCol: String = "doc_id"): Seq[String] =
     Seq("__band", "__bh", idCol)
 
-  /** Split a [[Dedup.bandedSignatures]] frame into the two index row
-    * kinds. The array row derives from band 0 (present for every doc)
-    * rather than a groupBy — no extra shuffle. */
-  private def toIndexRows(sig: DataFrame, idCol: String): DataFrame = {
-    val bands = sig.select(col(idCol), col("__band"), col("__bh"),
-      lit(null).cast("array<bigint>").as("__sh"))
-    val arrays = sig.where(col("__band") === 0)
-      .select(col(idCol), lit(ArrayRowBand).as("__band"),
-        lit(null).cast("bigint").as("__bh"), col("__sh"))
-    bands.unionByName(arrays)
+  /** Index rows from a [[Dedup.docSignatures]] frame: narrow band rows
+    * derived via [[Dedup.bandRows]] plus one array row per doc — no
+    * groupBy, no extra shuffle. */
+  private def toIndexRows(sig: DataFrame, idCol: String, k: Int,
+      bands: Int): DataFrame = {
+    val bandLegs = Dedup.bandRows(sig, idCol, k, bands)
+      .select(col(idCol), col("__band"), col("__bh"),
+        lit(null).cast("array<bigint>").as("__sh"))
+    val arrays = sig.select(col(idCol), lit(ArrayRowBand).as("__band"),
+      lit(null).cast("bigint").as("__bh"), col("__sh"))
+    bandLegs.unionByName(arrays)
   }
 
   /** Build the initial signature index from an accepted corpus. */
   def index(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
       shingleWords: Int = 3): DataFrame =
-    toIndexRows(
-      Dedup.bandedSignatures(docs, textCol, idCol, k, bands, shingleWords),
-      idCol)
+    indexFromSignatures(
+      Dedup.docSignatures(docs, textCol, idCol, k, shingleWords),
+      idCol, k, bands)
+
+  /** [[index]] from a precomputed [[Dedup.docSignatures]] frame — what
+    * the streaming drain uses so one batch sketch feeds intra-dedup,
+    * the index probe AND the index append. */
+  def indexFromSignatures(sig: DataFrame, idCol: String = "doc_id",
+      k: Int = 128, bands: Int = 32): DataFrame =
+    toIndexRows(sig, idCol, k, bands)
 
   /** Near-dup pairs of `newDocs` against the indexed corpus:
     * (new_id, dup_of, jaccard ≥ threshold). Never compares new docs
@@ -90,11 +98,16 @@ object IncrementalDedup {
   def matchAgainst(index: DataFrame, newDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 128,
       bands: Int = 32, threshold: Double = 0.5, shingleWords: Int = 3)
-      : DataFrame = {
-    // Batch sketch feeds the band legs AND the verify-time array
-    // attach; checkpoint so the shingle kernel runs once per batch.
-    val freshSig = Dedup.bandedSignatures(newDocs, textCol, idCol, k,
-      bands, shingleWords).localCheckpoint(true)
+      : DataFrame =
+    matchAgainstSignatures(index,
+      Dedup.docSignatures(newDocs, textCol, idCol, k, shingleWords),
+      idCol, k, bands, threshold)
+
+  /** [[matchAgainst]] from a precomputed [[Dedup.docSignatures]]
+    * frame. */
+  def matchAgainstSignatures(index: DataFrame, sig: DataFrame,
+      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
     // Batch-bounded bloom over the batch's (band, bh) keys, applied ON
     // the index scan: the broadcast join alone would still feed every
     // index band row into the probe; with the bloom, non-candidate
@@ -102,15 +115,17 @@ object IncrementalDedup {
     // segment layout ([[indexSortCols]]) the pushed `__band >= 0`
     // skips the array-row row groups outright. Cost: one count + one
     // aggregate over the CHECKPOINTED batch sketch — O(batch).
-    val nKeys = freshSig.count()
-    if (nKeys == 0)
-      return freshSig.select(col(idCol).as("new_id"),
+    val nDocs = sig.count()
+    if (nDocs == 0)
+      return sig.select(col(idCol).as("new_id"),
         col(idCol).as("dup_of"), lit(0.0).as("jaccard")).limit(0)
     val bandKey = xxhash64(col("__band"), col("__bh"))
-    val batchKeyBloom = freshSig.stat.bloomFilter(bandKey, nKeys, 0.01)
-    val freshBands = freshSig
+    val freshBandRows = Dedup.bandRows(sig, idCol, k, bands)
+    val batchKeyBloom =
+      freshBandRows.stat.bloomFilter(bandKey, nDocs * bands, 0.01)
+    val freshBands = freshBandRows
       .select(col(idCol).as("new_id"), col("__band"), col("__bh"))
-    val freshArr = freshSig.where(col("__band") === 0)
+    val freshArr = sig
       .select(col(idCol).as("new_id"), col("__sh").as("sh_new"))
     val oldBands = index.where(col("__band") >= 0)
       .where(BloomFunctions.mightContainLong(batchKeyBloom, bandKey))
@@ -169,7 +184,7 @@ object IncrementalDedup {
   def append(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 128,
       bands: Int = 32, shingleWords: Int = 3): DataFrame =
-    index.unionByName(toIndexRows(
-      Dedup.bandedSignatures(admitted(index, newDocs, matches, idCol),
-        textCol, idCol, k, bands, shingleWords), idCol))
+    index.unionByName(indexFromSignatures(
+      Dedup.docSignatures(admitted(index, newDocs, matches, idCol),
+        textCol, idCol, k, shingleWords), idCol, k, bands))
 }

@@ -44,29 +44,41 @@ object DedupMicroBatch {
   def processBatch(batch: DataFrame, batchId: Long,
       indexStore: AppendStore, rejectStore: AppendStore,
       threshold: Double): DataFrame = {
+    // ONE sketch pass per batch: the checkpointed (id, shingles,
+    // signature) frame feeds all three consumers — intra-batch pair
+    // generation, the index probe, and the admitted index rows. The
+    // prior shape re-ran the shingle+minhash kernels once per stage
+    // (3× the dominant per-batch compute).
+    val sig = Dedup.docSignatures(batch)
+
     // intra-batch: keep one representative per near-dup cluster
-    val pairs = Dedup.minhashLsh(batch, threshold = threshold)
+    val pairs = Dedup.pairsFromSignatures(sig, threshold = threshold)
     val reps = Dedup.clusters(pairs)
     val internal = batch.join(reps, Seq("doc_id"), "left")
       .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
+    val sigInternal = sig.join(internal.select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
     val emptyRejects = internal.limit(0)
       .select(col("doc_id").as("new_id"), col("doc_id").as("dup_of"),
         lit(0.0).as("jaccard"))
-    val (admitted, matches) = indexStore.readBefore(batchId) match {
-      case None => (internal, emptyRejects)
-      case Some(idx) =>
-        val m = IncrementalDedup.matchAgainst(idx, internal,
-          threshold = threshold)
-          // segment content must be deterministic under recomputation;
-          // matches are already distinct pairs, localCheckpoint pins
-          // them so the two consumers (anti-join + segment write) agree
-          .localCheckpoint(true)
-        (internal.join(m.select(col("new_id").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti"), m)
-    }
-    indexStore.write(IncrementalDedup.index(admitted), batchId)
+    val (admitted, matches, sigAdmitted) =
+      indexStore.readBefore(batchId) match {
+        case None => (internal, emptyRejects, sigInternal)
+        case Some(idx) =>
+          val m = IncrementalDedup.matchAgainstSignatures(idx, sigInternal,
+            threshold = threshold)
+            // segment content must be deterministic under recomputation;
+            // matches are already distinct pairs, localCheckpoint pins
+            // them so the consumers (anti-joins + segment write) agree
+            .localCheckpoint(true)
+          val matched = m.select(col("new_id").as("doc_id")).distinct()
+          (internal.join(matched, Seq("doc_id"), "left_anti"), m,
+            sigInternal.join(matched, Seq("doc_id"), "left_anti"))
+      }
+    indexStore.write(IncrementalDedup.indexFromSignatures(sigAdmitted),
+      batchId)
     rejectStore.write(matches, batchId)
     admitted
   }
