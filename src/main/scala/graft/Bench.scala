@@ -14,6 +14,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def fmt(d: Double): String = f"$d%.4f"
   def fmt2(d: Double): String = f"$d%.2f"
+
+  /** (1-minute system load average, available processors) — stamped at
+    * bench start AND end so a contention-poisoned artifact
+    * self-identifies (three straight rounds shipped medians inflated by
+    * a busy box that nothing in the artifact could prove busy). -1.0
+    * where the platform can't report a load average. */
+  def loadStamp(): (Double, Int) = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    (os.getSystemLoadAverage, os.getAvailableProcessors)
+  }
   def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -39,10 +49,17 @@ object Bench {
       sfDir: String,
       detailFile: String,
       mins: Map[String, Double] = Map.empty,
+      load: Option[(Double, Double, Int)] = None,
       budget: Int = 1750): String = {
     val pipeJson = pipeline.fold(
       e => s""""pipeline_error":"${esc(e.take(120))}"""",
       t => s""""pipeline_total":${fmt2(t)}""")
+    // Load evidence rides the headline: [start 1-min loadavg, end
+    // loadavg, procs]. A start load near the core count means the box
+    // was busy BEFORE the bench contributed anything — read the
+    // medians (and even the mins) with suspicion.
+    val loadJson = load.fold("") { case (s, e, p) =>
+      s""""load_avg":[${fmt2(s)},${fmt2(e)}],"procs":$p,""" }
     val errJson = errors
       .map { case (n, e) => "\"" + n + "\":\"" + esc(e.take(60)) + "\"" }
       .mkString("\"errors\":{", ",", "},")
@@ -56,7 +73,7 @@ object Bench {
           "\"" + n + "\":" + fmt2(m)) }
         .mkString("\"mins\":{", ",", "},")
     val head =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$errJson$minJson"queries":{"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$errJson$minJson"queries":{"""
     // ,"queries_omitted":NNN}} suffix worst case ~25 chars — reserve it.
     val reserve = 25
     val entries = medians.sortBy(-_._2)
@@ -116,6 +133,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Stamp BEFORE any Spark work: this reading reflects load the
+    // bench did not itself create.
+    val (loadStart, procs) = loadStamp()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -198,8 +218,9 @@ object Bench {
     val pipeJson = pipelineTotal.fold(
       e => s""""pipeline_error":"${esc(e)}"""",
       t => s""""pipeline_total":${fmt(t)}""")
+    val (loadEnd, _) = loadStamp()
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"errors":$errs,$pipeJson,"details":$details,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"load_avg":[${fmt2(loadStart)},${fmt2(loadEnd)}],"procs":$procs,"queries":$qs,"errors":$errs,$pipeJson,"details":$details,"sf":"$sfDir"}"""
     // Persist to a file as well: sbt log noise buries/truncates stdout, and
     // the driver needs a parseable artifact for round-over-round regression.
     val out = java.nio.file.Paths.get(
@@ -214,6 +235,7 @@ object Bench {
       ok.map(r => r.name -> median(r.times)),
       results.flatMap(r => r.err.map(r.name -> _)),
       total, runs, pipelineTotal, sfDir, out.toString,
-      mins = ok.map(r => r.name -> r.times.min).toMap))
+      mins = ok.map(r => r.name -> r.times.min).toMap,
+      load = Some((loadStart, loadEnd, procs))))
   }
 }

@@ -41,6 +41,19 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
     copy(child = c)
+
+  // Case-class equality on Array[Byte] is reference equality, which
+  // would make two semantically identical probes never compare equal —
+  // defeating expression canonicalization / semanticEquals (and any
+  // future plan caching over this node). Compare the serialized sketch
+  // by content, the same way Spark's Literal handles binary values.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomFunctions {

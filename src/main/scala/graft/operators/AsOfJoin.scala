@@ -39,6 +39,18 @@ import org.apache.spark.sql.functions._
   * nulling the carried match is exactly "no match within tolerance".
   * Same single shuffle — the matched timestamp rides inside the
   * carried struct, so the gate and the payloads see the same row.
+  *
+  * DETERMINISM PRECONDITION: right-side `(key, rightTs)` pairs must be
+  * unique. With ties, "the latest right row at or before ts" is not
+  * well defined, and the variants break the tie differently — the
+  * window shape keeps whichever tied row sorts last within the
+  * partition (engine-dependent for equal sort keys), while the
+  * bucketed variants' `max(struct)`/`min(struct)` summary compares
+  * payload fields after the timestamp — so tied inputs can produce
+  * rows that differ BETWEEN variants and BETWEEN runs. Pre-dedup the
+  * right side (e.g. `row_number()` over `(key, rightTs)`, keep 1) when
+  * ties are possible; the declared `q_join_asof*` keys and the
+  * PropertySpec brute-force harness do exactly that.
   */
 object AsOfJoin {
 

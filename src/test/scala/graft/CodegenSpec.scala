@@ -55,4 +55,25 @@ class CodegenSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.fallback", "true")
     }
   }
+
+  test("bloom probe equality is content-based, not array-reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.util.sketch.BloomFilter
+    import graft.functions.BloomMightContainLong
+    def mk(seed: Long): BloomMightContainLong = {
+      val bf = BloomFilter.create(100, 0.01)
+      (seed until seed + 50).foreach(bf.putLong)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      BloomMightContainLong(Literal(7L), out.toByteArray)
+    }
+    // two independently serialized but identical sketches: equal,
+    // same hash, and semanticEquals (so canonicalization/CSE can fire)
+    val (a, b) = (mk(1L), mk(1L))
+    assert(a == b, "identical probes must compare equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    // a different sketch must not compare equal
+    assert(a != mk(1000L))
+  }
 }

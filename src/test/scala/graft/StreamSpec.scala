@@ -343,7 +343,9 @@ class StreamSpec extends AnyFunSuite {
     val batch = Seq((900L, "a single probe document with its own fresh " +
       "vocabulary entirely unlike the indexed corpus"))
       .toDF("doc_id", "text")
-    // AQE off so the executed plan is directly traversable for metrics
+    // AQE off so the executed plan is directly traversable for metrics;
+    // restore whatever the suite was running with, not a hardcoded value
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val matches = IncrementalDedup.matchAgainst(idx, batch, threshold = 0.5)
@@ -363,7 +365,7 @@ class StreamSpec extends AnyFunSuite {
       assert(scanned >= 6000, s"expected the full band leg, got $scanned")
       assert(survived <= scanned / 10,
         s"bloom kept $survived of $scanned index rows — not cutting")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
   test("index segments land clustered by (band, band-hash, id)") {

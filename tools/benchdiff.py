@@ -4,10 +4,11 @@
 Usage: python3 tools/benchdiff.py <prev.json> <cur.json> [--factor=2.0]
        [--min-sec=0.3] [--min-delta=0.5]
 
-Compares per-key medians in two Bench artifacts (bench_out.json, or the
+Compares per-key timings in two Bench artifacts (bench_out.json, or the
 driver's BENCH_r*.json wrapper whose "tail" embeds the compact stdout
-line). Mirrors graft.Bench.regressions / BenchSpec's live tripwire so
-the check can run without a JVM.
+line), preferring the contention-robust t_min over the median wherever
+the artifact records it. Mirrors graft.Bench.regressions / BenchSpec's
+tripwires so the check can run without a JVM.
 
 Benches never run on identical box state (fresh VM per round; a cold
 page cache alone inflates a first run 1.5-3x across the board), so raw
@@ -24,15 +25,28 @@ import statistics
 import sys
 
 
-def medians(path):
+def bench_node(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return d["queries"]
+        return d
     lines = re.findall(r'\{"metric":.*\}', d["tail"])
     if not lines:
         sys.exit(f"no bench line found in {path}'s tail")
-    return json.loads(lines[-1])["queries"]
+    return json.loads(lines[-1])
+
+
+def timings(node):
+    """Contention-robust per-key timings: t_min from full details when
+    present, else compact-line medians overlaid with its `mins` map.
+    Mirrors BenchSpec's extraction — median-based comparisons spent
+    three rounds flagging busy-box ghosts on unchanged code."""
+    if "details" in node:
+        return {k: v["t_min"] for k, v in node["details"].items()
+                if v.get("t_min") is not None}
+    q = dict(node["queries"])
+    q.update({k: v for k, v in node.get("mins", {}).items() if k in q})
+    return q
 
 
 def main():
@@ -42,7 +56,17 @@ def main():
     factor = float(opts.get("factor", 2.0))
     min_sec = float(opts.get("min-sec", 0.3))
     min_delta = float(opts.get("min-delta", 0.5))
-    prev, cur = medians(args[0]), medians(args[1])
+    prev_node, cur_node = bench_node(args[0]), bench_node(args[1])
+    prev, cur = timings(prev_node), timings(cur_node)
+    # Load stamps adjudicate contention: a start load near the core
+    # count means the box was busy before the bench began — treat any
+    # flags below as box noise, not code regressions.
+    for name, node in ((args[0], prev_node), (args[1], cur_node)):
+        if "load_avg" in node and "procs" in node:
+            s, e = node["load_avg"]
+            p = node["procs"]
+            tag = " [CONTENDED]" if s > p * 0.5 else ""
+            print(f"{name}: load {s:.1f} -> {e:.1f} on {p} cores{tag}")
     allow = {}
     allow_path = os.path.join(os.path.dirname(__file__), "bench_allowlist.json")
     if os.path.exists(allow_path):
