@@ -63,4 +63,25 @@ object Curate {
       .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .select(col(idCol), col("lang_detected"), col("quality"))
   }
+
+  /** [[corpus]] plus the span-level scrub — stage 5 of the full
+    * curation story: after document-level filtering and dedup, remove
+    * CROSS-doc repeated spans (boilerplate that survives whole-doc
+    * near-dup because the surrounding text differs) from the
+    * survivors' texts via [[Dedup.spanDedup]]. Returns one row per
+    * surviving doc: `(id, text_dedup, n_spans, n_spans_kept)` — the
+    * reassembled text with first-occurrence-wins span provenance.
+    * Same non-quadratic scale story as the stages it composes; the
+    * span pass adds one skew-safe hash aggregate + equi-join + per-doc
+    * regroup over the (already reduced) survivor set. */
+  def corpusSpanDedup(docs: DataFrame, minQuality: Double = 0.7,
+      langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
+      maxDupGram: Double = 1.0, spanWords: Int = 10): DataFrame = {
+    val kept = corpus(docs, minQuality, langs, jaccard, textCol, idCol,
+      maxShingleDf, maxDupGram)
+    val survivors = docs.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+    Dedup.spanDedup(survivors, textCol, idCol, spanWords)
+  }
 }

@@ -124,6 +124,67 @@ object Dedup {
     when(u === 0.0, 0.0).otherwise(i / u)
   }
 
+  /** Span-level (sub-document) exact dedup, the span rows: the one
+    * duplicate class whole-document dedup cannot touch — boilerplate
+    * headers/footers, license blocks, navigation chrome repeated
+    * across otherwise-distinct documents (the public "remove repeated
+    * spans" curation step; the repo's `q_text_repetition` Gopher
+    * signal detects INTRA-doc repetition, this removes CROSS-doc
+    * repeats). Each doc is split into non-overlapping `spanWords`-word
+    * windows; a span KEEPS only its first occurrence corpus-wide
+    * (ordered by `(id, span_idx)` — deterministic under any
+    * partitioning). Returns every span row with its provenance:
+    * `(id, span_idx, span, keep)`.
+    *
+    * Scale shape (100 TB): the first-occurrence decision is a
+    * `min(struct(id, span_idx))` aggregate per span hash — partial
+    * aggregation collapses hot spans MAP-SIDE, so the one span
+    * repeated in millions of docs (exactly the span this operator
+    * exists for) never concentrates in one task the way a
+    * `Window.partitionBy(span)` would force; the flag join back onto
+    * the span rows is a plain equi-join AQE can skew-split. Spans are
+    * grouped by `xxhash64(span)`, the same 64-bit-collision trade
+    * [[exact]] makes (the span text never rides a second shuffle). */
+  def spanFlags(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val nSpans = greatest(
+      ceil(size(col("__ws")) / lit(spanWords.toDouble)).cast("int"), lit(1))
+    val spans = spread(docs)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), nSpans - 1),
+        i => array_join(
+          slice(col("__ws"), i * spanWords + 1, lit(spanWords)), " ")))
+        .as(Seq("span_idx", "span")))
+      .select(col(idCol), col("span_idx").cast("long").as("span_idx"),
+        col("span"), xxhash64(col("span")).as("__h"))
+    val firsts = spans
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("span_idx"))).as("__first"))
+    spans.join(firsts, Seq("__h"))
+      .withColumn("keep",
+        col(idCol) === col("__first").getField(idCol) &&
+          col("span_idx") === col("__first").getField("span_idx"))
+      .select(col(idCol), col("span_idx"), col("span"), col("keep"))
+  }
+
+  /** [[spanFlags]] reassembled per document: kept spans re-joined in
+    * original order (a doc whose every span was seen before collapses
+    * to the empty string), plus span-count provenance. One extra
+    * shuffle over [[spanFlags]] (the per-doc regroup), bounded by doc
+    * size per group. */
+  def spanDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", spanWords: Int = 10): DataFrame =
+    spanFlags(docs, textCol, idCol, spanWords)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("span_idx"), col("span"))))),
+          x => x.getField("span")), " ").as("text_dedup"),
+        count(lit(1)).as("n_spans"),
+        count(when(col("keep"), lit(1))).as("n_spans_kept"))
+
   /** SimHash near-dup: 64-bit sketch per doc, bucketed by bit blocks.
     * Pigeonhole: splitting 64 bits into `blocks > maxHamming` blocks
     * guarantees any pair within Hamming ≤ maxHamming shares ≥1 block

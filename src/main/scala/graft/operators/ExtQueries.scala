@@ -140,6 +140,24 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Span-level (sub-document) dedup: cross-doc repeated 10-word
+    // spans removed, first occurrence (by doc_id, span_idx) wins, docs
+    // reassembled from their surviving spans — the duplicate class
+    // whole-doc dedup can't touch (boilerplate spans inside
+    // otherwise-distinct docs). Fires for real on the fixture (57 docs
+    // lose spans at sf0.01), so a broken keep policy hash-mismatches.
+    "q_dedup_spans" -> { (s, d) =>
+      Dedup.spanDedup(Tables(s, d, "documents")).orderBy("doc_id")
+    },
+
+    // Span-level provenance: every (doc, span) row with its keep/drop
+    // flag — the masking surface a pipeline uses to audit (or
+    // re-apply) the span scrub.
+    "q_dedup_spans_flags" -> { (s, d) =>
+      Dedup.spanFlags(Tables(s, d, "documents"))
+        .orderBy("doc_id", "span_idx")
+    },
+
     // MinHash+LSH near-dup pairs — the RAW scale-path operator (banded
     // signatures → bucket join → exact-Jaccard verify). Benched as-is;
     // its recall/precision gate vs the exact truth lives in
@@ -749,6 +767,46 @@ object ExtQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
         |      FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, u['i'] AS span_idx, u['s'] AS span FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(0, CAST(greatest(ceil(len(ws) / 10.0), 1) AS BIGINT)),
+        |        i -> {'i': i,
+        |              's': array_to_string(ws[i*10+1:(i+1)*10], ' ')})) AS u
+        |    FROM w)),
+        |r AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+        |    ORDER BY span_idx), '') AS text_dedup,
+        |  count(*) AS n_spans,
+        |  count(CASE WHEN rn = 1 THEN 1 END) AS n_spans_kept
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans_flags" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, u['i'] AS span_idx, u['s'] AS span FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(0, CAST(greatest(ceil(len(ws) / 10.0), 1) AS BIGINT)),
+        |        i -> {'i': i,
+        |              's': array_to_string(ws[i*10+1:(i+1)*10], ' ')})) AS u
+        |    FROM w)),
+        |r AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        |  FROM s)
+        |SELECT doc_id, span_idx, span, rn = 1 AS keep
+        |FROM r ORDER BY doc_id, span_idx""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,

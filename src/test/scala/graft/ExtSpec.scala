@@ -30,6 +30,66 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("span dedup: cross-doc boilerplate span dropped, first occurrence kept") {
+    // 10-word boilerplate header shared verbatim by docs 1 and 2; the
+    // bodies are distinct, so whole-doc dedup would keep both intact.
+    val header = "this website uses cookies to improve your browsing experience today"
+    val body1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val body2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$header $body1"),
+      (2L, s"$header $body2"),
+      (3L, "a short unrelated doc")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "text_dedup", "n_spans", "n_spans_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc 1 keeps everything; doc 2 loses exactly the header span but
+    // keeps its own body; doc 3 (single short span) passes through
+    assert(out == Seq(
+      (1L, s"$header $body1", 2L, 2L),
+      (2L, body2, 2L, 1L),
+      (3L, "a short unrelated doc", 1L, 1L)))
+    // provenance flags agree with the reassembly
+    val flags = Dedup.spanFlags(docs)
+      .orderBy("doc_id", "span_idx")
+      .select("doc_id", "span_idx", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(flags == Seq((1L, 0L, true), (1L, 1L, true),
+      (2L, 0L, false), (2L, 1L, true), (3L, 0L, true)))
+  }
+
+  test("span dedup: doc of nothing but seen spans collapses to empty text") {
+    val span = "ten exact words repeated verbatim in every single document here"
+    val docs = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs).orderBy("doc_id")
+      .select("doc_id", "text_dedup", "n_spans_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, span, 1L), (2L, "", 0L)))
+  }
+
+  test("curate + span scrub composition: survivors' texts span-deduped") {
+    import graft.operators.Curate
+    // fixture docs pass quality/langid; doc 60 is near-identical to 50
+    // so doc-level near-dup keeps only 50; 50 and 70 share a 10-word
+    // head span the span scrub must strip from 70.
+    val head = "the quick brown fox jumps over the lazy dog and"
+    val docs = Seq(
+      (50L, s"$head then runs far away into the deep dark forest"),
+      (60L, s"$head then runs far away into the deep dark woods"),
+      (70L, s"$head later sleeps beside a warm stone wall outside"))
+      .toDF("doc_id", "text")
+    val out = Curate.corpusSpanDedup(docs, minQuality = 0.0, jaccard = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "text_dedup", "n_spans", "n_spans_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(50L, 70L), s"doc-level dedup wrong: $out")
+    assert(out(0)._2.startsWith(head))
+    assert(out(1)._2 == "later sleeps beside a warm stone wall outside",
+      s"span scrub did not strip the shared head: ${out(1)}")
+    assert(out.map(r => (r._3, r._4)) == Seq((2L, 2L), (2L, 1L)))
+  }
+
   test("minhash LSH finds planted near-duplicates, skips unrelated") {
     val nearDup = base.replace("lazy", "sleepy") // one word changed
     val unrelated = "completely different content about spark query engines " +
