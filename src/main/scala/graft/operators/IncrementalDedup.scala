@@ -152,27 +152,42 @@ object IncrementalDedup {
     * in a LATER batch (`matchAgainst` filters self-matches by id, so an
     * exact resend would otherwise be re-admitted).
     *
-    * The membership check is BATCH-BOUNDED, never a corpus aggregate:
-    * one `[min, max]` id-range predicate (pushed down to parquet — the
-    * sorted segment layout gives the array-row id column tight
-    * row-group stats to skip against) narrows the index's
-    * one-row-per-doc leg, then a broadcast semi-join against the
-    * batch's ids keeps only ids actually resent — a map-only index
-    * scan with no shuffle, and the surviving `present` set (≤ batch)
-    * broadcasts into the final anti-join. A prior shape ran
-    * `index.select(id).distinct()` here — a corpus-wide
+    * The membership check is BATCH-BOUNDED, never a corpus aggregate,
+    * under EITHER id distribution:
+    *
+    *   - clustered ids (monotone ingest sequence): the `[min, max]`
+    *     id-range predicate pushes down to parquet, and the sorted
+    *     segment layout ([[indexSortCols]]) gives the array-row id
+    *     column tight row-group stats — whole row groups skip;
+    *   - random ids (UUID-hash style): the range covers the whole
+    *     index and prunes nothing, so a bloom over the BATCH's ids
+    *     (driver-built, batch-bounded — the same
+    *     [[graft.functions.BloomFunctions.mightContainLong]] probe the
+    *     band join uses) is applied ON the array-row scan: non-batch
+    *     ids die inside the scan's codegen stage instead of feeding
+    *     the join.
+    *
+    * Either way the scan stays map-only and column-pruned to the id;
+    * the broadcast semi-join against the batch's ids then removes the
+    * bloom's ~fpp false positives exactly, and the surviving `present`
+    * set (≤ batch) broadcasts into the final anti-join. A prior shape
+    * ran `index.select(id).distinct()` here — a corpus-wide
     * shuffle-aggregate every batch. */
   def admitted(index: DataFrame, newDocs: DataFrame, matches: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val fresh = newDocs
       .join(matches.select(col("new_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
-    // bounded action: min/max of the batch's own ids
-    val bounds = newDocs.agg(min(col(idCol)), max(col(idCol))).head()
+    // bounded action: min/max/count of the batch's own ids
+    val bounds = newDocs
+      .agg(min(col(idCol)), max(col(idCol)), count(lit(1))).head()
     if (bounds.isNullAt(0)) return fresh // empty batch
+    val idBloom = newDocs.stat.bloomFilter(
+      col(idCol), math.max(bounds.getLong(2), 1L), 0.01)
     val present = index
       .where(col("__band") === ArrayRowBand &&
         col(idCol) >= lit(bounds.get(0)) && col(idCol) <= lit(bounds.get(1)))
+      .where(BloomFunctions.mightContainLong(idBloom, col(idCol)))
       .select(col(idCol))
       .join(broadcast(newDocs.select(col(idCol))), Seq(idCol), "left_semi")
     fresh.join(broadcast(present), Seq(idCol), "left_anti")

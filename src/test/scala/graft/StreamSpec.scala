@@ -368,6 +368,59 @@ class StreamSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
+  test("membership probe: batch-id bloom cuts array rows under scattered ids") {
+    import org.apache.spark.sql.execution.FilterExec
+    // Hash-scattered ids: the batch's [min, max] spans essentially the
+    // whole corpus id space, so the pushed range predicate prunes
+    // NOTHING — only the batch-id bloom keeps the membership scan
+    // batch-bounded (the clustered-ingest case is covered by the
+    // pushed-range test above).
+    def scatter(i: Int): Long = (i * 2654435761L) % 1000000007L
+    val idxStore = new AppendStore(spark, tmp("scatter-idx") + "/t",
+      IncrementalDedup.indexSortCols())
+    def text(i: Int): String =
+      s"corpus document $i speaks of matters ${i * 7} ${i * 13} " +
+        s"${i * 29} ${i * 31} and nothing else of note"
+    val corpus = (1 to 200).map(i => (scatter(i), text(i)))
+      .toDF("doc_id", "text")
+    idxStore.write(IncrementalDedup.index(corpus), 0L)
+    val idx = idxStore.read().get
+    // one exact resend (id 3's doc — must be dropped by the membership
+    // check alone, matchAgainst filters self-matches) + one new doc
+    // whose id lands at the far end of the id space
+    // resent id sits at the TOP of the id space, new id at the bottom:
+    // the pushed [1, scatter(3)] range covers ~96% of the corpus ids
+    val batch = Seq((scatter(3), text(3)),
+      (1L, "a genuinely new document with its own vocabulary"))
+      .toDF("doc_id", "text")
+    val noMatches = Seq.empty[(Long, Long, Double)]
+      .toDF("new_id", "dup_of", "jaccard")
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val adm = IncrementalDedup.admitted(idx, batch, noMatches)
+      // collect() on adm ITSELF — a .select() would spawn a fresh
+      // query execution and leave this plan's metrics untouched
+      val rows = adm.collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+        "resent doc not dropped / new doc not admitted")
+      val plan = adm.queryExecution.executedPlan
+      val bloomFilters = plan.collect {
+        case f: FilterExec
+            if f.condition.toString.contains("bloom_might_contain_long") => f
+      }
+      assert(bloomFilters.nonEmpty, s"no id-bloom filter node in:\n$plan")
+      val f = bloomFilters.head
+      val scanned = f.child.metrics("numOutputRows").value
+      val survived = f.metrics("numOutputRows").value
+      // 200 array rows reach the filter (the range prune is powerless
+      // here); the bloom keeps ~the one resent id plus fpp noise
+      assert(scanned >= 150, s"expected the array-row leg, got $scanned")
+      assert(survived <= scanned / 10,
+        s"id bloom kept $survived of $scanned array rows — not cutting")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
   test("index segments land clustered by (band, band-hash, id)") {
     val root = tmp("sorted-idx") + "/t"
     val store = new AppendStore(spark, root, IncrementalDedup.indexSortCols())
