@@ -159,6 +159,11 @@ object Dedup {
         .as(Seq("span_idx", "span")))
       .select(col(idCol), col("span_idx").cast("long").as("span_idx"),
         col("span"), xxhash64(col("span")).as("__h"))
+      // One corpus scan + split + explode: the firsts aggregate and the
+      // flag join both consume this frame — without the checkpoint
+      // Catalyst inlines the subtree per consumer (fresh exprIds) and
+      // the corpus is re-read and re-exploded twice (see minhashLsh).
+      .localCheckpoint(true)
     val firsts = spans
       .groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("span_idx"))).as("__first"))
