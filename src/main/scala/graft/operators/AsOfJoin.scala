@@ -143,6 +143,43 @@ object AsOfJoin {
         mt <= col("__t") + expr(s"INTERVAL $tol")))
   }
 
+  /** Auto-dispatching [[backward]]: one cheap keyed histogram over the
+    * LEFT side (two-level aggregate — per-key counts partial-aggregate
+    * map-side, then a 2-value reduce; safe under any skew) picks the
+    * plain window when keys are roughly uniform and
+    * [[backwardBucketed]] when one key carries ≥ `hotKeyShare` of the
+    * rows. Measured basis (SCALE.md "Skew proof"): plain wins ~1.3× at
+    * uniform keys, bucketed wins 3.3× at a 50% hot key — the probe
+    * aggregate costs far less than either gap. Use the explicit
+    * variants when the key distribution is known at build time. */
+  def backwardAuto(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      bucketSeconds: Long = 86400L, tolerance: Option[String] = None,
+      hotKeyShare: Double = 0.2): DataFrame =
+    if (maxKeyShare(left, key) >= hotKeyShare)
+      backwardBucketed(left, right, key, leftTs, rightTs, payloadCols,
+        bucketSeconds, tolerance)
+    else backward(left, right, key, leftTs, rightTs, payloadCols, tolerance)
+
+  /** [[backwardAuto]]'s mirror for the forward direction. */
+  def forwardAuto(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      bucketSeconds: Long = 86400L, tolerance: Option[String] = None,
+      hotKeyShare: Double = 0.2): DataFrame =
+    if (maxKeyShare(left, key) >= hotKeyShare)
+      forwardBucketed(left, right, key, leftTs, rightTs, payloadCols,
+        bucketSeconds, tolerance)
+    else forward(left, right, key, leftTs, rightTs, payloadCols, tolerance)
+
+  /** Largest single-key share of `df`'s rows — the dispatch statistic
+    * (exposed for specs). 0.0 on an empty frame. */
+  private[graft] def maxKeyShare(df: DataFrame, key: String): Double = {
+    val r = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")), sum(col("__n"))).head()
+    if (r.isNullAt(0)) 0.0
+    else r.getLong(0).toDouble / math.max(r.getLong(1), 1L)
+  }
+
   /** [[backward]] for the HOT-KEY case. `partitionBy(key)` puts one
     * key's whole history in one task; with a single dominant symbol
     * that task IS the runtime. This variant partitions by

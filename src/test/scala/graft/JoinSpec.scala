@@ -112,6 +112,38 @@ class JoinSpec extends AnyFunSuite {
     }
   }
 
+  test("auto as-of: histogram probe picks bucketed on hot keys, plain on uniform") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def at(h: Long) = new java.sql.Timestamp(base + h * 3600 * 1000)
+    // hot: key 1 holds 150 of 162 rows; uniform: 27 keys × 6 rows
+    val hotLeft = ((1 to 150).map(i => (i.toLong, 1L, at(i.toLong))) ++
+      (1 to 12).map(i => (1000L + i, 2L, at(i * 13L))))
+      .toDF("event_id", "user_id", "ts")
+    val uniLeft = (0 until 162).map(i =>
+      (i.toLong, (i % 27).toLong, at((i / 27).toLong)))
+      .toDF("event_id", "user_id", "ts")
+    assert(AsOfJoin.maxKeyShare(hotLeft, "user_id") > 0.9)
+    assert(AsOfJoin.maxKeyShare(uniLeft, "user_id") < 0.05)
+    assert(AsOfJoin.maxKeyShare(
+      uniLeft.where("event_id < 0"), "user_id") == 0.0)
+    // dispatch result == plain result on both distributions (either
+    // branch may be taken; the answer must not depend on it)
+    val right = Seq((1L, at(30), 30.0), (2L, at(40), 40.0),
+      (5L, at(10), 10.0)).toDF("user_id", "ts", "rate")
+    for (left <- Seq(hotLeft, uniLeft)) {
+      val plain = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("rate")).collect().map(_.toSeq).toSet
+      val auto = AsOfJoin.backwardAuto(left, right, "user_id", "ts", "ts",
+        Seq("rate")).collect().map(_.toSeq).toSet
+      assert(auto == plain)
+      val fplain = AsOfJoin.forward(left, right, "user_id", "ts", "ts",
+        Seq("rate")).collect().map(_.toSeq).toSet
+      val fauto = AsOfJoin.forwardAuto(left, right, "user_id", "ts", "ts",
+        Seq("rate")).collect().map(_.toSeq).toSet
+      assert(fauto == fplain)
+    }
+  }
+
   test("range join: [lo, hi) boundary semantics, long intervals found") {
     val points = Seq((1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 250.0))
       .toDF("event_id", "value")

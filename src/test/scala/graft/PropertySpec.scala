@@ -310,6 +310,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skewed fixture: hot-key variants row-identical to plain shapes") {
+    import graft.operators.{AsOfJoin, Skew}
+    // The SkewBench distribution in miniature: one key holds half of
+    // both sides (the case the variants exist for; SkewBench measures
+    // the win, this pins result equality row-by-row on the same shape).
+    def keyed(n: Int, seed: Int) = (0 until n).map { i =>
+      val k = if (i % 2 == 0) 0L else (math.abs((i * 31 + seed) % 40) + 1).toLong
+      (k, new java.sql.Timestamp(((i * 7919 + seed * 13) % 3600) * 1000L), i.toLong)
+    }
+    val left = keyed(400, 1).toDF("key", "ts", "v")
+    val right = keyed(150, 2)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+      .map { case (k, t, i) => (k, t, i.toDouble) }.toDF("key", "rts", "quote")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = AsOfJoin.backward(left, right, "key", "ts", "rts", Seq("quote"))
+    val bucketed = AsOfJoin.backwardBucketed(left, right, "key", "ts", "rts",
+      Seq("quote"), bucketSeconds = 600L)
+    assert(rows(plain) == rows(bucketed),
+      "bucketed as-of diverges from plain on the hot-key distribution")
+    val dim = (0L to 41L).map(k => (k, s"dim_$k")).toDF("key", "label")
+    val j = left.join(dim, Seq("key"), "left")
+    val s = Skew.saltedLeftJoin(left, dim, "key")
+    assert(rows(j) == rows(s.select(j.columns.map(col): _*)),
+      "salted join diverges from plain on the hot-key distribution")
+  }
+
   test("minhash-LSH pairs ⊆ exact-jaccard pairs at the same threshold") {
     import graft.operators.Dedup
     // LSH candidates are exact-Jaccard VERIFIED, so the output can
