@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — times every RAW operator key in [[SparkEntry.queries]]
   * (gate queries are Verify-only and never timed here), median-of-N per
@@ -14,6 +14,39 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def fmt(d: Double): String = f"$d%.4f"
   def fmt2(d: Double): String = f"$d%.2f"
+
+  /** Artifact tag for the timed action. Through r11 the action was a
+    * bare `count()` — and `count(1)` lets column pruning DELETE the
+    * terminal work of projection-shaped keys (an unused window, the
+    * text kernels of a select-only key), so those keys under-measured
+    * (discovered via SkewBench: the plain as-of "took" 0.21s under
+    * count() and 9.34s with its result actually consumed). The action
+    * is now count + an order-independent xxhash64 checksum over every
+    * output column, which forces full-row evaluation. Artifacts carry
+    * this tag so the tripwires refuse to compare across the semantics
+    * change instead of reporting it as a regression. */
+  val ActionTag: String = "rows_xxhash32sum"
+
+  /** Consume a query's FULL result: row count + masked-hash sum over
+    * all columns (32-bit mask keeps an ANSI-mode sum far from Long
+    * overflow). Falls back to count() when the schema contains a map
+    * (xxhash64 rejects MapType) — those keys keep legacy semantics. */
+  def consume(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    if (df.schema.fields.exists(f => hasMap(f.dataType))) { df.count(); () }
+    else {
+      df.agg(count(lit(1)), sum(xxhash64(struct(df.columns.map(col): _*))
+        .bitwiseAND(lit(0xffffffffL)))).head()
+      ()
+    }
+  }
 
   /** (1-minute system load average, available processors) — stamped at
     * bench start AND end so a contention-poisoned artifact
@@ -73,7 +106,7 @@ object Bench {
           "\"" + n + "\":" + fmt2(m)) }
         .mkString("\"mins\":{", ",", "},")
     val head =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$errJson$minJson"queries":{"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$errJson$minJson"queries":{"""
     // ,"queries_omitted":NNN}} suffix worst case ~25 chars — reserve it.
     val reserve = 25
     val entries = medians.sortBy(-_._2)
@@ -163,7 +196,7 @@ object Bench {
         // page-cache faults, codegen compilation and file-listing for
         // that key's tables — folding it into the median inflated two
         // rounds' committed artifacts into contention ghosts.
-        try { fn(spark, sfDir).count(); () }
+        try consume(fn(spark, sfDir))
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("\\s+", " ").take(200))
@@ -171,7 +204,10 @@ object Bench {
         var i = 0
         while (i < runs && err.isEmpty) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+          try {
+            consume(fn(spark, sfDir))
+            times += (System.nanoTime() - t0) / 1e9
+          }
           catch { case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("\\s+", " ").take(200))
@@ -220,7 +256,7 @@ object Bench {
       t => s""""pipeline_total":${fmt(t)}""")
     val (loadEnd, _) = loadStamp()
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"load_avg":[${fmt2(loadStart)},${fmt2(loadEnd)}],"procs":$procs,"queries":$qs,"errors":$errs,$pipeJson,"details":$details,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"load_avg":[${fmt2(loadStart)},${fmt2(loadEnd)}],"procs":$procs,"queries":$qs,"errors":$errs,$pipeJson,"details":$details,"sf":"$sfDir"}"""
     // Persist to a file as well: sbt log noise buries/truncates stdout, and
     // the driver needs a parseable artifact for round-over-round regression.
     val out = java.nio.file.Paths.get(

@@ -188,6 +188,15 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  /** The artifact's timed-action tag; artifacts from before the
+    * count()→full-row-checksum change carry none. Timings under
+    * different actions are incomparable — the checksum action measures
+    * work count() let column pruning delete. */
+  private def actionOf(p: Path): String = {
+    val node = benchNode(p)
+    if (node.has("action")) node.get("action").asText() else "rows_legacy"
+  }
+
   /** (loadStart, loadEnd, procs) when the artifact is stamped. */
   private def loadOf(p: Path): Option[(Double, Double, Int)] = {
     val node = benchNode(p)
@@ -224,6 +233,9 @@ class BenchSpec extends AnyFunSuite {
     assume(Files.getLastModifiedTime(out).compareTo(
       Files.getLastModifiedTime(last)) > 0,
       s"bench_out.json is not newer than ${last.getFileName}")
+    assume(actionOf(last) == actionOf(out),
+      s"timed action changed (${actionOf(last)} -> ${actionOf(out)}) — " +
+        "artifacts incomparable, not a regression")
     val bad = Bench.regressions(timings(last), timings(out), allow = allowlist)
     assert(bad.isEmpty, bad.map { case (k, p, c, norm) =>
       f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized, vs ${last.getFileName})"
@@ -245,6 +257,9 @@ class BenchSpec extends AnyFunSuite {
     val rounds = committedRounds
     assume(rounds.size >= 2, "fewer than two committed round artifacts")
     val (prevP, curP) = (rounds(rounds.size - 2), rounds.last)
+    assume(actionOf(prevP) == actionOf(curP),
+      s"timed action changed (${actionOf(prevP)} -> ${actionOf(curP)}) — " +
+        "artifacts incomparable, not a regression")
     val bad = Bench.regressions(timings(prevP), timings(curP),
       allow = allowlist)
     if (bad.nonEmpty) {

@@ -57,6 +57,15 @@ def main():
     min_sec = float(opts.get("min-sec", 0.3))
     min_delta = float(opts.get("min-delta", 0.5))
     prev_node, cur_node = bench_node(args[0]), bench_node(args[1])
+    # Artifacts timed under different actions are incomparable: the
+    # full-row-checksum action (r12+) measures work the legacy count()
+    # action let column pruning delete.
+    pa = prev_node.get("action", "rows_legacy")
+    ca = cur_node.get("action", "rows_legacy")
+    if pa != ca:
+        print(f"INCOMPARABLE: timed action changed ({pa} -> {ca}); "
+              "skipping regression check")
+        return
     prev, cur = timings(prev_node), timings(cur_node)
     # Load stamps adjudicate contention: a start load near the core
     # count means the box was busy before the bench began — treat any
