@@ -56,6 +56,20 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("Bench.consume handles plain, nested, and map schemas") {
+    import spark.implicits._
+    // checksum path: plain + nested array/struct columns
+    Bench.consume(Seq((1L, "a", Array(1.0, 2.0)), (2L, "b", Array(3.0)))
+      .toDF("id", "s", "arr")
+      .withColumn("st", struct(col("id"), col("s"))))
+    // map fallback path: xxhash64 rejects MapType — consume must fall
+    // back to count() instead of erroring the bench key
+    Bench.consume(Seq((1L, Map("k" -> 1)), (2L, Map("j" -> 2)))
+      .toDF("id", "m"))
+    // empty frame: sum is NULL — head() on the single agg row is safe
+    Bench.consume(Seq.empty[(Long, String)].toDF("id", "s"))
+  }
+
   test("bloom probe equality is content-based, not array-reference") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.util.sketch.BloomFilter
