@@ -145,12 +145,15 @@ object Dedup {
     * the span rows is a plain equi-join AQE can skew-split. Spans are
     * grouped by `xxhash64(span)`, the same 64-bit-collision trade
     * [[exact]] makes (the span text never rides a second shuffle). */
-  def spanFlags(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", spanWords: Int = 10): DataFrame = {
+  /** The span rows both span operators start from: each doc split
+    * into non-overlapping `spanWords`-word windows →
+    * `(id, span_idx, span)`. Map-only (split + explode). */
+  private def spanRows(docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     val nSpans = greatest(
       ceil(size(col("__ws")) / lit(spanWords.toDouble)).cast("int"), lit(1))
-    val spans = spread(docs)
+    spread(docs)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), nSpans - 1),
@@ -158,7 +161,13 @@ object Dedup {
           slice(col("__ws"), i * spanWords + 1, lit(spanWords)), " ")))
         .as(Seq("span_idx", "span")))
       .select(col(idCol), col("span_idx").cast("long").as("span_idx"),
-        col("span"), xxhash64(col("span")).as("__h"))
+        col("span"))
+  }
+
+  def spanFlags(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", spanWords: Int = 10): DataFrame = {
+    val spans = spanRows(docs, textCol, idCol, spanWords)
+      .withColumn("__h", xxhash64(col("span")))
       // One corpus scan + split + explode: the firsts aggregate and the
       // flag join both consume this frame — without the checkpoint
       // Catalyst inlines the subtree per consumer (fresh exprIds) and
@@ -189,6 +198,41 @@ object Dedup {
           x => x.getField("span")), " ").as("text_dedup"),
         count(lit(1)).as("n_spans"),
         count(when(col("keep"), lit(1))).as("n_spans_kept"))
+
+  /** NEAR-duplicate span pairs — [[minhashLsh]]'s kernel applied at
+    * span granularity, for boilerplate that varies slightly across
+    * sites (a cookie banner with the site name substituted survives
+    * [[spanFlags]]'s exact hash; it does not survive a Jaccard sketch
+    * over its word 2-grams). Returns
+    * `(<id>_a, span_idx_a, <id>_b, span_idx_b, jaccard)`; pairs within
+    * one document are included (intra-doc near-repeats) — filter on
+    * `<id>_a =!= <id>_b` for the cross-doc view.
+    *
+    * Coverage note: spec-only (planted fixtures in ExtSpec), no
+    * declared oracle key — a sketch pair set is engine-specific, and
+    * an exact span-granular truth restatement is quadratic in SPANS
+    * (~10× docs), which would blow up the sf0.1 oracle sweep; the
+    * exact-span operator carries the hash-gated oracle for this
+    * family. Scale shape is [[minhashLsh]]'s: one sketch pass over
+    * the span rows, narrow band legs, per-bucket verification. */
+  def spanNearDupPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", spanWords: Int = 10, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      shingleWords: Int = 2): DataFrame = {
+    // synthetic span id: the band/verify kernel keys on ONE id column;
+    // 64-bit hash of (doc, idx) — same collision trade as exact()
+    val rows = spanRows(docs, textCol, idCol, spanWords)
+      .withColumn("__sid", xxhash64(col(idCol), col("span_idx")))
+      .localCheckpoint(true) // sketch pass + 2 name-mapping joins
+    val sig = docSignatures(rows.select(col("__sid"), col("span")),
+      textCol = "span", idCol = "__sid", k, shingleWords)
+    val pairs = pairsFromSignatures(sig, "__sid", k, bands, threshold)
+    def names(s: String) = rows.select(col("__sid").as(s"id_$s"),
+      col(idCol).as(s"${idCol}_$s"), col("span_idx").as(s"span_idx_$s"))
+    pairs.join(names("a"), Seq("id_a")).join(names("b"), Seq("id_b"))
+      .select(col(s"${idCol}_a"), col("span_idx_a"),
+        col(s"${idCol}_b"), col("span_idx_b"), col("jaccard"))
+  }
 
   /** SimHash near-dup: 64-bit sketch per doc, bucketed by bit blocks.
     * Pigeonhole: splitting 64 bits into `blocks > maxHamming` blocks

@@ -68,6 +68,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq((1L, span, 1L), (2L, "", 0L)))
   }
 
+  test("span near-dup: one-word-varied boilerplate paired, unrelated spans not") {
+    // The case exact span dedup cannot catch: the same 10-word banner
+    // with the site name substituted. 2-gram jaccard of the two
+    // variants = 7/11 ≈ 0.64 ≥ 0.5; unrelated spans share nothing.
+    val bannerA = "this website alpha uses cookies to improve your browsing experience"
+    val bannerB = "this website beta uses cookies to improve your browsing experience"
+    val body = "totally different payload words one two three four five six"
+    val docs = Seq(
+      (1L, s"$bannerA $body"),
+      (2L, s"$bannerB completely other content about seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.spanNearDupPairs(docs, threshold = 0.5)
+      .select("doc_id_a", "span_idx_a", "doc_id_b", "span_idx_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 0L, 2L, 0L)) || pairs == Set((2L, 0L, 1L, 0L)),
+      s"expected exactly the banner pair, got $pairs")
+  }
+
   test("curate + span scrub composition: survivors' texts span-deduped") {
     import graft.operators.Curate
     // fixture docs pass quality/langid; doc 60 is near-identical to 50
