@@ -30,8 +30,15 @@ object Bench {
   /** Consume a query's FULL result: row count + masked-hash sum over
     * all columns (32-bit mask keeps an ANSI-mode sum far from Long
     * overflow). Falls back to count() when the schema contains a map
-    * (xxhash64 rejects MapType) — those keys keep legacy semantics. */
-  def consume(df: DataFrame): Unit = {
+    * (xxhash64 rejects MapType) — those keys keep legacy semantics.
+    * Returns the action actually taken ("rows_xxhash32sum" / "count")
+    * so the artifact can record it PER KEY: the artifact-level
+    * [[ActionTag]] describes the default, but a key whose output schema
+    * gains or loses a MapType silently changes its timed action between
+    * rounds — the per-key record lets the tripwires skip exactly that
+    * key instead of either missing the change or refusing the whole
+    * artifact. */
+  def consume(df: DataFrame): String = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     def hasMap(dt: DataType): Boolean = dt match {
@@ -40,11 +47,11 @@ object Bench {
       case a: ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    if (df.schema.fields.exists(f => hasMap(f.dataType))) { df.count(); () }
+    if (df.schema.fields.exists(f => hasMap(f.dataType))) { df.count(); "count" }
     else {
       df.agg(count(lit(1)), sum(xxhash64(struct(df.columns.map(col): _*))
         .bitwiseAND(lit(0xffffffffL)))).head()
-      ()
+      ActionTag
     }
   }
 
@@ -187,16 +194,26 @@ object Bench {
     // the first measured query doesn't absorb one-time init cost.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    final case class R(name: String, times: Seq[Double], err: Option[String])
-    val results: Seq[R] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Local-iteration key filter: comma-separated key names. A filtered
+    // run is for tuning ONE operator; never commit its artifact as a
+    // round bench (the driver's round runs are unfiltered).
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    final case class R(name: String, times: Seq[Double], err: Option[String],
+        action: Option[String])
+    val results: Seq[R] = selected.map {
       case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var err: Option[String] = None
+        var action: Option[String] = None
         // One UNTIMED warmup per key: the first execution absorbs
         // page-cache faults, codegen compilation and file-listing for
         // that key's tables — folding it into the median inflated two
         // rounds' committed artifacts into contention ghosts.
-        try consume(fn(spark, sfDir))
+        try action = Some(consume(fn(spark, sfDir)))
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("\\s+", " ").take(200))
@@ -214,7 +231,7 @@ object Bench {
           }
           i += 1
         }
-        R(name, times.toSeq.sorted, err)
+        R(name, times.toSeq.sorted, err, action)
     }
 
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts pre-sorted
@@ -225,7 +242,9 @@ object Bench {
     // root would measure the no-op incremental path instead), then one
     // timed run into a fresh root.
     val pipelineTotal: Either[String, Double] =
-      try {
+      if (only.isDefined)
+        Left("skipped: SPARK_GRAFT_BENCH_ONLY filter active")
+      else try {
         def freshRoot() = java.nio.file.Files
           .createTempDirectory("graft-bench-pipeline").toString
         val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
@@ -248,7 +267,8 @@ object Bench {
       val mn = if (r.times.nonEmpty) fmt(r.times.min) else "null"
       val runsJson = r.times.map(fmt).mkString("[", ",", "]")
       val errJson = r.err.fold("null")(e => "\"" + esc(e) + "\"")
-      s""""${r.name}":{"t_median":$med,"t_min":$mn,"t_runs":$runsJson,"err":$errJson}"""
+      val actJson = r.action.fold("null")(a => "\"" + a + "\"")
+      s""""${r.name}":{"t_median":$med,"t_min":$mn,"t_runs":$runsJson,"action":$actJson,"err":$errJson}"""
     }.mkString("{", ",", "}")
     val total = ok.map(r => median(r.times)).sum
     val pipeJson = pipelineTotal.fold(

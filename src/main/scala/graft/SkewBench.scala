@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, Skew, TopKPerKey}
 
 /** Skew proof harness — the measured evidence behind the hot-key
   * variants ([[graft.operators.AsOfJoin.backwardBucketed]],
@@ -129,6 +129,43 @@ object SkewBench {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
+    // ---- top-k per key under a hot key ------------------------------------
+    // The 4M-row hot key is the case TopKPerKey exists for. Three
+    // contenders on identical input: the shipped hybrid aggregator
+    // (unsorted below capacity, O(1) min-reject once full), the r12
+    // re-sort-per-element aggregator (kept below as the measured
+    // baseline — O(k log k) per input row once full), and the textbook
+    // `row_number().over(window) <= k` (full per-key sort after the
+    // shuffle — the single hot-key task sorts 4M rows alone).
+    val topkK = 200
+    val scored = left.select(col("key"),
+      pmod(xxhash64(col("ts"), col("v")), lit(1000000L)).cast("double")
+        .as("score"),
+      xxhash64(col("key"), col("ts"), col("v")).as("payload"))
+    val (tTopkHybrid, csTopkHybrid) = timeMin(runs) {
+      TopKPerKey(scored, "key", "score", "payload", topkK)
+    }
+    val (tTopkResort, csTopkResort) = timeMin(runs) {
+      import org.apache.spark.sql.functions.udaf
+      val agg = udaf(new ResortTopKAgg(topkK))
+      scored.groupBy("key")
+        .agg(agg(col("score"), col("payload")).as("top"))
+        .select(col("key"), posexplode(col("top")).as(Seq("idx", "row")))
+        .select(col("key"), (col("idx") + 1).cast("long").as("rank"),
+          col("row.score").as("score"), col("row.payload").as("payload"))
+    }
+    val (tTopkWindow, csTopkWindow) = timeMin(runs) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key")
+        .orderBy(col("score").desc, col("payload").desc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= topkK)
+        .select("key", "rank", "score", "payload")
+    }
+    require(csTopkHybrid == csTopkResort && csTopkHybrid == csTopkWindow,
+      s"top-k variants diverge on the skewed fixture: " +
+        s"$csTopkHybrid vs $csTopkResort vs $csTopkWindow")
+
     // result equality on the skewed distribution: same row count AND
     // same order-independent full-row checksum
     require(csPlain == csBucketed,
@@ -141,7 +178,34 @@ object SkewBench {
       s""""asof_plain":${f(tPlain)},"asof_bucketed":${f(tBucketed)},""" +
       s""""join_plain_aqe_skew":${f(tJoinAqe)},""" +
       s""""join_plain_no_aqe_skew":${f(tJoinNoAqe)},""" +
-      s""""join_salted":${f(tSalted)},"runs":$runs}""")
+      s""""join_salted":${f(tSalted)},""" +
+      s""""topk_k":$topkK,"topk_hybrid":${f(tTopkHybrid)},""" +
+      s""""topk_resort":${f(tTopkResort)},"topk_window":${f(tTopkWindow)},""" +
+      s""""runs":$runs}""")
     spark.stop()
+  }
+
+  /** The r12 [[TopKPerKey.TopKAgg]] form, kept ONLY as [[SkewBench]]'s
+    * measured baseline: correct and map-side-bounded, but once the
+    * buffer is full every input row pays a full `(a +: b).sorted`
+    * (O(k log k)) — the constant the hybrid's O(1) min-reject removes. */
+  private final class ResortTopKAgg(k: Int) extends
+      org.apache.spark.sql.expressions.Aggregator[
+        TopKPerKey.ScoredRow, Seq[TopKPerKey.ScoredRow], Seq[TopKPerKey.ScoredRow]] {
+    import TopKPerKey.ScoredRow
+    private implicit val ord: Ordering[ScoredRow] =
+      Ordering.by((r: ScoredRow) => (r.score, r.payload))
+    override def zero: Seq[ScoredRow] = Nil
+    private def bound(xs: Seq[ScoredRow]): Seq[ScoredRow] =
+      if (xs.size <= k) xs else xs.sorted.takeRight(k)
+    override def reduce(b: Seq[ScoredRow], a: ScoredRow): Seq[ScoredRow] =
+      bound(a +: b)
+    override def merge(b1: Seq[ScoredRow], b2: Seq[ScoredRow]): Seq[ScoredRow] =
+      bound(b1 ++ b2)
+    override def finish(b: Seq[ScoredRow]): Seq[ScoredRow] = b.sorted.reverse
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

@@ -147,9 +147,11 @@ object Dedup {
     * [[exact]] makes (the span text never rides a second shuffle). */
   /** The span rows both span operators start from: each doc split
     * into non-overlapping `spanWords`-word windows →
-    * `(id, span_idx, span)`. Map-only (split + explode). */
-  private def spanRows(docs: DataFrame, textCol: String, idCol: String,
-      spanWords: Int): DataFrame = {
+    * `(id, span_idx, span)`. Map-only (split + explode).
+    * `private[operators]`: the `q_dedup_spans_near` gate recomputes
+    * its blocked ground truth from the SAME splitting. */
+  private[operators] def spanRows(docs: DataFrame, textCol: String,
+      idCol: String, spanWords: Int): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     val nSpans = greatest(
       ceil(size(col("__ws")) / lit(spanWords.toDouble)).cast("int"), lit(1))
@@ -208,13 +210,14 @@ object Dedup {
     * one document are included (intra-doc near-repeats) — filter on
     * `<id>_a =!= <id>_b` for the cross-doc view.
     *
-    * Coverage note: spec-only (planted fixtures in ExtSpec), no
-    * declared oracle key — a sketch pair set is engine-specific, and
-    * an exact span-granular truth restatement is quadratic in SPANS
-    * (~10× docs), which would blow up the sf0.1 oracle sweep; the
-    * exact-span operator carries the hash-gated oracle for this
-    * family. Scale shape is [[minhashLsh]]'s: one sketch pass over
-    * the span rows, narrow band legs, per-bucket verification. */
+    * Coverage: planted fixtures in ExtSpec, plus the driver-visible
+    * `q_dedup_spans_near` gate (ExtQueries.gateQueries) — the full
+    * span-granular truth is quadratic in SPANS (~10× docs), so the
+    * gate blocks truth to a bounded doc range and restates a
+    * DuckDB-recomputed pair count, a recall bound and the
+    * verified-subset property over that block. Scale shape is
+    * [[minhashLsh]]'s: one sketch pass over the span rows, narrow
+    * band legs, per-bucket verification. */
   def spanNearDupPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", spanWords: Int = 10, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,

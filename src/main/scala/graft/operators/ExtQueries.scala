@@ -396,6 +396,64 @@ object ExtQueries {
           lit(true)).as("recall_complete"))
     },
 
+    // Span near-dup gate (gate-only key) — the one r12 operator whose
+    // correctness the driver couldn't see (spec-only planted fixtures).
+    // The FULL span-granular truth is quadratic in SPANS (~10× docs —
+    // it would dominate the sf0.1 oracle sweep), so the gate BLOCKS
+    // truth to docs with doc_id < 150 (~1.5k spans → a bounded ~1M
+    // verification-only comparisons) and restates three claims:
+    //   n_exact — the blocked truth pair count, which DuckDB recomputes
+    //     independently with string 2-grams (same-set semantics as the
+    //     hashed-shingle kernel modulo 64-bit collisions — the trade
+    //     every sketch oracle here makes);
+    //   recall_ge_08 — the banded sketch (k=64, 32 bands × 2 rows →
+    //     P[candidate | j=0.3] ≈ 1-(1-0.3²)³² ≈ 0.95) must recover
+    //     ≥80% of blocked truth pairs (measured 1.0 at sf0.01/sf0.1 —
+    //     deterministic seeds);
+    //   no_spurious_pairs — candidates are verified with the SAME
+    //     exact-Jaccard kernel the truth uses, so the output must be a
+    //     subset of truth.
+    // Output pairs are canonicalized to (doc_id, span_idx) order: the
+    // operator orders a/b by its synthetic 64-bit span id, which is a
+    // hash — engine-specific, not part of the contract.
+    "q_dedup_spans_near" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").where(col("doc_id") < 150)
+      val spans = Dedup.spanRows(docs, "text", "doc_id", 10)
+        .withColumn("__sh", TextExpressions.hashedShingles(col("span"), 2))
+        .localCheckpoint(true) // one split+sketch pass for both legs
+      val a = spans.select(col("doc_id").as("id_a"),
+        col("span_idx").as("ix_a"), col("__sh").as("sh_a"))
+      val b = spans.select(col("doc_id").as("id_b"),
+        col("span_idx").as("ix_b"), col("__sh").as("sh_b"))
+      val truth = a.join(b,
+          col("id_a") < col("id_b") ||
+            (col("id_a") === col("id_b") && col("ix_a") < col("ix_b")))
+        .where(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.3)
+        .select("id_a", "ix_a", "id_b", "ix_b")
+      val raw = Dedup.spanNearDupPairs(docs, spanWords = 10, k = 64,
+        bands = 32, threshold = 0.3, shingleWords = 2)
+      val sw = col("doc_id_a") > col("doc_id_b") ||
+        (col("doc_id_a") === col("doc_id_b") &&
+          col("span_idx_a") > col("span_idx_b"))
+      val found = raw.select(
+        when(sw, col("doc_id_b")).otherwise(col("doc_id_a")).as("id_a"),
+        when(sw, col("span_idx_b")).otherwise(col("span_idx_a")).as("ix_a"),
+        when(sw, col("doc_id_a")).otherwise(col("doc_id_b")).as("id_b"),
+        when(sw, col("span_idx_a")).otherwise(col("span_idx_b")).as("ix_b"))
+      val recall = truth
+        .join(found.withColumn("__hit", lit(1)),
+          Seq("id_a", "ix_a", "id_b", "ix_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))).as("__recall"))
+      val spurious = found
+        .join(truth, Seq("id_a", "ix_a", "id_b", "ix_b"), "left_anti")
+        .agg(count(lit(1)).as("__spur"))
+      recall.crossJoin(spurious).select(col("n_exact"),
+        coalesce(col("__recall") >= 0.8, lit(true)).as("recall_ge_08"),
+        (col("__spur") === 0).as("no_spurious_pairs"))
+    },
+
     // Embed-LSH quality gate: LSH candidates + exact dot verify vs the
     // exact blocked all-pairs baseline. n_exact is DuckDB-restated
     // (list_cosine_similarity), so the truth side is a real oracle
@@ -889,6 +947,40 @@ object ExtQueries {
     // completeness proof (every brute-force Hamming≤3 pair recovered),
     // valid at ANY fixture scale — unlike a pinned pair count.
     "q_dedup_simhash" -> "SELECT true AS recall_complete",
+    // Blocked span-level truth (doc_id < 150), independently recomputed:
+    // same non-overlapping 10-word span split (zipped unnests — DuckDB
+    // list slicing a[i+1:i+n] is the inclusive analog of Spark
+    // slice(a, i+1, n)), same word-2-gram sets with the ≤2-token
+    // whole-span fallback the hashed-shingle kernel applies.
+    "q_dedup_spans_near" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 150),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(CAST(ceil(len(w)/10.0) AS INT), 1)))
+        |      AS span_idx,
+        |    unnest(list_transform(
+        |      range(0, greatest(CAST(ceil(len(w)/10.0) AS INT), 1)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' '))) AS span
+        |  FROM ws),
+        |g AS (
+        |  SELECT doc_id, span_idx,
+        |    CASE WHEN len(string_split_regex(trim(span), '\s+')) <= 2
+        |      THEN [span]
+        |      ELSE list_transform(
+        |        range(0, len(string_split_regex(trim(span), '\s+')) - 1),
+        |        i -> array_to_string(
+        |          string_split_regex(trim(span), '\s+')[i+1:i+2], ' '))
+        |    END AS grams
+        |  FROM spans),
+        |p AS (
+        |  SELECT 1 FROM g a JOIN g b
+        |  ON (a.doc_id, a.span_idx) < (b.doc_id, b.span_idx)
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(a.grams || b.grams)) >= 0.3)
+        |SELECT (SELECT count(*) FROM p) AS n_exact,
+        |  true AS recall_ge_08, true AS no_spurious_pairs""".stripMargin,
     "q_dedup_embed_lsh" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |  FROM embeddings),

@@ -98,14 +98,29 @@ object Pack {
     val wIn = Window.partitionBy("__bkt").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = b.withColumn("__cum_in", sum(col("__ntok")).over(wIn))
-    // One row per bucket → the running offset over buckets costs a
-    // single-partition window on a frame of |buckets| rows (KBs), not
-    // on the corpus.
-    val wOff = Window.orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = b.groupBy("__bkt").agg(sum("__ntok").as("__tot"))
-      .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
-      .select("__bkt", "__off")
+    // One row per bucket → the running offsets are prefix-summed on the
+    // DRIVER over a bounded collect (≤ |buckets| rows; numeric path:
+    // ~rows/bucketSize, non-numeric path: shuffle-partition count) and
+    // broadcast back. A `Window.orderBy("__bkt")` over the same tiny
+    // frame is equivalent, but it emits WindowExec's "moving all data
+    // to a single partition" WARN on every run — at scale that
+    // intentional tiny-frame warning is indistinguishable in the logs
+    // from a genuine corpus-serializing window, so it would mask the
+    // exact bug class this operator is designed to avoid. The collect
+    // is an eager action at plan-construction time (same bounded
+    // pattern as Sampling's domain-count collect).
+    val totals = b.groupBy("__bkt")
+      .agg(coalesce(sum("__ntok"), lit(0L)).as("__tot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (bkt, tot) =>
+      val off = acc; acc += tot; (bkt, off)
+    }
+    val spark = b.sparkSession
+    import spark.implicits._
+    val offsets = spark.createDataset(offs.toIndexedSeq).toDF("__bkt", "__off")
     inBucket.join(broadcast(offsets), Seq("__bkt"))
       .withColumn("__start", col("__cum_in") + col("__off") - col("__ntok"))
       .withColumn("pack_id", expr(s"__start div ${budget}L"))

@@ -163,29 +163,67 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
-  /** Per-key timings, CONTENTION-ROBUST where the artifact allows:
-    * t_min from full details when present (bench_out.json), else the
-    * compact line's medians overlaid with its `mins` map (the slowest
-    * keys — the ones a regression check cares about). Three rounds of
-    * judge time went to median-based comparisons flagging busy-box
-    * ghosts; min-of-N with a per-key warmup is the statistic that
-    * tracks the code, not the box. */
-  private def timings(p: Path): Map[String, Double] = {
+  /** Per-key (mins, medians, actions) from one artifact. bench_out.json
+    * carries full details (t_min + t_median + per-key timed action);
+    * the compact BENCH_r*.json line carries medians for every key but
+    * t_min only for the slowest keys (its `mins` overlay), and no
+    * per-key actions. */
+  private def stats(p: Path): (Map[String, Double], Map[String, Double],
+      Map[String, String]) = {
     val node = benchNode(p)
-    if (node.has("details"))
-      node.get("details").properties().asScala.flatMap { e =>
-        val t = e.getValue.get("t_min")
+    if (node.has("details")) {
+      val es = node.get("details").properties().asScala.toSeq
+      def num(field: String) = es.flatMap { e =>
+        val t = e.getValue.get(field)
         if (t == null || t.isNull) None else Some(e.getKey -> t.asDouble())
       }.toMap
-    else {
+      val acts = es.flatMap { e =>
+        val a = e.getValue.get("action")
+        if (a == null || a.isNull) None else Some(e.getKey -> a.asText())
+      }.toMap
+      (num("t_min"), num("t_median"), acts)
+    } else {
       val meds = node.get("queries").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
       val mins =
         if (!node.has("mins")) Map.empty[String, Double]
         else node.get("mins").properties().asScala
-          .map(e => e.getKey -> e.getValue.asDouble()).toMap
-      meds ++ mins.view.filterKeys(meds.contains)
+          .map(e => e.getKey -> e.getValue.asDouble())
+          .filter(kv => meds.contains(kv._1)).toMap
+      (mins, meds, Map.empty)
     }
+  }
+
+  /** Aligned (prev, cur) timing maps for the regression comparator,
+    * restricted to keys where BOTH artifacts carry the SAME statistic —
+    * min-vs-min preferred, else median-vs-median — and, where a per-key
+    * timed action is recorded on both sides, the same action. Mixing
+    * statistics within one comparison (r12's timings() overlaid t_min
+    * for only the slowest keys onto medians) biased the drift estimate
+    * from min-vs-median ratios and inflated the normalized ratio of
+    * exactly the keys the tripwire watches (ADVICE r12). Min-of-N with
+    * a per-key warmup remains the preferred statistic — it tracks the
+    * code, not the box. */
+  private def comparable(prevP: Path, curP: Path)
+      : (Map[String, Double], Map[String, Double]) = {
+    val (pMin, pMed, pAct) = stats(prevP)
+    val (cMin, cMed, cAct) = stats(curP)
+    val pairs = (pMin.keySet ++ pMed.keySet).toSeq.flatMap { k =>
+      val sameAction = (pAct.get(k), cAct.get(k)) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => true // unrecorded on either side: assume comparable
+      }
+      if (!sameAction) None
+      else (pMin.get(k), cMin.get(k)) match {
+        case (Some(a), Some(b)) => Some(k -> (a, b))
+        case _ => (pMed.get(k), cMed.get(k)) match {
+          case (Some(a), Some(b)) => Some(k -> (a, b))
+          case _ => None
+        }
+      }
+    }
+    (pairs.map { case (k, (a, _)) => k -> a }.toMap,
+      pairs.map { case (k, (_, b)) => k -> b }.toMap)
   }
 
   /** The artifact's timed-action tag; artifacts from before the
@@ -236,7 +274,8 @@ class BenchSpec extends AnyFunSuite {
     assume(actionOf(last) == actionOf(out),
       s"timed action changed (${actionOf(last)} -> ${actionOf(out)}) — " +
         "artifacts incomparable, not a regression")
-    val bad = Bench.regressions(timings(last), timings(out), allow = allowlist)
+    val (prevT, curT) = comparable(last, out)
+    val bad = Bench.regressions(prevT, curT, allow = allowlist)
     assert(bad.isEmpty, bad.map { case (k, p, c, norm) =>
       f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized, vs ${last.getFileName})"
     }.mkString("bench regressions:\n  ", "\n  ", ""))
@@ -260,8 +299,8 @@ class BenchSpec extends AnyFunSuite {
     assume(actionOf(prevP) == actionOf(curP),
       s"timed action changed (${actionOf(prevP)} -> ${actionOf(curP)}) — " +
         "artifacts incomparable, not a regression")
-    val bad = Bench.regressions(timings(prevP), timings(curP),
-      allow = allowlist)
+    val (prevT, curT) = comparable(prevP, curP)
+    val bad = Bench.regressions(prevT, curT, allow = allowlist)
     if (bad.nonEmpty) {
       val msg = bad.map { case (k, p, c, norm) =>
         f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized)"

@@ -218,7 +218,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("pack: string order column — exact global prefix sum, >1 bucket, no corpus-wide global window") {
     import graft.operators.Pack
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // String keys whose lexicographic order is the intended total order;
     // scrambled physical layout so nothing accidentally arrives sorted.
     val rows = (0 until 200).map(i => (f"doc_$i%04d", ("w " * (i % 7 + 1)).trim))
@@ -237,16 +237,17 @@ class PropertySpec extends AnyFunSuite {
     val nBuckets = Pack.rangeBuckets(df.select("doc_id"), "doc_id", 4)
       .select(countDistinct("__bkt")).as[Long].head()
     assert(nBuckets > 1, s"string order column collapsed to $nBuckets bucket")
-    // every empty-partition (single-task) Window sits above an Aggregate
-    // — i.e. over the tiny per-bucket offsets frame, never the corpus
+    // the offsets prefix sum runs on the DRIVER over the bounded
+    // per-bucket totals collect — NO single-partition Window may exist
+    // anywhere in the plan (so WindowExec's "moving all data to a
+    // single partition" WARN can never fire, and a future regression
+    // that reintroduces a corpus-wide global window fails here)
     val globalWindows = out.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }
-    assert(globalWindows.nonEmpty)
-    globalWindows.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
-        "single-partition Window runs over the corpus, not the bucket totals")
-    }
+    assert(globalWindows.isEmpty,
+      s"plan contains ${globalWindows.size} single-partition Window(s); " +
+        "offsets must come from the bounded driver-side prefix sum")
     // numeric fast path ≡ range path: zero-padded string ids sort like
     // their numeric values, so pack assignment must agree row for row
     val numDf = (0 until 200).map(i => (i.toLong, ("w " * (i % 7 + 1)).trim))

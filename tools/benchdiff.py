@@ -36,17 +36,41 @@ def bench_node(path):
     return json.loads(lines[-1])
 
 
-def timings(node):
-    """Contention-robust per-key timings: t_min from full details when
-    present, else compact-line medians overlaid with its `mins` map.
-    Mirrors BenchSpec's extraction — median-based comparisons spent
-    three rounds flagging busy-box ghosts on unchanged code."""
+def stats(node):
+    """Per-key (mins, medians, actions) from one artifact. Full details
+    carry t_min + t_median + per-key action; the compact line carries
+    medians for every key but mins only for the slowest keys."""
     if "details" in node:
-        return {k: v["t_min"] for k, v in node["details"].items()
+        mins = {k: v["t_min"] for k, v in node["details"].items()
                 if v.get("t_min") is not None}
-    q = dict(node["queries"])
-    q.update({k: v for k, v in node.get("mins", {}).items() if k in q})
-    return q
+        meds = {k: v["t_median"] for k, v in node["details"].items()
+                if v.get("t_median") is not None}
+        acts = {k: v["action"] for k, v in node["details"].items()
+                if v.get("action") is not None}
+        return mins, meds, acts
+    meds = dict(node["queries"])
+    mins = {k: v for k, v in node.get("mins", {}).items() if k in meds}
+    return mins, meds, {}
+
+
+def comparable(prev_node, cur_node):
+    """Aligned (prev, cur) timing maps restricted to keys where both
+    sides carry the SAME statistic (min-vs-min preferred, else
+    median-vs-median) and — where recorded on both sides — the same
+    per-key timed action. Mirrors BenchSpec.comparable: mixing t_min
+    with medians within one comparison biases the drift estimate and
+    inflates the normalized ratio of exactly the slowest keys."""
+    p_min, p_med, p_act = stats(prev_node)
+    c_min, c_med, c_act = stats(cur_node)
+    prev, cur = {}, {}
+    for k in set(p_min) | set(p_med):
+        if k in p_act and k in c_act and p_act[k] != c_act[k]:
+            continue
+        if k in p_min and k in c_min:
+            prev[k], cur[k] = p_min[k], c_min[k]
+        elif k in p_med and k in c_med:
+            prev[k], cur[k] = p_med[k], c_med[k]
+    return prev, cur
 
 
 def main():
@@ -66,7 +90,7 @@ def main():
         print(f"INCOMPARABLE: timed action changed ({pa} -> {ca}); "
               "skipping regression check")
         return
-    prev, cur = timings(prev_node), timings(cur_node)
+    prev, cur = comparable(prev_node, cur_node)
     # Load stamps adjudicate contention: a start load near the core
     # count means the box was busy before the bench began — treat any
     # flags below as box noise, not code regressions.
