@@ -24,8 +24,16 @@ object Bench {
     * is now count + an order-independent xxhash64 checksum over every
     * output column, which forces full-row evaluation. Artifacts carry
     * this tag so the tripwires refuse to compare across the semantics
-    * change instead of reporting it as a regression. */
-  val ActionTag: String = "rows_xxhash32sum"
+    * change instead of reporting it as a regression.
+    *
+    * Tag says what the code does: a 64-bit xxhash64 per row, masked to
+    * 32 bits before summing (the mask keeps an ANSI-mode SUM far from
+    * Long overflow). Renamed r14 from the inaccurate `rows_xxhash32sum`
+    * — the artifact is the round's legal record and its
+    * self-description must be exact (VERDICT r13 #7). The rename makes
+    * the r13→r14 artifact comparison assume-cancel once, as the
+    * action-change guard is designed to. */
+  val ActionTag: String = "rows_xxhash64masked32_sum"
 
   /** Consume a query's FULL result: row count + masked-hash sum over
     * all columns (32-bit mask keeps an ANSI-mode sum far from Long
@@ -90,7 +98,8 @@ object Bench {
       detailFile: String,
       mins: Map[String, Double] = Map.empty,
       load: Option[(Double, Double, Int)] = None,
-      budget: Int = 1750): String = {
+      budget: Int = 1750,
+      filteredKeys: Option[Seq[String]] = None): String = {
     val pipeJson = pipeline.fold(
       e => s""""pipeline_error":"${esc(e.take(120))}"""",
       t => s""""pipeline_total":${fmt2(t)}""")
@@ -100,6 +109,12 @@ object Bench {
     // medians (and even the mins) with suspicion.
     val loadJson = load.fold("") { case (s, e, p) =>
       s""""load_avg":[${fmt2(s)},${fmt2(e)}],"procs":$p,""" }
+    // A SPARK_GRAFT_BENCH_ONLY run stamps itself: with few shared keys
+    // the drift estimate degenerates to the watched key's own ratio
+    // (norm ≡ 1.0), so the tripwires must be able to SEE that an
+    // artifact is a filtered tuning run and refuse it (ADVICE r13).
+    val filteredJson = filteredKeys.fold("")(ks =>
+      s""""filtered":[${ks.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""")
     val errJson = errors
       .map { case (n, e) => "\"" + n + "\":\"" + esc(e.take(60)) + "\"" }
       .mkString("\"errors\":{", ",", "},")
@@ -113,7 +128,7 @@ object Bench {
           "\"" + n + "\":" + fmt2(m)) }
         .mkString("\"mins\":{", ",", "},")
     val head =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$errJson$minJson"queries":{"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$filteredJson$errJson$minJson"queries":{"""
     // ,"queries_omitted":NNN}} suffix worst case ~25 chars — reserve it.
     val reserve = 25
     val entries = medians.sortBy(-_._2)
@@ -275,8 +290,10 @@ object Bench {
       e => s""""pipeline_error":"${esc(e)}"""",
       t => s""""pipeline_total":${fmt(t)}""")
     val (loadEnd, _) = loadStamp()
+    val filteredJson = only.fold("")(ks =>
+      s""""filtered":[${ks.toSeq.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"load_avg":[${fmt2(loadStart)},${fmt2(loadEnd)}],"procs":$procs,"queries":$qs,"errors":$errs,$pipeJson,"details":$details,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"load_avg":[${fmt2(loadStart)},${fmt2(loadEnd)}],"procs":$procs,$filteredJson"queries":$qs,"errors":$errs,$pipeJson,"details":$details,"sf":"$sfDir"}"""
     // Persist to a file as well: sbt log noise buries/truncates stdout, and
     // the driver needs a parseable artifact for round-over-round regression.
     val out = java.nio.file.Paths.get(
@@ -292,6 +309,7 @@ object Bench {
       results.flatMap(r => r.err.map(r.name -> _)),
       total, runs, pipelineTotal, sfDir, out.toString,
       mins = ok.map(r => r.name -> r.times.min).toMap,
-      load = Some((loadStart, loadEnd, procs))))
+      load = Some((loadStart, loadEnd, procs)),
+      filteredKeys = only.map(_.toSeq)))
   }
 }

@@ -418,8 +418,16 @@ object ExtQueries {
     // hash — engine-specific, not part of the contract.
     "q_dedup_spans_near" -> { (s, d) =>
       val docs = Tables(s, d, "documents").where(col("doc_id") < 150)
+      // Token-less (empty/whitespace-only) spans are excluded from BOTH
+      // truth legs: hashedShingles returns an empty set for them, so
+      // the Spark jaccard is 0 and they never pair — while DuckDB's
+      // string_split_regex('') yields [''] (one empty gram), which
+      // would give empty–empty pairs jaccard 1 and inflate n_exact.
+      // The fixture has no blank docs today; the filter keeps the two
+      // restatements equivalent if it ever does (ADVICE r13).
       val spans = Dedup.spanRows(docs, "text", "doc_id", 10)
         .withColumn("__sh", TextExpressions.hashedShingles(col("span"), 2))
+        .where(size(col("__sh")) > 0)
         .localCheckpoint(true) // one split+sketch pass for both legs
       val a = spans.select(col("doc_id").as("id_a"),
         col("span_idx").as("ix_a"), col("__sh").as("sh_a"))
@@ -923,6 +931,11 @@ object ExtQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, true AS fp_nonempty, true AS containment_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // `trim(text) <> ''` mirrors the hashed-shingle kernel, which
+    // yields an EMPTY set for a token-less doc (so it never pairs) —
+    // whereas string_split_regex('') is [''] and would give empty–empty
+    // pairs jaccard 1, inflating n_exact on a fixture with blank docs
+    // (none today; ADVICE r13 hardening).
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -933,7 +946,7 @@ object ExtQueries {
         |        i -> array_to_string(
         |          string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))
         |    END AS grams
-        |  FROM documents),
+        |  FROM documents WHERE trim(text) <> ''),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -973,7 +986,7 @@ object ExtQueries {
         |        i -> array_to_string(
         |          string_split_regex(trim(span), '\s+')[i+1:i+2], ' '))
         |    END AS grams
-        |  FROM spans),
+        |  FROM spans WHERE trim(span) <> ''),
         |p AS (
         |  SELECT 1 FROM g a JOIN g b
         |  ON (a.doc_id, a.span_idx) < (b.doc_id, b.span_idx)

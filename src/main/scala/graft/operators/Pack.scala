@@ -41,6 +41,14 @@ import org.apache.spark.sql.types.NumericType
   */
 object Pack {
 
+  /** NOTE — eager construction: [[assign]]'s bounded per-bucket-totals
+    * collect runs at PLAN-CONSTRUCTION time, so calling this method
+    * executes a full Spark job (the corpus-wide token-count pass) even
+    * if the returned DataFrame is never acted on. Both paths checkpoint
+    * the narrow (orderCol, count, bucket) projection first, so that one
+    * materialization feeds BOTH the totals collect and the final plan —
+    * token counting runs once, and a nondeterministic upstream cannot
+    * make the two passes disagree (ADVICE r13). */
   def sequences(docs: DataFrame, budget: Long,
       orderCol: String = "doc_id", tokensExpr: Column = null,
       bucketSize: Long = 8192L): DataFrame = {
@@ -54,41 +62,41 @@ object Pack {
     val toks = Option(tokensExpr).getOrElse(
       graft.functions.TextFunctions.tokenCount(col("text")))
     val withTok = docs.where(col(orderCol).isNotNull)
-      .withColumn("__ntok", toks.cast("long"))
-    docs.schema(orderCol).dataType match {
+      .select(col(orderCol), toks.cast("long").as("__ntok"))
+    val bucketed = docs.schema(orderCol).dataType match {
       case _: NumericType =>
-        // Bucket is a pure function of the column value — deterministic
-        // across plan re-executions, so no materialization is needed.
-        assign(withTok.withColumn("__bkt",
-          floor(col(orderCol).cast("long") / bucketSize)), orderCol, budget)
-          .drop("__ntok")
+        // Bucket is a pure function of the column value — monotone in
+        // `orderCol` by construction, map-only, zero extra shuffle.
+        withTok.withColumn("__bkt",
+          floor(col(orderCol).cast("long") / bucketSize))
       case _ =>
         // Range-partition the NARROW (orderCol, count) projection and
         // use the range partition id as the bucket: partition i's keys
         // all precede partition i+1's, so the id is monotone in
-        // `orderCol`. spark_partition_id is only deterministic for one
-        // physical execution — the localCheckpoint pins ONE bucket
-        // assignment that every consumer (in-bucket window, offsets
-        // aggregate) reads, and keeps the materialization to two columns
-        // rather than the full corpus width. Assignments then rejoin the
-        // original rows on the unique order key.
+        // `orderCol` — a string/UUID order column must never silently
+        // collapse into one bucket (the failure mode of a blind
+        // `cast("long")`, which yields NULL for every non-numeric value).
         val n = docs.sparkSession.conf.get(
           "spark.sql.shuffle.partitions", "32").toInt
-        // localCheckpoint stores partitions only on executors — fast,
-        // but an executor loss mid-job is unrecoverable. When the
-        // session has a reliable checkpoint dir configured, use a real
-        // checkpoint instead (survives executor loss; the right trade
-        // at multi-TB scale where pass 2 can run minutes after pass 1).
-        val bucketed = rangeBuckets(
-          withTok.select(col(orderCol), col("__ntok")), orderCol, n)
-        val narrow =
-          if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            bucketed.checkpoint(true)
-          else bucketed.localCheckpoint(true)
-        val packed = assign(narrow, orderCol, budget)
-          .select(col(orderCol), col("pack_id"), col("n_tokens"))
-        docs.join(packed, Seq(orderCol))
+        rangeBuckets(withTok, orderCol, n)
     }
+    // Pin ONE materialization of the narrow frame (3 columns, never the
+    // corpus width): the non-numeric path REQUIRES it
+    // (spark_partition_id is only deterministic within one physical
+    // execution), and on the numeric path it stops the totals collect
+    // and the final join from each re-running the token-count pass.
+    // localCheckpoint stores partitions only on executors — fast, but
+    // an executor loss mid-job is unrecoverable. When the session has a
+    // reliable checkpoint dir configured, use a real checkpoint instead
+    // (survives executor loss; the right trade at multi-TB scale where
+    // pass 2 can run minutes after pass 1).
+    val narrow =
+      if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        bucketed.checkpoint(true)
+      else bucketed.localCheckpoint(true)
+    val packed = assign(narrow, orderCol, budget)
+      .select(col(orderCol), col("pack_id"), col("n_tokens"))
+    docs.join(packed, Seq(orderCol))
   }
 
   /** Two-pass prefix sum over a frame carrying `__ntok` and a monotone

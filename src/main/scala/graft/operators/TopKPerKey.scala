@@ -34,9 +34,10 @@ object TopKPerKey {
     * below-capacity case k-fold (measured: 0.88s → 1.25s min on
     * `q_topk_per_key`, whose keys mostly hold ≤ k rows). The hybrid
     * measures parity on `q_topk_per_key` (0.88s old vs 0.86s min-of-5,
-    * sf0.1 local[32]) and wins where it matters: a single-key 5M-row
-    * hot fixture drops 4.1s → 1.5s min-of-3 (see SkewBenchSpec-style
-    * measurement in SCALE.md). */
+    * sf0.1 local[32]) and wins where it matters: on SkewBench's 4M-row
+    * hot key it drops 4.1s → 1.5s min-of-3 vs the re-sort form (see
+    * SCALE.md "Top-k under a hot key", which records the emitted
+    * 3-way JSON including the window-function contender). */
   final class TopKAgg(k: Int)
       extends Aggregator[ScoredRow, Seq[ScoredRow], Seq[ScoredRow]] {
     require(k > 0, "k must be positive")

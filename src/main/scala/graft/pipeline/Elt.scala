@@ -20,6 +20,73 @@ import graft.schema.{Infer, Normalize}
   */
 object Elt {
 
+  /** The reference's incremental-extraction query shape
+    * (postgres_loader.py:96-103: `SELECT * FROM schema.table` plus
+    * `WHERE tracking_column > %s` when a watermark exists), rendered as
+    * a derived-table string for Spark's JDBC `dbtable` option — so the
+    * predicate executes IN the source database and only post-watermark
+    * rows ever cross the wire, exactly like the reference's
+    * server-side-cursor query. Pure string builder, unit-testable
+    * without a database.
+    *
+    * `quoteWm = false` is for numeric tracking columns in strict-typed
+    * databases (Derby rejects INTEGER-vs-CHAR comparisons; Postgres
+    * would coerce the quoted literal). Single quotes in the watermark
+    * value are doubled — the only escape SQL string literals need. */
+  def jdbcSourceQuery(table: String, trackingCol: String,
+      lastValue: Option[String], quoteWm: Boolean = true): String =
+    lastValue match {
+      case None => table
+      case Some(wm) =>
+        val lit = if (quoteWm) "'" + wm.replace("'", "''") + "'" else wm
+        s"(SELECT * FROM $table WHERE $trackingCol > $lit) AS spark_src"
+    }
+
+  /** JDBC incremental extraction façade — the migrating user's first
+    * step off `PostgresToClickhouseLoader` (postgres_loader.py:73-153).
+    * Returns the post-watermark batch as a DataFrame; compose with
+    * [[extractToStaging]] for the staging hop or merge it directly.
+    *
+    * Scale shape: a bare JDBC read is ONE connection through one task —
+    * fine for dimension-sized tables, a bottleneck for large ones. Pass
+    * `partitionCol` (+ bounds) to fan the extraction across
+    * `numPartitions` parallel connections, each scanning a bound range;
+    * the watermark predicate still applies inside every partition's
+    * query because it lives in the derived table. `fetchSize` mirrors
+    * the reference's server-side-cursor `batch_size` (base_loader
+    * streams batches instead of materializing the result;
+    * postgres_loader.py:95,110) — without it the PG driver buffers the
+    * entire result set in executor memory.
+    *
+    * The reference's per-row datetime/Decimal coercions
+    * (postgres_loader.py:128-137) are NOT applied here — they are the
+    * staging contract, applied distributed by [[extractToStaging]], so
+    * a caller that merges directly keeps native types. */
+  def extractJdbc(spark: SparkSession, url: String, table: String,
+      trackingCol: String, lastValue: Option[String],
+      props: Map[String, String] = Map.empty,
+      quoteWm: Boolean = true,
+      fetchSize: Int = 10000,
+      partitionCol: Option[String] = None,
+      numPartitions: Int = 1,
+      lowerBound: Option[String] = None,
+      upperBound: Option[String] = None): DataFrame = {
+    require(partitionCol.isEmpty ||
+      (lowerBound.isDefined && upperBound.isDefined),
+      "partitionCol requires lowerBound and upperBound")
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", jdbcSourceQuery(table, trackingCol, lastValue, quoteWm))
+      .option("fetchsize", fetchSize.toString)
+    val partitioned = partitionCol.fold(base) { pc =>
+      base.option("partitionColumn", pc)
+        .option("lowerBound", lowerBound.get)
+        .option("upperBound", upperBound.get)
+        .option("numPartitions", numPartitions.toString)
+    }
+    props.foldLeft(partitioned) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
   /** Extract: normalize per §1.2 and write the batch as JSON lines. */
   def extractToStaging(df: DataFrame, stagePath: String): Long = {
     val coerced = Normalize.stringifyNested(Normalize.decimalsToDouble(df))

@@ -87,6 +87,19 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("procs").asInt() == 32)
   }
 
+  test("compact line stamps a BENCH_ONLY-filtered run as filtered") {
+    val meds = Seq("q_dedup_simhash" -> 0.35)
+    val line = Bench.compactLine(
+      meds, Nil, 0.35, 3, Left("skipped: SPARK_GRAFT_BENCH_ONLY filter active"),
+      "/sf", "o.json", filteredKeys = Some(Seq("q_dedup_simhash")))
+    val node = mapper.readTree(line)
+    assert(node.get("filtered").get(0).asText() == "q_dedup_simhash")
+    // an unfiltered line carries no marker at all
+    val full = Bench.compactLine(mkMedians(10), Nil, 1.0, 3, Right(0.5),
+      "/sf", "o.json")
+    assert(!mapper.readTree(full).has("filtered"))
+  }
+
   // --- round-over-round regression tripwire -------------------------------
 
   // An anchor of untouched keys: in a real ~100-key artifact the flat
@@ -235,6 +248,13 @@ class BenchSpec extends AnyFunSuite {
     if (node.has("action")) node.get("action").asText() else "rows_legacy"
   }
 
+  /** Keys of a SPARK_GRAFT_BENCH_ONLY tuning run, when the artifact is
+    * stamped as filtered. A filtered artifact must never feed the
+    * tripwires: with one shared key the drift normalization equals that
+    * key's own ratio (norm ≡ 1.0), making any regression structurally
+    * invisible (ADVICE r13). */
+  private def filteredOf(p: Path): Boolean = benchNode(p).has("filtered")
+
   /** (loadStart, loadEnd, procs) when the artifact is stamped. */
   private def loadOf(p: Path): Option[(Double, Double, Int)] = {
     val node = benchNode(p)
@@ -274,7 +294,15 @@ class BenchSpec extends AnyFunSuite {
     assume(actionOf(last) == actionOf(out),
       s"timed action changed (${actionOf(last)} -> ${actionOf(out)}) — " +
         "artifacts incomparable, not a regression")
+    assume(!filteredOf(out),
+      "bench_out.json is a SPARK_GRAFT_BENCH_ONLY tuning run — too few " +
+        "shared keys for a meaningful drift estimate; run unfiltered")
     val (prevT, curT) = comparable(last, out)
+    // Belt-and-braces for pre-stamp filtered artifacts: a handful of
+    // shared keys cannot pin the box-drift median, so the normalized
+    // ratios are meaningless — refuse rather than pass-by-construction.
+    assume(curT.size >= 10,
+      s"only ${curT.size} shared keys — drift estimate unreliable")
     val bad = Bench.regressions(prevT, curT, allow = allowlist)
     assert(bad.isEmpty, bad.map { case (k, p, c, norm) =>
       f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized, vs ${last.getFileName})"
