@@ -1,0 +1,317 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.AppendStore
+import graft.functions.Kernels
+import graft.operators.{AsOfJoin, Curate, Dedup, IncrementalDedup, Ivf, Pack}
+import graft.streaming.DedupMicroBatch
+
+/** Synthetic scale-up harness — the measured evidence that the scale
+  * DESIGN claims in SCALE.md survive contact with data ~10× larger
+  * than sf0.1 (the largest fixture any declared bench key touches).
+  * Everything here is deterministic: ids remap as `id*f + copy`, text
+  * and embeddings perturb through xxhash64 of attribute columns — no
+  * RNG, so two runs build bit-identical fixtures.
+  *
+  * Text inflation must not change the STATISTICS the operators key on,
+  * or the 1×-vs-f× comparison measures fixture drift instead of
+  * operator scaling:
+  *   - every token NOT in the closed function-word lists
+  *     ([[Kernels.stopwordsEnList]] ∪ [[Kernels.langProfilesList]])
+  *     gets a copy-specific alnum suffix (`qz<copy>`, no punctuation —
+  *     `_` is ASCII punct and would shift the punct-ratio sub-score);
+  *   - function words are preserved VERBATIM, so quality's stopword
+  *     ratio and langid's function-word hits are unchanged per copy
+  *     and the curation filter keeps the same fraction at both scales;
+  *   - any shingle containing one content token is copy-unique, so
+  *     copies of the same doc are NOT near-dups of each other — each
+  *     copy is an isomorphic image of the original corpus with
+  *     disjoint shingles, and near-dup pairs/edges scale ~f× by
+  *     construction. That makes NEAR-LINEAR the null hypothesis: a
+  *     super-linear operator is an operator defect, not a fixture one.
+  *
+  * The connected-components stress is synthesized directly as an edge
+  * list (near-dup pair lists from a 50k-doc corpus stay ~10³ edges —
+  * nowhere near the 2^20 driver threshold), shaped like real dedup
+  * graphs plus the adversarial tails: cliques (near-dup groups), one
+  * long chain (pointer-doubling worst case), one hot star hub (skew).
+  * At f×10 the edge count (~1.78M) crosses `driverThreshold` (2^20),
+  * so `Dedup.clusters`' DEFAULT dispatch takes the distributed
+  * label-propagation path on non-toy data; the harness then REQUIRES
+  * checksum equality with driver union-find forced over the SAME
+  * pairs (`driverThreshold` past the symmetrized edge count) — the two
+  * paths must be
+  * indistinguishable at the scale the threshold exists for. The
+  * miniature of this exact shape is spec-pinned in ExtSpec.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench"` — prints one JSON line;
+  * numbers land in SCALE.md's "synthetic scale-up" table.
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_FACTOR (default 10), SPARK_GRAFT_BENCH_RUNS
+  * (default 2), SPARK_GRAFT_CPUS (default 16).
+  */
+object ScaleBench {
+
+  /** Full-row consume: count + order-independent 32-bit-masked
+    * xxhash64 over every column — forces real execution (a bare
+    * count() lets pruning delete the work under test; see SkewBench)
+    * and doubles as the equality witness between CC paths. */
+  private def consume(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(struct(df.columns.map(col): _*))
+        .bitwiseAND(lit(0xffffffffL)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Min-of-runs after one untimed warmup (page cache, codegen, file
+    * listing) — min is the contention-robust statistic for a fixed
+    * plan (SCALE.md noise-hardening notes). */
+  private def timed(runs: Int)(body: => (Long, Long)): (Double, (Long, Long)) = {
+    body
+    var best = Double.MaxValue
+    var cs = (0L, 0L)
+    (1 to runs).foreach { _ =>
+      val t0 = System.nanoTime()
+      cs = body
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, cs)
+  }
+
+  /** Single cold execution — for the STATEFUL drain, where a repeat
+    * run would see a non-empty index and measure a different
+    * transition. */
+  private def once[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    require(factor >= 2, "SPARK_GRAFT_SCALE_FACTOR must be >= 2")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("scalebench").toString
+
+    // ---- fixtures (untimed): both scales land in temp parquet with the
+    // same layout (repartition(32)) so every timed plan starts from an
+    // equally-parallel scan — the sf files are single-row-group and
+    // would serialize the 1× side's scans.
+    val funcWords: Seq[String] =
+      (Kernels.stopwordsEnList ++ Kernels.langProfilesList.flatMap(_._2)).distinct
+    def isFunc(t: Column): Column = lower(t).isin(funcWords: _*)
+    val copies = spark.range(factor).select(col("id").as("__copy"))
+
+    def inflateDocs(docs: DataFrame): DataFrame =
+      docs.crossJoin(broadcast(copies)).select(
+        (col("doc_id") * factor + col("__copy")).as("doc_id"),
+        when(col("__copy") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), "\\s+"),
+            t => when(t === "" || isFunc(t), t)
+              .otherwise(concat(t, lit("qz"), col("__copy").cast("string")))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+
+    def inflateEmbeddings(embs: DataFrame): DataFrame = {
+      val asD = transform(col("embedding"), x => x.cast("double"))
+      embs.crossJoin(broadcast(copies)).select(
+        (col("vec_id") * factor + col("__copy")).as("vec_id"),
+        when(col("__copy") === 0, asD).otherwise(
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") +
+              (pmod(xxhash64(col("vec_id"), col("__copy"), i), lit(1000L))
+                .cast("double") - lit(500.0)) / lit(5000.0))).as("embedding"),
+        col("label"))
+    }
+
+    def inflateEvents(ev: DataFrame): DataFrame =
+      ev.crossJoin(broadcast(copies)).select(
+        (col("event_id") * factor + col("__copy")).as("event_id"),
+        timestamp_seconds(unix_timestamp(col("ts")) +
+          pmod(xxhash64(col("event_id"), col("__copy")), lit(3600L))).as("ts"),
+        col("user_id"), col("value"))
+
+    val rawDocs = Tables(spark, sfDir, "documents")
+    val rawEmbs = Tables(spark, sfDir, "embeddings")
+    val rawEvents = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "value")
+
+    rawDocs.select("doc_id", "text", "lang", "source").repartition(32)
+      .write.parquet(s"$dir/docs_1")
+    inflateDocs(rawDocs).repartition(32).write.parquet(s"$dir/docs_f")
+    rawEmbs.repartition(32).write.parquet(s"$dir/embs_1")
+    inflateEmbeddings(rawEmbs).repartition(32).write.parquet(s"$dir/embs_f")
+    rawEvents.repartition(32).write.parquet(s"$dir/events_1")
+    inflateEvents(rawEvents).repartition(32).write.parquet(s"$dir/events_f")
+
+    val docs1 = spark.read.parquet(s"$dir/docs_1")
+    val docsF = spark.read.parquet(s"$dir/docs_f")
+    val embs1 = spark.read.parquet(s"$dir/embs_1")
+    val embsF = spark.read.parquet(s"$dir/embs_f")
+    val nDocs1 = docs1.count(); val nDocsF = docsF.count()
+
+    // ---- corpus curation (score → filter → exact dedup → near-dup
+    // pairs → CC → representatives), default params at both scales
+    def curateAt(docs: DataFrame) = timed(runs)(consume(Curate.corpus(docs)))
+    val (tCur1, csCur1) = curateAt(docs1)
+    val (tCurF, csCurF) = curateAt(docsF)
+
+    // ---- sequence packing (two-pass distributed prefix sum);
+    // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
+    def packAt(docs: DataFrame) = timed(runs)(
+      consume(Pack.sequences(docs, budget = 2048L, bucketSize = 1024L)))
+    val (tPack1, _) = packAt(docs1)
+    val (tPackF, _) = packAt(docsF)
+
+    // ---- as-of join via the histogram auto-dispatch (uniform user
+    // keys here → plain path; rows per key grow f×)
+    def asofAt(tag: String) = {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+      val left = ev.select(col("user_id"), col("ts"), col("value"))
+      val right = ev.where(pmod(xxhash64(col("event_id")), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts").as("rts"))
+        .agg(max("value").as("quote"))
+      timed(runs)(consume(
+        AsOfJoin.backwardAuto(left, right, "user_id", "ts", "rts", Seq("quote"))))
+    }
+    val (tAsof1, csAsof1) = asofAt("1")
+    val (tAsofF, csAsofF) = asofAt("f")
+
+    // ---- IVF build + serve; fixed 10-query set at both scales so
+    // serve cost isolates corpus growth (queries×f would measure f²)
+    val queries = embs1.where(pmod(col("vec_id"), lit(200)) === 0)
+      .localCheckpoint(true)
+    def ivfAt(embs: DataFrame) = {
+      val (tB, _) = timed(runs) {
+        val (assigned, _) = Ivf.build(embs, nlist = 64, iters = 3)
+        consume(assigned)
+      }
+      val (assigned, centroids) = Ivf.build(embs, nlist = 64, iters = 3)
+      val idx = assigned.localCheckpoint(true) // serve from materialized index
+      val (tS, _) = timed(runs)(
+        consume(Ivf.search(idx, centroids, queries, k = 10, nprobe = 4)))
+      (tB, tS)
+    }
+    val (tIvfB1, tIvfS1) = ivfAt(embs1)
+    val (tIvfBF, tIvfSF) = ivfAt(embsF)
+
+    // ---- incremental-dedup drain: 8 batches, compactEvery=3 → the
+    // stores compact at batches 3 and 6 (two multi-segment compactions
+    // below the replay frontier). Per-batch parquet is written untimed;
+    // the timed region is the drain itself (one cold run — stateful).
+    val nBatches = 8
+    def drainAt(docs: DataFrame, tag: String): (Double, Long) = {
+      (0 until nBatches).foreach { i =>
+        docs.where(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i)
+          .write.parquet(s"$dir/drain_$tag/batches/b$i")
+      }
+      val idx = new AppendStore(spark, s"$dir/drain_$tag/idx",
+        IncrementalDedup.indexSortCols())
+      val rej = new AppendStore(spark, s"$dir/drain_$tag/rej")
+      val (t, _) = once {
+        (0 until nBatches).foreach { i =>
+          DedupMicroBatch.processBatch(
+            spark.read.parquet(s"$dir/drain_$tag/batches/b$i"),
+            i.toLong, idx, rej, threshold = 0.5)
+          AppendStore.maybeCompact(3, i.toLong, idx, rej)
+        }
+      }
+      val segs = new java.io.File(s"$dir/drain_$tag/idx").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("seg_"))
+      (t, segs.toLong)
+    }
+    val (tDrain1, segs1) = drainAt(docs1, "1")
+    val (tDrainF, segsF) = drainAt(docsF, "f")
+
+    // ---- connected components past the driver threshold -----------------
+    // Dedup-graph shape: cliques (near-dup groups) + one chain
+    // (pointer-doubling worst case) + one star hub (skew). f× edge
+    // count ~1.78M > 2^20, so the DEFAULT dispatch goes distributed.
+    def ccEdges(groups: Long, chain: Long, spokes: Long, out: String): Long = {
+      val gs = 12
+      import spark.implicits._
+      val combos = (for { i <- 0 until gs; j <- i + 1 until gs } yield (i, j))
+        .toDF("i", "j")
+      val cliq = spark.range(groups).crossJoin(broadcast(combos))
+        .select((col("id") * gs + col("i")).as("id_a"),
+          (col("id") * gs + col("j")).as("id_b"))
+      val cBase = groups * gs
+      val ch = spark.range(chain - 1)
+        .select((col("id") + cBase).as("id_a"), (col("id") + cBase + 1).as("id_b"))
+      val sBase = cBase + chain
+      val st = spark.range(spokes)
+        .select(lit(sBase).as("id_a"), (col("id") + sBase + 1).as("id_b"))
+      val all = cliq.unionByName(ch).unionByName(st)
+      all.repartition(32).write.parquet(out)
+      spark.read.parquet(out).count()
+    }
+    val ccGroups1 = 2500L
+    val nEdges1 = ccEdges(ccGroups1, 3000L, 10000L, s"$dir/cc_1")
+    val nEdgesF = ccEdges(ccGroups1 * factor, 3000L * factor,
+      10000L * factor, s"$dir/cc_f")
+    val e1 = spark.read.parquet(s"$dir/cc_1")
+    val eF = spark.read.parquet(s"$dir/cc_f")
+    require(nEdgesF > (1L << 20),
+      s"f-scale edge list ($nEdgesF) must cross the 2^20 driver threshold")
+
+    // 1×: default dispatch = driver union-find; forced distributed on
+    // the SAME pairs must agree (and gives the 1× distributed time the
+    // f× distributed run is compared against)
+    val (tUf1, csUf1) = timed(runs)(consume(Dedup.clusters(e1)))
+    val (tDist1, csDist1) =
+      timed(runs)(consume(Dedup.clusters(e1, driverThreshold = 0L)))
+    require(csUf1 == csDist1,
+      s"CC paths diverge at 1x ($nEdges1 edges): uf=$csUf1 dist=$csDist1")
+    // expected component count: one per clique group + chain + star
+    val nClusters1 = Dedup.clusters(e1)
+      .agg(count_distinct(col("cluster_id"))).head().getLong(0)
+    require(nClusters1 == ccGroups1 + 2,
+      s"expected ${ccGroups1 + 2} components at 1x, got $nClusters1")
+
+    // f×: default dispatch = distributed label propagation (edge count
+    // crosses the threshold); union-find forced over the same pairs —
+    // the threshold must clear the SYMMETRIZED distinct edge count
+    // (2× the generated list; no duplicate edges by construction) or
+    // at large factors the "forced" call would silently go distributed
+    // too and the equality check would compare a path with itself
+    val (tDistF, csDistF) = timed(runs)(consume(Dedup.clusters(eF)))
+    val (tUfF, csUfF) = timed(runs)(
+      consume(Dedup.clusters(eF, driverThreshold = 2L * nEdgesF + 1)))
+    require(csDistF == csUfF,
+      s"CC paths diverge at f-scale ($nEdgesF edges): dist=$csDistF uf=$csUfF")
+
+    def f2(d: Double) = f"$d%.2f"
+    def xlin(t1: Double, tF: Double) = f2(tF / (t1 * factor))
+    println(
+      s"""{"metric":"scale_proof","factor":$factor,"runs":$runs,""" +
+      s""""docs_1x":$nDocs1,"docs_fx":$nDocsF,""" +
+      s""""curate_1x":${f2(tCur1)},"curate_fx":${f2(tCurF)},"curate_xlin":${xlin(tCur1, tCurF)},""" +
+      s""""curate_rows":[${csCur1._1},${csCurF._1}],""" +
+      s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
+      s""""asof_1x":${f2(tAsof1)},"asof_fx":${f2(tAsofF)},"asof_xlin":${xlin(tAsof1, tAsofF)},""" +
+      s""""asof_rows":[${csAsof1._1},${csAsofF._1}],""" +
+      s""""ivf_build_1x":${f2(tIvfB1)},"ivf_build_fx":${f2(tIvfBF)},"ivf_build_xlin":${xlin(tIvfB1, tIvfBF)},""" +
+      s""""ivf_search_1x":${f2(tIvfS1)},"ivf_search_fx":${f2(tIvfSF)},"ivf_search_xlin":${xlin(tIvfS1, tIvfSF)},""" +
+      s""""drain_1x":${f2(tDrain1)},"drain_fx":${f2(tDrainF)},"drain_xlin":${xlin(tDrain1, tDrainF)},""" +
+      s""""drain_batches":$nBatches,"drain_segments":[$segs1,$segsF],""" +
+      s""""cc_edges":[$nEdges1,$nEdgesF],""" +
+      s""""cc_uf_1x":${f2(tUf1)},"cc_dist_1x":${f2(tDist1)},""" +
+      s""""cc_dist_fx":${f2(tDistF)},"cc_uf_fx":${f2(tUfF)},""" +
+      s""""cc_dist_xlin":${xlin(tDist1, tDistF)}}""")
+    spark.stop()
+  }
+}

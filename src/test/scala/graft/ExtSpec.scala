@@ -173,6 +173,33 @@ class ExtSpec extends AnyFunSuite {
     assert(dist == driver)
   }
 
+  test("duplicate clusters: ScaleBench stress shape — distributed equals union-find") {
+    // The miniature of graft.ScaleBench's CC fixture: cliques (near-dup
+    // groups) + a chain (pointer-doubling worst case) + a star hub
+    // (skew), all in one edge list. Pins row-level equality between the
+    // distributed label-propagation path and driver union-find on the
+    // SAME pairs — the contract the harness re-asserts (by checksum) at
+    // ~1.8M edges, where the default dispatch actually goes distributed.
+    val gs = 4
+    val cliq = for { g <- 0L until 20L; i <- 0 until gs; j <- i + 1 until gs }
+      yield (g * gs + i, g * gs + j)
+    val cBase = 20L * gs
+    val chain = (0L until 63L).map(i => (cBase + i, cBase + i + 1))
+    val sBase = cBase + 64L
+    val star = (1L to 30L).map(i => (sBase, sBase + i))
+    val pairs = (cliq ++ chain ++ star).toDF("id_a", "id_b")
+    val driver = Dedup.clusters(pairs) // well under the driver threshold
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == driver)
+    // one component per clique group + the chain + the star, each
+    // labeled by its minimum member
+    assert(driver.values.toSet.size == 22)
+    assert((0L until 20L).forall(g => driver(g * gs + gs - 1) == g * gs))
+    assert(driver(cBase + 63L) == cBase && driver(sBase + 30L) == sBase)
+  }
+
   test("embedding cosine pairs: planted duplicate vector found") {
     val v1 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => (x * 1.001f)) // same direction
