@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.Kernels
-import graft.operators.{AsOfJoin, Curate, Dedup, IncrementalDedup, Ivf, Pack}
+import graft.operators.{AsOfJoin, Curate, Dedup, IncrementalDedup, Ivf, Pack, TextSearch}
 import graft.streaming.DedupMicroBatch
 
 /** Synthetic scale-up harness — the measured evidence that the scale
@@ -170,6 +170,23 @@ object ScaleBench {
     val (tCur1, csCur1) = curateAt(docs1)
     val (tCurF, csCurF) = curateAt(docsF)
 
+    // ---- BM25 retrieval, fixed probe set at both scales (serve cost
+    // isolates corpus growth). Probe 0's content terms exist only in
+    // copy 0 (inflation mangles content tokens), so its posting lists
+    // are scale-INVARIANT and the leg isolates the scan+prune cost;
+    // probe 1 is function words, preserved verbatim by inflation, so
+    // its postings grow f× and the leg exercises the scored/top-k
+    // stages at full growth. Together they bound both ends.
+    val probes = {
+      import spark.implicits._
+      Seq((0, "spark window merge"), (1, "the a"))
+        .toDF("query_id", "qtext")
+    }
+    def bm25At(docs: DataFrame) = timed(runs)(
+      consume(TextSearch.bm25TopK(docs, probes, k = 10)))
+    val (tBm1, csBm1) = bm25At(docs1)
+    val (tBmF, csBmF) = bm25At(docsF)
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -301,6 +318,8 @@ object ScaleBench {
       s""""docs_1x":$nDocs1,"docs_fx":$nDocsF,""" +
       s""""curate_1x":${f2(tCur1)},"curate_fx":${f2(tCurF)},"curate_xlin":${xlin(tCur1, tCurF)},""" +
       s""""curate_rows":[${csCur1._1},${csCurF._1}],""" +
+      s""""bm25_1x":${f2(tBm1)},"bm25_fx":${f2(tBmF)},"bm25_xlin":${xlin(tBm1, tBmF)},""" +
+      s""""bm25_rows":[${csBm1._1},${csBmF._1}],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
       s""""asof_1x":${f2(tAsof1)},"asof_fx":${f2(tAsofF)},"asof_xlin":${xlin(tAsof1, tAsofF)},""" +
       s""""asof_rows":[${csAsof1._1},${csAsofF._1}],""" +

@@ -53,12 +53,80 @@ object Upsert {
     apply(dest, DedupLatest(incoming, keys, track, tieBreak), keys)
 }
 
-/** J4/C2 — keep only the latest version per key: the idiomatic window
-  * argmax (`row_number() OVER (PARTITION BY key ORDER BY track DESC)`)
-  * replacing the reference's tuple-anti-join delete
-  * (base_loader.py:427-436). Single shuffle on the key. */
+/** J4/C2 — keep only the latest version per key, replacing the
+  * reference's tuple-anti-join delete (base_loader.py:427-436).
+  *
+  * Default form: an aggregate argmax — `max` over a struct whose
+  * leading fields are `(track, tieBreak...)` with the remaining
+  * payload columns trailing. Descending order and NULLS LAST both fall
+  * out of struct comparison (a null field is the smallest value, so
+  * `max` prefers non-null tracks exactly like a window's `desc` NULLS
+  * LAST — CdcSpec pins the parity). Structs are not hash-aggregable
+  * buffer types, so Spark plans a SortAggregate; what makes it win is
+  * the map-side PARTIAL combine: the shuffle carries one candidate row
+  * per key per input partition instead of every version, and a hot
+  * key's post-shuffle partition holds ≤ #map-partitions candidate rows
+  * instead of the key's entire history — the same skew-safe
+  * min/max-struct doctrine as `Dedup.spans`. The window form
+  * (`row_number() OVER (PARTITION BY key ORDER BY track DESC, ...)`)
+  * necessarily funnels a hot key's every row into ONE unsplittable
+  * task and sorts it there.
+  *
+  * Measured (matched in-JVM interleaved min-of-5, sf0.1 local[32],
+  * full-row checksum consumption; JSON in SCALE.md "Latest-per-key
+  * argmax — contenders"): raw-scan shape 1.06s window → 0.91s
+  * aggregate; composite upsert upstream 0.98 → 0.92s; 7.8M-row frame
+  * with a ~50% hot key 7.41 → 3.79s. A third contender — join-on-max
+  * (narrow codegen'd `max(track)`, equi-join back, struct-max over
+  * ties) — evaluates the upstream lineage twice (both join legs) and
+  * measured strictly worse on composite upstreams; rejected.
+  *
+  * The struct comparison extends through ALL columns, so the pick is
+  * deterministic even when `(track, tieBreak)` is not a total order —
+  * strictly stronger than the window form's sort-order luck, same
+  * contract ("ties beyond tieBreak are the implementation's choice";
+  * when the caller's tie-break IS total — every correctness-gated
+  * caller — the surviving row is identical to the window form's).
+  *
+  * Fallback: payloads carrying a non-orderable type (MapType anywhere)
+  * cannot ride a comparable struct; those take the window argmax,
+  * which only orders by `(track, tieBreak)`. */
 object DedupLatest {
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+
   def apply(df: DataFrame, keys: Seq[String], track: String,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    if (df.schema.fields.forall(f => orderable(f.dataType)))
+      bySortAggregate(df, keys, track, tieBreak)
+    else byWindow(df, keys, track, tieBreak)
+
+  /** The aggregate argmax (see object scaladoc). Requires every column
+    * orderable — [[apply]] dispatches here when that holds. */
+  def bySortAggregate(df: DataFrame, keys: Seq[String], track: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(df.schema.fields.forall(f => orderable(f.dataType)),
+      "bySortAggregate requires all columns orderable (no MapType); " +
+        "use DedupLatest.byWindow for map-typed payloads")
+    val packed = (track +: tieBreak) ++
+      df.columns.filterNot(c =>
+        keys.contains(c) || c == track || tieBreak.contains(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(packed.map(col): _*)).as("__latest"))
+      .select(keys.map(col) ++
+        packed.map(c => col("__latest").getField(c).as(c)): _*)
+      .select(df.columns.map(col).toSeq: _*) // original column order
+  }
+
+  /** Window argmax — the fallback for non-orderable payloads (orders
+    * only by `(track, tieBreak)`, so MapType can ride as payload). */
+  def byWindow(df: DataFrame, keys: Seq[String], track: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val order = (track +: tieBreak).map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.cdc.DedupLatest
 import graft.operators.AsOfJoin
 
 /** Aggregations, windows and joins — SURVEY.md §2.3, §2.4, §2.5.
@@ -432,20 +433,17 @@ object AggQueries {
         .orderBy("event_id")
     },
 
-    // J4/C2 — keep-latest-per-key dedup as window argmax (the idiomatic
-    // form of DELETE WHERE (key,track) NOT IN (SELECT key, MAX(track)...)).
-    // Tie-break is a total order over all columns — (key, track) alone is
-    // not unique in this data, and an arbitrary pick would be
-    // nondeterministic across engines.
+    // J4/C2 — keep-latest-per-key dedup via the shared DedupLatest
+    // kernel (sort-aggregate max-struct argmax by default; the 3-way
+    // contender measurement and the hot-key rationale are in its
+    // scaladoc + SCALE.md). Tie-break is a total order over all
+    // columns — (key, track) alone is not unique in this data, and an
+    // arbitrary pick would be nondeterministic across engines.
     "q_dedup_latest_per_key" -> { (s, d) =>
       val tieBreak = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_shipdate").desc +: tieBreak.map(col(_).desc): _*)
-      Tables(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .drop("rn")
+      DedupLatest(Tables(s, d, "lineitem"), Seq("l_orderkey"),
+        "l_shipdate", tieBreak)
         .orderBy("l_orderkey")
     }
   )

@@ -113,6 +113,33 @@ object ExtQueries {
         .limit(20)
     },
 
+    // BM25 top-k retrieval: a fixed 5-probe query set (including one
+    // query whose terms are partly absent from the corpus) against the
+    // documents table; the oracle recomputes the full Okapi scoring in
+    // SQL. Scores rounded to 4 decimals AFTER ranking so the compared
+    // values are engine-portable while ranks come from raw doubles.
+    "q_search_bm25" -> { (s, d) =>
+      import s.implicits._
+      val probes = Seq(
+        (0, "spark window merge"),
+        (1, "customer filter join order"),
+        (2, "vector scan batch"),
+        (3, "the data"),
+        (4, "hash join probe nosuchword")).toDF("query_id", "qtext")
+      TextSearch.bm25TopK(Tables(s, d, "documents"), probes, k = 10)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("query_id", "rank")
+    },
+
+    // TF-IDF keyword extraction: top-3 most characteristic terms per
+    // doc (smooth idf); exact SQL restatement, rank ties broken by
+    // term so the comparison is deterministic.
+    "q_text_keywords" -> { (s, d) =>
+      TextSearch.tfIdfKeywords(Tables(s, d, "documents"), k = 3)
+        .withColumn("tfidf", round(col("tfidf"), 4))
+        .orderBy("doc_id", "rank")
+    },
+
     // Flagship curation composition: quality filter + language filter +
     // exact dedup + near-dup cluster representatives, one declarative
     // plan — every stage individually oracle-verified, and the whole
@@ -828,6 +855,76 @@ object ExtQueries {
         |      FROM documents)
         |WHERE len(tok) > 0
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_search_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'spark window merge'),
+        |    (1, 'customer filter join order'),
+        |    (2, 'vector scan batch'),
+        |    (3, 'the data'),
+        |    (4, 'hash join probe nosuchword')),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+        |  FROM dt WHERE len(toks) > 0),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl
+        |  FROM dt WHERE len(toks) > 0),
+        |qt0 AS (
+        |  SELECT query_id,
+        |    unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+        |      t -> t <> '')) AS term
+        |  FROM q),
+        |qt AS (SELECT DISTINCT query_id, term FROM qt0),
+        |dfq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN qt USING (term), stats s
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id DESC) AS rn
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+        |  doc_id, round(score, 4) AS score
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_text_keywords" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM dt)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs FROM dt WHERE len(toks) > 0),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (ln((1.0 + s.n_docs) / (1.0 + dfreq.df)) + 1.0) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), stats s),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: BM25 top-k search and TF-IDF
+  * keyword extraction — the lookup half of a curation stack. A team
+  * running dedup/decontamination at 100 TB also needs to FIND things
+  * in the corpus (spot-check what a filter kept, probe for a leaked
+  * eval question by keyword, pull the docs that match an SME's query)
+  * without standing up a separate search service; both operators here
+  * are one declarative plan over the same parquet the pipeline already
+  * reads.
+  *
+  * Scale shape (BM25): the classic IR trick is that a query only
+  * touches its own terms' posting lists. The plan prunes the exploded
+  * token stream to the (broadcast) query vocabulary BEFORE the first
+  * aggregate, so the only corpus-sized work is a map-only scan plus a
+  * shuffle of query-term occurrences — the full-vocabulary posting
+  * list is never materialized. Document length rides the exploded row
+  * (functionally dependent on doc_id), so no doc-keyed join ever
+  * happens; corpus stats (N, avgdl) are a second map-only scan
+  * aggregated to ONE broadcast row. Final per-query ranking uses
+  * [[TopKPerKey]]'s bounded map-side buffer — a hot query matching
+  * half the corpus shuffles ≤ k rows per input partition, not its
+  * whole match set.
+  */
+object TextSearch {
+
+  /** Lowercased alphanumeric tokens: runs of `[a-z0-9]` after
+    * lowercasing; empty fragments from leading/trailing separators are
+    * dropped. Mirrored verbatim by the DuckDB oracles
+    * (`list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), ...)`). */
+  private[operators] def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Okapi BM25 top-`k` retrieval: for each query row return the `k`
+    * highest-scoring documents as `(query_id, rank, doc_id, score)`,
+    * rank 1 = best, ties broken by doc_id descending (the
+    * [[TopKPerKey]] convention). `queries` is small by contract (a
+    * probe set, not a second corpus) and is broadcast.
+    *
+    * idf is the Robertson/Lucene non-negative variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`; `N`/`avgdl` count documents
+    * with at least one token. Query terms absent from the corpus
+    * contribute nothing (no posting rows); a query with no surviving
+    * terms returns no rows.
+    *
+    * Reference anchor: the reference has no search surface — this is
+    * part of the beyond-reference LLM-pipeline extension set (SURVEY
+    * §2 ext), same family as decontamination (`q_decontaminate`),
+    * which answers "is this eval doc IN the corpus" while BM25 answers
+    * "which corpus docs BEST MATCH this probe". */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // Corpus stats: map-only scan → one broadcast row. A second scan
+    // of the text column (the postings pass below is the first) is
+    // deliberate: the alternative — deriving N/avgdl from the full
+    // term-frequency aggregate — would force building the
+    // full-vocabulary tf table that the query-vocab pruning exists to
+    // avoid. Two map-only scans beat one corpus-sized shuffle.
+    val stats = docs
+      .select(size(tokens(col(textCol))).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // Distinct (query, term) pairs and the query vocabulary — both
+    // bounded by the query set, broadcast everywhere they appear.
+    val qterms = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val qvocab = qterms.select("term").distinct()
+    // Postings pass: explode, then prune to query vocabulary BEFORE
+    // any aggregate — only query-term occurrences reach the shuffle.
+    val pruned = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .join(broadcast(qvocab), Seq("term"), "left_semi")
+    val tf = pruned.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // Document frequency of query terms only: ≤ |query vocab| rows.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id").agg(sum("__w").as("score"))
+    TopKPerKey(scored, keyCol = "query_id", scoreCol = "score",
+        payloadCol = "doc_id", k = k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("payload").as("doc_id"), col("score"))
+  }
+
+  /** TF-IDF keyword extraction: the `k` most characteristic terms per
+    * document as `(doc_id, rank, term, tfidf)` — the cheap "what is
+    * this doc about" signal used for corpus composition reports and
+    * domain-mixture audits. Smooth idf (`ln((1+N)/(1+df)) + 1`,
+    * sklearn's convention) so corpus-universal terms still rank.
+    *
+    * Unlike [[bm25TopK]] there is no query set to prune by: the full
+    * per-(doc, term) tf aggregate is the point. The df side is one row
+    * per distinct term; the tf↔df equi-join on `term` is skewed by
+    * stopword-frequency terms, which AQE's skew-join splitting handles
+    * (no salting needed — the build side is one row per key). Per-doc
+    * ranking is a window, not [[TopKPerKey]]: the partition is
+    * `doc_id`, whose group size is bounded by the document's own
+    * distinct-term count — there is no hot-key risk for a window
+    * partitioned by the thing being ranked within, and the payload
+    * (`term`) is a string, outside TopKPerKey's long-payload shape. */
+  def tfIdfKeywords(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val stats = docs
+      .select(size(tokens(col(textCol))).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(1.0) + col("n_docs")) /
+          (lit(1.0) + col("df"))) + lit(1.0)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+}

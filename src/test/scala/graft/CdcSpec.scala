@@ -65,6 +65,38 @@ class CdcSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "new"), (2L, "only")))
   }
 
+  test("dedup-latest: null tracks lose to any non-null; all-null key " +
+      "survives by tie-break (desc NULLS LAST)") {
+    import spark.implicits._
+    val d = Seq((1L, "kept", Some("t2")), (1L, "nulled", None),
+      (2L, "alsoNull", None), (2L, "win", Some("t0")),
+      (3L, "onlyNull", None), (3L, "z_wins_tie", None))
+      .toDF("id", "attr", "track")
+    val out = DedupLatest.byWindow(d, Seq("id"), "track", Seq("attr"))
+      .select("id", "attr").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq ==
+      Seq((1L, "kept"), (2L, "win"), (3L, "z_wins_tie")))
+    // the default (sort-aggregate) form must pick the same rows (total
+    // tie-break): null struct fields are smallest, so max prefers
+    // non-null tracks exactly like the window's desc NULLS LAST
+    val alt = DedupLatest(d, Seq("id"), "track", Seq("attr"))
+      .select("id", "attr").as[(Long, String)].collect().sortBy(_._1)
+    assert(alt.toSeq == out.toSeq)
+  }
+
+  test("dedup-latest: MapType payload works (window orders only by " +
+      "track); the sort-aggregate variant refuses it") {
+    import spark.implicits._
+    val d = Seq((1L, Map("k" -> "old"), "t1"), (1L, Map("k" -> "new"), "t2"))
+      .toDF("id", "payload", "track")
+    val out = DedupLatest(d, Seq("id"), "track").collect()
+    assert(out.length == 1 && out.head.getString(2) == "t2")
+    assert(out.head.getMap[String, String](1).get("k").contains("new"))
+    intercept[IllegalArgumentException] {
+      DedupLatest.bySortAggregate(d, Seq("id"), "track")
+    }
+  }
+
   test("C2 invariant: after withDedup every key has exactly one row") {
     val dest = df(Seq((1L, "a", "t1"), (1L, "dup", "t0"), (2L, "b", "t1")))
     val inc = df(Seq((1L, "a2", "t2"), (3L, "c", "t1")))

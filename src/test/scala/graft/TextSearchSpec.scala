@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.GenerateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextSearch
+
+/** BM25 retrieval + TF-IDF keyword extraction: relevance contract on
+  * planted corpora, absent-term/empty-query edges, and the scale-shape
+  * pins (query-vocabulary pruning BEFORE the postings aggregate;
+  * broadcast query side). The numeric formulas themselves are
+  * oracle-verified end-to-end by `q_search_bm25` / `q_text_keywords`
+  * against DuckDB restatements — these specs pin semantics the oracle
+  * can't see (plan shape) or that the fixture doesn't exercise. */
+class TextSearchSpec extends AnyFunSuite {
+
+  // AQE off: the plan-shape test traverses the executed plan, and the
+  // AdaptiveSparkPlanExec wrapper hides its tree from collect(); the
+  // semantics under test are AQE-independent.
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle exchange partition spark spark"),
+    (2L, "window aggregate frame window"),
+    (3L, "the quick brown fox jumps over the lazy dog"),
+    (4L, "spark window merge join"),
+    (5L, "completely unrelated text about gardening tulips"),
+    (6L, "")).toDF("doc_id", "text")
+
+  test("bm25: doc containing every query term outranks partial matches") {
+    val qs = Seq((0, "spark window merge")).toDF("query_id", "qtext")
+    val got = TextSearch.bm25TopK(corpus, qs, k = 10)
+      .orderBy("query_id", "rank")
+      .select("doc_id", "rank").as[(Long, Long)].collect()
+    assert(got.head == ((4L, 1L)),
+      s"doc 4 holds all three query terms and must rank first: ${got.toSeq}")
+    // docs with no query term never appear
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(3L) && !ids.contains(5L) && !ids.contains(6L))
+  }
+
+  test("bm25: tf saturates (k1) — 3x 'spark' beats 1x but not 3x") {
+    val qs = Seq((0, "spark")).toDF("query_id", "qtext")
+    val got = TextSearch.bm25TopK(corpus, qs, k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(4L), "higher tf must score higher")
+    assert(got(1L) < 3 * got(4L),
+      "BM25 tf saturation: triple tf must NOT triple the score " +
+        "(doc lengths differ but not 3x)")
+  }
+
+  test("bm25: absent-term and empty queries yield no rows for them") {
+    val qs = Seq((0, "zzzabsent"), (1, ""), (2, "fox")).toDF("query_id", "qtext")
+    val got = TextSearch.bm25TopK(corpus, qs, k = 10)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((2L, 3L)),
+      s"only the 'fox' probe matches anything: ${got.toSeq}")
+  }
+
+  test("bm25: rank ties break by doc_id descending (TopKPerKey order)") {
+    // two docs with identical text => identical (tf, dl) => exact tie
+    val docs = Seq((10L, "alpha beta"), (11L, "alpha beta"),
+      (12L, "gamma")).toDF("doc_id", "text")
+    val qs = Seq((0, "alpha")).toDF("query_id", "qtext")
+    val got = TextSearch.bm25TopK(docs, qs, k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 10L), s"tie must order by doc_id desc: $got")
+  }
+
+  test("bm25 plan: postings pruned before aggregation, query side broadcast") {
+    val qs = Seq((0, "spark window")).toDF("query_id", "qtext")
+    val plan = TextSearch.bm25TopK(corpus, qs, k = 10)
+      .queryExecution.executedPlan
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3,
+      s"query-vocab semi-join, dfreq and qterms sides must all broadcast " +
+        s"(found ${bhj.size} broadcast hash joins)\n$plan")
+    assert(bhj.exists(_.joinType.toString == "LeftSemi"),
+      s"the query-vocabulary prune must be a broadcast LEFT SEMI join\n$plan")
+    // Every CORPUS-side shuffle (it carries doc_id) whose subtree
+    // explodes tokens must have the broadcast semi-join BELOW it —
+    // i.e. only pruned postings are shuffled, the full-vocabulary
+    // posting list never materializes. (The query side also explodes
+    // for its tiny distinct(), hence the doc_id scoping.)
+    val postingsShuffles = plan.collect {
+      case s: ShuffleExchangeExec
+          if s.output.exists(_.name == "doc_id") &&
+            s.child.collect({ case g: GenerateExec => g }).nonEmpty => s
+    }
+    assert(postingsShuffles.nonEmpty, s"expected a postings shuffle\n$plan")
+    postingsShuffles.foreach { s =>
+      val pruned = s.child.collect { case b: BroadcastHashJoinExec => b }
+        .exists(_.joinType.toString == "LeftSemi")
+      assert(pruned,
+        "found a shuffle over exploded tokens without the query-vocab " +
+          s"semi-join below it — the full posting list would materialize\n$plan")
+    }
+  }
+
+  test("keywords: the distinctive term ranks first, k bounds rows") {
+    val docs = Seq(
+      (1L, "common tulip"),
+      (2L, "common common common"),
+      (3L, "common rose rose")).toDF("doc_id", "text")
+    val got = TextSearch.tfIdfKeywords(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term").as[(Long, Long, String)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).head._3 == "tulip",
+      s"df=1 'tulip' (idf ln(2)+1) must beat df=3 'common' (idf 1) at " +
+        s"equal tf: ${byDoc(1L).toSeq}")
+    assert(byDoc(3L).head._3 == "rose")
+    assert(got.count(_._1 == 2L) == 1, "doc 2 has one distinct term")
+    assert(byDoc.values.forall(_.length <= 2))
+  }
+
+  test("keywords: empty docs produce no rows; ranks are 1..k dense") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val got = TextSearch.tfIdfKeywords(docs, k = 5)
+      .select("doc_id", "rank").as[(Long, Long)].collect()
+    assert(got.forall(_._1 == 1L))
+    assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
