@@ -35,6 +35,31 @@ object TextSearch {
   private[operators] def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Shared scoring tail: Okapi-weight each `(doc, term)` posting
+    * against the (broadcast) query terms and corpus stats, sum per
+    * `(query, doc)`, rank via [[TopKPerKey]]'s bounded buffer. `tf`
+    * must carry `(doc_id, dl, term, tf)` already restricted to query
+    * terms; `dfreq` is derived from it (≤ |query vocab| rows). */
+  private def scoreAndRank(tf: DataFrame, qterms: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id").agg(sum("__w").as("score"))
+    TopKPerKey(scored, keyCol = "query_id", scoreCol = "score",
+        payloadCol = "doc_id", k = k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("payload").as("doc_id"), col("score"))
+  }
+
   /** Okapi BM25 top-`k` retrieval: for each query row return the `k`
     * highest-scoring documents as `(query_id, rank, doc_id, score)`,
     * rank 1 = best, ties broken by doc_id descending (the
@@ -82,23 +107,80 @@ object TextSearch {
       .join(broadcast(qvocab), Seq("term"), "left_semi")
     val tf = pruned.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    // Document frequency of query terms only: ≤ |query vocab| rows.
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("__w",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("query_id", "doc_id").agg(sum("__w").as("score"))
-    TopKPerKey(scored, keyCol = "query_id", scoreCol = "score",
-        payloadCol = "doc_id", k = k)
-      .select(col("key").as("query_id"), col("rank"),
-        col("payload").as("doc_id"), col("score"))
+    scoreAndRank(tf, qterms, stats, k, k1, b)
+  }
+
+  /** Build the serving-side retrieval index from a corpus: the full
+    * posting table `(term, doc_id, dl, tf)` REPARTITIONED BY TERM and
+    * sorted within partitions by term, plus the corpus stats
+    * `(n_docs, avgdl)` as one row. The layout is the point: parquet
+    * row-group min/max statistics on a term-sorted file turn a
+    * `term IN (...)` serving filter into row-group pruning, so a
+    * search touches ~the posting lists it asks for, not the corpus.
+    * At 100 TB this is the same build-once/serve-many shape as
+    * [[Ivf.build]]/[[Ivf.search]]: the expensive tokenize+aggregate
+    * pass runs once, every query batch reads an immutable snapshot. */
+  def index(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val postings = tf
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .select("term", "doc_id", "dl", "tf")
+    val stats = docs
+      .select(size(tokens(col(textCol))).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    (postings, stats)
+  }
+
+  /** Persist an index pair into two [[graft.cdc.TableStore]]s under
+    * `root` (same lifecycle as [[Ivf.persist]]). */
+  def persistIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      postings: DataFrame, stats: DataFrame): Unit = {
+    new graft.cdc.TableStore(spark, s"$root/postings").write(postings)
+    new graft.cdc.TableStore(spark, s"$root/stats").write(stats)
+  }
+
+  /** Load a persisted index; None if either half was never written. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, root: String)
+      : Option[(DataFrame, DataFrame)] =
+    for {
+      p <- new graft.cdc.TableStore(spark, s"$root/postings").read()
+      s <- new graft.cdc.TableStore(spark, s"$root/stats").read()
+    } yield (p, s)
+
+  /** BM25 over a persisted index — result-identical to [[bm25TopK]]
+    * on the same corpus (`q_search_bm25_indexed` pins that with the
+    * SAME DuckDB oracle), but the corpus-sized tokenize+aggregate is
+    * gone: the only corpus-touching work is the postings scan, and the
+    * query vocabulary is COLLECTED (bounded by the query-set contract,
+    * like Pack's ≤|buckets| offsets collect) into a literal `IN`
+    * filter so it pushes down to the parquet scan and prunes row
+    * groups via the term-sorted layout — a broadcast semi-join would
+    * run AFTER the scan and read every posting. */
+  def searchIndex(postings: DataFrame, stats: DataFrame, queries: DataFrame,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      queryIdCol: String = "query_id", queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: |query vocab|
+    if (terms.isEmpty) {
+      // no surviving query terms -> empty result with the right schema
+      return postings.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rank"),
+          lit(0L).as("doc_id"), lit(0.0).as("score"))
+        .where(lit(false))
+    }
+    val tf = postings.where(col("term").isin(terms: _*))
+    scoreAndRank(tf, qterms, stats, k, k1, b)
   }
 
   /** TF-IDF keyword extraction: the `k` most characteristic terms per

@@ -106,6 +106,46 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("index round-trip: searchIndex == bm25TopK (persisted postings " +
+      "are result-invisible)") {
+    val root = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val (postings, stats) = TextSearch.index(corpus)
+    TextSearch.persistIndex(spark, root, postings, stats)
+    val (p, st) = TextSearch.loadIndex(spark, root).get
+    val qs = Seq((0, "spark window merge"), (1, "fox"), (2, "zzzabsent"))
+      .toDF("query_id", "qtext")
+    val direct = TextSearch.bm25TopK(corpus, qs, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val served = TextSearch.searchIndex(p, st, qs, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(served.toSeq == direct.toSeq)
+  }
+
+  test("index serving plan: the query vocabulary reaches the postings " +
+      "scan as a pushed IN filter") {
+    val root = java.nio.file.Files.createTempDirectory("bm25idx-plan").toString
+    val (postings, stats) = TextSearch.index(corpus)
+    TextSearch.persistIndex(spark, root, postings, stats)
+    val (p, st) = TextSearch.loadIndex(spark, root).get
+    val qs = Seq((0, "spark window")).toDF("query_id", "qtext")
+    val plan = TextSearch.searchIndex(p, st, qs, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN (...) must push down to the parquet postings scan " +
+        s"(row-group pruning on the term-sorted layout)\n$plan")
+  }
+
+  test("index serving: queries with no surviving terms return empty") {
+    val root = java.nio.file.Files.createTempDirectory("bm25idx-empty").toString
+    val (postings, stats) = TextSearch.index(corpus)
+    TextSearch.persistIndex(spark, root, postings, stats)
+    val (p, st) = TextSearch.loadIndex(spark, root).get
+    val qs = Seq((0, ""), (1, "...")).toDF("query_id", "qtext")
+    assert(TextSearch.searchIndex(p, st, qs, k = 5).isEmpty)
+  }
+
   test("keywords: the distinctive term ranks first, k bounds rows") {
     val docs = Seq(
       (1L, "common tulip"),
