@@ -144,6 +144,18 @@ object ExtQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // Edit-distance fuzzy self-join (entity resolution): customer
+    // names within levenshtein 1, PassJoin segment blocking (exact
+    // recall by pigeonhole — the oracle is the ALL-PAIRS levenshtein
+    // truth on the same subset, so a single missed pair goes red).
+    // Subset keeps the oracle's quadratic restatement bounded; the
+    // operator itself never goes all-pairs.
+    "q_join_fuzzy" -> { (s, d) =>
+      val cust = Tables(s, d, "customer").where(col("c_custkey") < 2000)
+      FuzzyJoin.selfPairs(cust, "c_name", "c_custkey", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    },
+
     // Flagship curation composition: quality filter + language filter +
     // exact dedup + near-dup cluster representatives, one declarative
     // plan — every stage individually oracle-verified, and the whole
@@ -957,6 +969,15 @@ object ExtQueries {
         |      FROM documents)
         |WHERE len(tok) > 0
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_join_fuzzy" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_custkey < 2000)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_keywords" ->
       """WITH dt AS (
         |  SELECT doc_id,
