@@ -23,11 +23,20 @@ import org.apache.spark.sql.functions._
   * the probe side at most `(2·maxDist + 1)` candidate lengths ×
   * `(maxDist + 1)` segments × `(2·maxDist + 1)` shifts — constants
   * (18 rows/string at maxDist=1), not data-dependent. The candidate
-  * join is a plain key shuffle on the segment text; a degenerate
-  * shared window (every row agreeing on one aligned substring) is the
-  * skew to watch — AQE's skew-join split applies, and the verify
-  * filter bounds the output. Strings ride the exploded rows (this
-  * operator targets name-length values; for document-length text use
+  * join is a plain key shuffle on the segment text. CANDIDATE volume,
+  * however, IS data-dependent: Σ over buckets of |idx|·|probe|. A
+  * population sharing a constant ALIGNED window — e.g. the fixture's
+  * `Customer#` name prefix, which is exactly one whole segment at
+  * maxDist=1 — degenerates that bucket toward all-pairs, and the
+  * bucket is load-bearing (for a pair whose edit falls in the other
+  * segment, the constant segment is the untouched one), so it cannot
+  * be dropped without losing recall. Mitigations, in order: strip
+  * known-constant prefixes/templates before joining (standard ER
+  * normalization — the blocking then discriminates on the informative
+  * remainder); the thresholded banded `levenshtein` verify below
+  * (O(maxDist·L) per candidate instead of O(L²)); AQE skew-split on
+  * the bucket join. Strings ride the exploded rows (this operator
+  * targets name-length values; for document-length text use
   * [[Dedup]]'s shingle machinery instead). One distinct + one
   * codegen'd verify; no sort, no window.
   */
@@ -54,9 +63,26 @@ object FuzzyJoin {
       (floor(L / n).cast("int") * i +
         greatest(lit(0), i - (lit(n) - nLong(L)))).cast("int")
 
+    // Repartition the narrow (id, string) base ONCE, with an EXPLICIT
+    // partition count: the exploded index/probe sides inherit the
+    // input's partitioning, and a filtered scan can collapse to a
+    // handful of splits — which would serialize the candidate join's
+    // output (and every levenshtein) into those few tasks. The
+    // explicit count matters: a bare `repartition(col)` participates
+    // in AQE partition coalescing, which sizes partitions by INPUT
+    // bytes — a KB-sized name table collapses straight back to one
+    // partition even though its join fan-out is millions of rows.
+    // Measured on q_join_fuzzy (degenerate-prefix fixture, 4M
+    // candidates from 2000 names in ~1 scan split): 6.8s single-task
+    // → 1.2s with the explicit count; a bare repartition(col) changed
+    // NOTHING because AQE coalesced it straight back
+    // (see SCALE.md "Fuzzy join" note).
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
       length(col(strCol)).cast("int").as("__len"))
       .where(col("__s").isNotNull)
+      .repartition(shufflePartitions, col("__id"))
 
     // Index side: the n segments of each string at its own length.
     val idx = base
@@ -88,15 +114,31 @@ object FuzzyJoin {
         col("s_b").substr(col("__p0") + 1, col("__sl")).as("__sub"))
       .distinct() // shifts can generate the same substring twice
 
-    val pairs = idx.join(probe,
+    val cand = idx.join(probe,
         idx("__seg") === probe("__sub") && idx("__i") === probe("__i") &&
           idx("len_a") === probe("__la") && idx("id_a") < probe("id_b"))
       .select(col("id_a"), col("s_a"), col("id_b"), col("s_b"))
-      .distinct()
 
-    pairs
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .where(col("dist") <= d)
+    // VERIFY, then distinct: a candidate pair can surface through a
+    // few (segment, shift) routes (small constant), so verifying the
+    // duplicates costs a few extra banded comparisons — while
+    // distinct-ing candidates BEFORE the verify shuffles the full
+    // candidate volume (quadratic on a degenerate population) with
+    // both strings aboard; survivors are output-sized and their
+    // distinct is cheap. On local[32] the orders measure CLOSE
+    // (matched interleaved min-of-3 on the degenerate fixture:
+    // distinct-first 0.67s vs verify-first 0.94s — memory-speed
+    // shuffle makes the 4M-row distinct cheap); verify-first is kept
+    // because on a real cluster the shuffle is a network, and
+    // shuffling 28k survivors beats shuffling 4M candidate rows. The
+    // thresholded levenshtein is the banded O(maxDist·L) early-exit
+    // form (-1 above the bound; measured 0.94 vs 1.10s unthresholded
+    // on the same fixture). SCALE.md "Fuzzy join" has the full
+    // attribution (11.1s → 1.2s across the three changes).
+    cand
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), d).cast("long"))
+      .where(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
+      .distinct()
   }
 }
