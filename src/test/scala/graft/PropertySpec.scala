@@ -354,4 +354,35 @@ class PropertySpec extends AnyFunSuite {
         s"spurious LSH pairs: ${lsh -- exact}")
     }
   }
+
+  test("fuzzy join ≡ brute-force levenshtein truth on random short strings") {
+    import graft.operators.FuzzyJoin
+    // small alphabet + short lengths force heavy collisions, empty
+    // strings and every segment-boundary shape
+    val strGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(18, Gen.chooseNum(0, 6).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+        .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    forAll(strGen) { rows =>
+      (0 to 2).foreach { d =>
+        val got = FuzzyJoin.selfPairs(rows.toDF("id", "s"), "s", "id", d)
+          .as[(Long, Long, Long)].collect().toSet
+        val want = (for {
+          (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+          dist = lev(sa, sb) if dist <= d
+        } yield (ia, ib, dist.toLong)).toSet
+        assert(got == want,
+          s"maxDist=$d missing=${want -- got} spurious=${got -- want}")
+      }
+    }
+  }
 }
