@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.Kernels
-import graft.operators.{AsOfJoin, Curate, Dedup, IncrementalDedup, Ivf, Pack, TextSearch}
+import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, IncrementalDedup, Ivf, Pack, TextLm, TextSearch}
 import graft.streaming.DedupMicroBatch
 
 /** Synthetic scale-up harness — the measured evidence that the scale
@@ -187,6 +187,37 @@ object ScaleBench {
     val (tBm1, csBm1) = bm25At(docs1)
     val (tBmF, csBmF) = bm25At(docsF)
 
+    // ---- bigram-LM scoring (train + score fused in one plan).
+    // Content-token suffixing makes each copy's bigrams copy-unique,
+    // so the MODEL (bigram/context tables) grows ~f× along with the
+    // scored corpus — the honest worst case for the model-side joins
+    // (a broadcast that silently kept working at f× would hide the
+    // join's real scale behavior).
+    def lmAt(docs: DataFrame) = timed(runs)(
+      consume(TextLm.selfScore(docs)))
+    val (tLm1, csLm1) = lmAt(docs1)
+    val (tLmF, csLmF) = lmAt(docsF)
+
+    // ---- BPE: train (word-count aggregate + driver merge loop) then
+    // tokenize the corpus (map-only). Content-token suffixing grows
+    // the word vocabulary ~f×, so at f≥10 the `maxWords` Zipf-head cap
+    // BITES (the fixture vocab is ~8k words; ×10 crosses 2^16) — the
+    // train leg measures the cap doing its job (driver work bounded by
+    // maxWords, NOT corpus size), and the count leg measures the
+    // map-only encode at full corpus growth.
+    def bpeAt(docs: DataFrame) = {
+      var model: BpeTokenizer.Model = null
+      val (tTrain, _) = timed(runs) {
+        model = BpeTokenizer.train(docs, numMerges = 200)
+        (model.merges.size.toLong, 0L)
+      }
+      val (tCount, _) = timed(runs)(consume(docs.select(
+        BpeTokenizer.countTokens(model, col("text")).as("n"))))
+      (tTrain, tCount, model.merges.size)
+    }
+    val (tBpeT1, tBpeC1, nM1) = bpeAt(docs1)
+    val (tBpeTF, tBpeCF, nMF) = bpeAt(docsF)
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -320,6 +351,11 @@ object ScaleBench {
       s""""curate_rows":[${csCur1._1},${csCurF._1}],""" +
       s""""bm25_1x":${f2(tBm1)},"bm25_fx":${f2(tBmF)},"bm25_xlin":${xlin(tBm1, tBmF)},""" +
       s""""bm25_rows":[${csBm1._1},${csBmF._1}],""" +
+      s""""lm_1x":${f2(tLm1)},"lm_fx":${f2(tLmF)},"lm_xlin":${xlin(tLm1, tLmF)},""" +
+      s""""lm_rows":[${csLm1._1},${csLmF._1}],""" +
+      s""""bpe_train_1x":${f2(tBpeT1)},"bpe_train_fx":${f2(tBpeTF)},""" +
+      s""""bpe_count_1x":${f2(tBpeC1)},"bpe_count_fx":${f2(tBpeCF)},""" +
+      s""""bpe_count_xlin":${xlin(tBpeC1, tBpeCF)},"bpe_merges":[$nM1,$nMF],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
       s""""asof_1x":${f2(tAsof1)},"asof_fx":${f2(tAsofF)},"asof_xlin":${xlin(tAsof1, tAsofF)},""" +
       s""""asof_rows":[${csAsof1._1},${csAsofF._1}],""" +

@@ -144,6 +144,63 @@ object ExtQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // Hybrid retrieval: BM25 lexical top-10 fused with embedding-cosine
+    // semantic top-10 by reciprocal-rank fusion (c=60). The embedding
+    // table's vec_id doubles as doc_id (parallel fixtures); queries 0-4
+    // probe both systems. The oracle recomputes both rankings AND the
+    // fusion, so a rank drift in either leg or a broken tie-break goes
+    // red.
+    "q_search_hybrid_rrf" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val text = TextSearch.bm25TopK(Tables(s, d, "documents"),
+        bm25Probes(s), k = 10).select("query_id", "rank", "doc_id")
+      val vec = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id").as("doc_id"))
+      TextSearch.rrfFuse(Seq(text, vec), k = 10)
+        .withColumn("rrf", round(col("rrf"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    // BPE tokenizer: distributed word-count training (bounded driver
+    // merge loop) + codegen'd encode. Token COUNTS are model-specific
+    // (no SQL restatement), so the driver row carries the restatable
+    // pre-token count plus two per-row invariants that a broken merge
+    // table or inconsistent encode/count kernel flips red: lossless
+    // roundtrip (concat of subwords == concat of pre-tokens) and
+    // count bounds (n_pretok <= n_bpe <= total pre-token chars, with
+    // encode and the count-only kernel agreeing). Merge-list parity
+    // vs an independent reference implementation is spec-pinned.
+    "q_tokenize_bpe" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val model = BpeTokenizer.train(docs, numMerges = 200)
+      val pre = BpeTokenizer.preTokens(col("text"))
+      docs.select(col("doc_id"), pre.as("__pre"),
+          BpeTokenizer.encode(model, col("text")).as("__bpe"),
+          BpeTokenizer.countTokens(model, col("text")).as("__cnt"))
+        .select(col("doc_id"),
+          size(col("__pre")).cast("long").as("n_pretok"),
+          (concat_ws("", col("__bpe")) === concat_ws("", col("__pre")))
+            .as("roundtrip_ok"),
+          (size(col("__bpe")) === col("__cnt") &&
+            size(col("__bpe")) >= size(col("__pre")) &&
+            size(col("__bpe")) <= length(concat_ws("", col("__pre"))))
+            .as("bounded_ok"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM quality scoring (CCNet-style): train an add-0.5
+    // smoothed bigram model on the corpus, score every doc by mean
+    // per-bigram negative log-likelihood — the trainable outlier
+    // signal next to the rule-based q_text_quality. Exact-count model,
+    // so the oracle restates train AND score in SQL.
+    "q_quality_lm_score" -> { (s, d) =>
+      TextLm.selfScore(Tables(s, d, "documents"), alpha = 0.5)
+        .withColumn("nll", round(col("nll"), 4))
+        .orderBy("doc_id")
+    },
+
     // Edit-distance fuzzy self-join (entity resolution): customer
     // names within levenshtein 1, PassJoin segment blocking (exact
     // recall by pigeonhole — the oracle is the ALL-PAIRS levenshtein
@@ -809,10 +866,10 @@ object ExtQueries {
       |ORDER BY u.doc_id""".stripMargin
   }
 
-  /** Shared by `q_search_bm25` and `q_search_bm25_indexed`: the
-    * persisted-index serving path must be RESULT-INVISIBLE, so both
-    * keys compare against the identical full-scoring restatement. */
-  private val Bm25OracleSql: String =
+  /** The full BM25 restatement as a CTE chain (through `ranked`) —
+    * shared by the two `q_search_bm25*` oracles and the hybrid-RRF
+    * oracle, which extends it with the cosine leg and the fusion. */
+  private val Bm25Ctes: String =
     """WITH q(query_id, qtext) AS (VALUES
       |    (0, 'spark window merge'),
       |    (1, 'customer filter join order'),
@@ -855,14 +912,99 @@ object ExtQueries {
       |  SELECT query_id, doc_id, score,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id DESC) AS rn
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  /** Shared by `q_search_bm25` and `q_search_bm25_indexed`: the
+    * persisted-index serving path must be RESULT-INVISIBLE, so both
+    * keys compare against the identical full-scoring restatement. */
+  private val Bm25OracleSql: String = Bm25Ctes +
+    """
       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
       |  doc_id, round(score, 4) AS score
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** `q_search_hybrid_rrf`: BM25 CTEs + the cosine leg + RRF fusion.
+    * RRF sums at most TWO doubles per (query, doc) and IEEE addition
+    * is commutative, so the fused scores are bit-identical across
+    * engines regardless of aggregation order (a ≥3-system fusion
+    * would need a fixed summation order to keep hash-compare safe). */
+  private val HybridRrfOracleSql: String = Bm25Ctes +
+    """,
+      |text_r AS (
+      |  SELECT query_id, doc_id, rn AS rank FROM ranked WHERE rn <= 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |vscored AS (
+      |  SELECT vq.query_id, e.vec_id AS doc_id,
+      |    list_cosine_similarity(vq.qv, e.v) AS cos
+      |  FROM vq JOIN e ON vq.query_id <> e.vec_id),
+      |vec_r AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, doc_id) AS rank
+      |    FROM vscored) WHERE rank <= 10),
+      |unioned AS (
+      |  SELECT * FROM text_r UNION ALL SELECT * FROM vec_r),
+      |fused AS (
+      |  SELECT query_id, doc_id, sum(1.0 / (60.0 + rank)) AS rrf
+      |  FROM unioned GROUP BY 1, 2),
+      |franked AS (
+      |  SELECT query_id, doc_id, rrf,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id DESC) AS rank
+      |  FROM fused)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+      |  round(rrf, 6) AS rrf
+      |FROM franked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** `q_quality_lm_score`: the bigram-LM train+score restated in SQL —
+    * tokens mirror [[TextSearch.tokens]], bigrams come from index
+    * ranges over the token list, the model is exact integer counts and
+    * the score is a sum of logs of exact rationals, so the only
+    * cross-engine surface is double ln/÷ (round-4 compared, same as
+    * the BM25 scores). Docs with <2 tokens have no bigrams and are
+    * absent on both sides. */
+  private val LmScoreOracleSql: String =
+    """WITH dt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(0, len(toks) - 1),
+      |        i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS s
+      |    FROM dt WHERE len(toks) >= 2)),
+      |b2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM b2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(toks) AS w FROM dt)),
+      |db AS (
+      |  SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT d.doc_id, sum(d.n) AS n_bigrams,
+      |    -sum(d.n * ln((b2.c12 + 0.5) / (c1.c1 + 0.5 * v.v))) / sum(d.n)
+      |      AS nll
+      |  FROM db d JOIN b2 USING (w1, w2) JOIN c1 USING (w1), v
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  round(nll, 4) AS nll
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_search_bm25" -> Bm25OracleSql,
     "q_search_bm25_indexed" -> Bm25OracleSql,
+    "q_search_hybrid_rrf" -> HybridRrfOracleSql,
+    "q_quality_lm_score" -> LmScoreOracleSql,
+    "q_tokenize_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pretok,
+        |  true AS roundtrip_ok, true AS bounded_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, len(text) AS n_chars,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -183,6 +183,41 @@ object TextSearch {
     scoreAndRank(tf, qterms, stats, k, k1, b)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two or more
+    * per-query rankings — the standard hybrid-retrieval combiner
+    * (BM25 lexical + embedding-cosine semantic is the canonical pair):
+    * each system contributes `1/(c + rank)` for every `(query, doc)` it
+    * ranked, the fused score is the sum, and the top `k` docs per query
+    * are re-ranked by it. Rank-based fusion needs no score calibration
+    * across systems, which is why it survives at scale where
+    * score-interpolation schemes need per-corpus tuning.
+    *
+    * Inputs are `(query_id, rank, doc_id)` frames (any extra columns
+    * ignored). A doc ranked by only one system gets only that system's
+    * contribution — the standard convention. Scale shape: every input
+    * is already top-k-bounded (|queries|·k rows), so fusion is
+    * union + one tiny aggregate + [[TopKPerKey]]; the corpus-sized
+    * work lives entirely in the upstream searches, and fusing adds no
+    * corpus-touching stage. Ties break by doc_id descending (the
+    * [[TopKPerKey]] convention, restated by the oracle). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+      c: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k > 0, "k must be positive")
+    require(c >= 0, "rank constant c must be non-negative")
+    val normed = rankings.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank")))
+    val fused = normed.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0) / (lit(c) + col("rank"))).as("rrf"))
+    TopKPerKey(fused, keyCol = "query_id", scoreCol = "rrf",
+        payloadCol = "doc_id", k = k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("payload").as("doc_id"), col("score").as("rrf"))
+  }
+
   /** TF-IDF keyword extraction: the `k` most characteristic terms per
     * document as `(doc_id, rank, term, tfidf)` — the cheap "what is
     * this doc about" signal used for corpus composition reports and

@@ -170,4 +170,42 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got.forall(_._1 == 1L))
     assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("rrf: both-system docs outrank single-system docs, scores exact") {
+    // sys1: A@1, B@2;  sys2: A@2, C@1  (query 7)
+    val sys1 = Seq((7L, 1L, 100L), (7L, 2L, 200L))
+      .toDF("query_id", "rank", "doc_id")
+    val sys2 = Seq((7L, 1L, 300L), (7L, 2L, 100L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = TextSearch.rrfFuse(Seq(sys1, sys2), k = 10)
+      .orderBy("rank").select("doc_id", "rrf")
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(100L, 300L, 200L),
+      s"A (both lists) > C (rank 1 once) > B (rank 2 once): $got")
+    assert(math.abs(got(0)._2 - (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    assert(math.abs(got(1)._2 - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(2)._2 - 1.0 / 62) < 1e-12)
+  }
+
+  test("rrf: equal-score ties break by doc_id descending; k bounds rows") {
+    // two docs each ranked 1 by exactly one system => identical score
+    val sys1 = Seq((0L, 1L, 10L), (0L, 2L, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val sys2 = Seq((0L, 1L, 20L), (0L, 2L, 40L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = TextSearch.rrfFuse(Seq(sys1, sys2), k = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(20L, 10L, 40L),
+      s"ties at 1/61 and 1/62 order by doc_id desc, k=3 cuts: $got")
+  }
+
+  test("rrf: custom c shifts weights; per-query isolation holds") {
+    val sys1 = Seq((0L, 1L, 1L), (1L, 1L, 2L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = TextSearch.rrfFuse(Seq(sys1), k = 5, c = 0.0)
+      .select("query_id", "doc_id", "rrf")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 1L, 1.0), (1L, 2L, 1.0)),
+      s"c=0, rank 1 => score 1.0, queries fused independently: $got")
+  }
 }
