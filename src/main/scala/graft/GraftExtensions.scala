@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dup_gram_fraction(text, n) - duplicate word n-gram fraction (repetition signal)"),
       (args: Seq[Expression]) => DupGramFraction(args.head,
         intArg("dup_gram_fraction", 1, args(1)))))
+    ext.injectFunction((FunctionIdentifier("text_normalize_clean"),
+      info("text_normalize_clean",
+        "text_normalize_clean(text) - control-strip + Unicode NFC + trim"),
+      (args: Seq[Expression]) => TextNormalizeClean(args.head)))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

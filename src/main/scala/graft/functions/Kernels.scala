@@ -393,4 +393,48 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Text-hygiene normalization: strip C0/C1 control characters
+    * (keeping `\n` and `\t`), Unicode-NFC-normalize, then trim
+    * leading/trailing whitespace (space/`\n`/`\t` — `\r` is already
+    * stripped as a control). Strip-then-normalize order is mirrored by
+    * the DuckDB oracle (`nfc_normalize(regexp_replace(...))`). The
+    * fast path: a pure-ASCII string with nothing to strip or trim
+    * returns the input untouched (no allocation) — at 100 TB most of
+    * a web corpus takes it. */
+  def normalizeClean(input: UTF8String): UTF8String = {
+    val s = input.toString
+    var needsWork = false
+    var i = 0
+    while (i < s.length && !needsWork) {
+      val c = s.charAt(i)
+      needsWork = (c < 0x20 && c != '\n' && c != '\t') ||
+        (c >= 0x7f && c <= 0x9f) || c > 0x7f
+      i += 1
+    }
+    if (!needsWork) {
+      val t = trimWs(s)
+      return if (t eq s) input else UTF8String.fromString(t)
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val strip = (c < 0x20 && c != '\n' && c != '\t') ||
+        (c >= 0x7f && c <= 0x9f)
+      if (!strip) sb.append(c)
+      i += 1
+    }
+    val nfc = java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(trimWs(nfc))
+  }
+
+  private def trimWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    @inline def ws(c: Char) = c == ' ' || c == '\n' || c == '\t'
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
 }

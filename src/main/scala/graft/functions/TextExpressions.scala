@@ -157,8 +157,25 @@ case class DupGramFraction(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Corpus-hygiene normalization: control-strip + Unicode NFC + trim in
+  * one primitive pass with a no-allocation ASCII fast path (see
+  * [[Kernels.normalizeClean]]). */
+case class TextNormalizeClean(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_normalize_clean"
+  override def nullSafeEval(input: Any): Any =
+    Kernels.normalizeClean(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeClean($c)")
+  override protected def withNewChildInternal(c: Expression): TextNormalizeClean =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def textNormalizeClean(text: Column): Column =
+    column(TextNormalizeClean(expression(text)))
 
   def minhashSig(shingles: Column, k: Int = 128): Column =
     column(MinHashSig(expression(shingles), k))

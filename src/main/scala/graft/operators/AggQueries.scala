@@ -108,6 +108,38 @@ object AggQueries {
         approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
     },
 
+    // Mergeable HLL distinct sketches (DataSketches via the built-in
+    // hll_* functions) — the INCREMENTAL distinct path: per-month user
+    // sketches built once, any rollup is a union over the KB-sized
+    // sketch table, never a rescan. The driver row pins the algebra:
+    // merged-vs-exact within the lgK=12 error bound, merged ==
+    // one-shot as an EQUALITY (HLL union at equal lgK is lossless),
+    // and every per-month estimate within bound vs its exact count.
+    "q_agg_hll_incremental" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), date_trunc("month", col("ts")).as("month"))
+      val monthly = DistinctSketch.build(ev, "user_id", Seq("month"))
+      val mergedEst = DistinctSketch.rollup(monthly)
+        .select(col("estimate").as("__em"))
+      val oneShotEst = DistinctSketch.rollup(
+        DistinctSketch.build(ev, "user_id", Nil))
+        .select(col("estimate").as("__e1"))
+      val exact = ev.agg(
+        countDistinct(col("month")).as("n_months"),
+        countDistinct(col("user_id")).as("exact_total"))
+      val monthlyOk = DistinctSketch.estimate(monthly)
+        .join(ev.groupBy("month").agg(countDistinct("user_id").as("__n")),
+          Seq("month"))
+        .agg(expr("bool_and(abs(estimate - CAST(__n AS DOUBLE)) <= __n * 0.05)")
+          .as("__mok"))
+      exact.crossJoin(mergedEst).crossJoin(oneShotEst).crossJoin(monthlyOk)
+        .select(col("n_months"), col("exact_total"),
+          (abs(col("__em") - col("exact_total").cast("double")) <=
+            col("exact_total") * 0.05).as("merged_within_5pct"),
+          (col("__em") === col("__e1")).as("merged_eq_oneshot"),
+          col("__mok").as("monthly_within_5pct"))
+    },
+
     // Approximate quantiles (mergeable sketch, constant memory; the
     // 100 TB path for percentiles). Raw sketch; rank-contract gate in
     // [[gateQueries]].
@@ -567,6 +599,13 @@ object AggQueries {
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "q_agg_hll_incremental" ->
+      """SELECT CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT)
+        |    AS n_months,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total,
+        |  true AS merged_within_5pct, true AS merged_eq_oneshot,
+        |  true AS monthly_within_5pct
+        |FROM events""".stripMargin,
     // Approx-sketch gates: exact counts are real oracle values; the
     // tolerance booleans are Spark-side (DuckDB cannot run HLL++/the GK
     // sketch) and flip the row red on a sketch regression.

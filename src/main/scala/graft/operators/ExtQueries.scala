@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -68,6 +68,20 @@ object ExtQueries {
     "q_decontaminate" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
       Decontaminate.flag(docs, docs.where(col("doc_id") % 101 === 0))
+        .orderBy("doc_id")
+    },
+
+    // Text-hygiene normalization: control-strip + Unicode NFC + trim
+    // (the pre-tokenization cleaning pass). The oracle restates the
+    // same pipeline via DuckDB's utf8proc NFC — two independent
+    // Unicode implementations must agree byte-for-byte on the corpus;
+    // planted decomposed/control/mojibake edges are spec-pinned where
+    // the fixture (already NFC-clean) can't exercise them.
+    "q_text_clean" -> { (s, d) =>
+      val clean = TextExpressions.textNormalizeClean(col("text"))
+      Tables(s, d, "documents").select(
+        col("doc_id"), clean.as("clean"),
+        (clean =!= col("text")).as("changed"))
         .orderBy("doc_id")
     },
 
@@ -199,6 +213,23 @@ object ExtQueries {
       TextLm.selfScore(Tables(s, d, "documents"), alpha = 0.5)
         .withColumn("nll", round(col("nll"), 4))
         .orderBy("doc_id")
+    },
+
+    // Corpus-overlap KMV sketch — the RAW scale-path operator: per-
+    // source k-minimum-values sketches over word-3-gram md5 hashes,
+    // pairwise Jaccard estimated from sketch rows only (estimation
+    // cost independent of corpus size; HLL can union but not
+    // intersect — this is the sketch that can). The exact-Jaccard
+    // truth leg lives in the [[gateQueries]] override; the md5-prefix
+    // hash makes even the ESTIMATE deterministic and SQL-restatable.
+    "q_sketch_overlap" -> { (s, d) =>
+      val grams = Tables(s, d, "documents").select(col("source"),
+        explode(wordGrams3(col("text"))).as("gram"))
+      val sk = KmvSketch.sketch(grams, "source", col("gram"), k = 256)
+      KmvSketch.pairJaccard(sk, OverlapPairs, k = 256)
+        .select(col("src_a"), col("src_b"),
+          round(col("jaccard_kmv"), 6).as("jaccard_kmv"))
+        .orderBy("src_a", "src_b")
     },
 
     // Edit-distance fuzzy self-join (entity resolution): customer
@@ -492,7 +523,43 @@ object ExtQueries {
     * unchanged. All recall booleans are `coalesce(.., true)`: an empty
     * truth set (possible at other scales/fixtures) means "nothing to
     * recall", not a null that would hash-mismatch the oracle's `true`. */
+  /** Word-3-gram strings (the KMV overlap element), mirrored verbatim
+    * by the oracle's `array_to_string(w[i+1:i+3], ' ')` over
+    * `range(0, len(w)-2)`. Docs with <3 whitespace tokens contribute
+    * nothing. */
+  private def wordGrams3(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0 || size(w) < 3,
+      array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+  }
+
+  private val OverlapPairs =
+    Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"))
+
   val gateQueries: Map[String, Q] = Map(
+    // KMV overlap gate: the raw estimates PLUS the exact Jaccard over
+    // the full distinct hash sets — the corpus-sized intersection the
+    // sketch exists to avoid lives only here (verify-only), and the
+    // oracle restates BOTH columns exactly (the md5-prefix hash makes
+    // the whole sketch deterministic), so the estimate is hash-pinned
+    // as a value, not bounded by a tolerance boolean.
+    "q_sketch_overlap" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val grams = docs.select(col("source"),
+        explode(wordGrams3(col("text"))).as("gram"))
+      val sk = KmvSketch.sketch(grams, "source", col("gram"), k = 256)
+      val est = KmvSketch.pairJaccard(sk, OverlapPairs, k = 256)
+      val exact = KmvSketch.pairJaccardExact(grams, "source",
+        col("gram"), OverlapPairs)
+      est.join(exact, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(col("jaccard_kmv"), 6).as("jaccard_kmv"),
+          round(col("jaccard_exact"), 6).as("jaccard_exact"))
+        .orderBy("src_a", "src_b")
+    },
+
     // MinHash+LSH quality gate. Ground truth = the exact inverted-index
     // Jaccard pairs (same shingle kernel, no blocking), which DuckDB
     // restates independently — so n_exact is a real oracle value, and
@@ -999,12 +1066,67 @@ object ExtQueries {
     "q_search_bm25_indexed" -> Bm25OracleSql,
     "q_search_hybrid_rrf" -> HybridRrfOracleSql,
     "q_quality_lm_score" -> LmScoreOracleSql,
+    "q_sketch_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |g AS (
+        |  SELECT source, array_to_string(w[i+1:i+3], ' ') AS gram
+        |  FROM t, unnest(range(0, greatest(len(w) - 2, 0))) AS u(i)),
+        |d AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substr(md5(gram), 1, 13) AS BIGINT) AS h
+        |  FROM g),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM d) WHERE rn <= 256),
+        |pairs(src_a, src_b) AS (VALUES
+        |  ('src0', 'src1'), ('src0', 'src2'), ('src1', 'src2')),
+        |skf AS (
+        |  SELECT p.src_a, p.src_b, x.h,
+        |    max(CASE WHEN x.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN x.source = p.src_b THEN 1 ELSE 0 END) AS ib
+        |  FROM pairs p JOIN sk x ON x.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |topu AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+        |      ORDER BY h) AS rn FROM skf) WHERE rn <= 256),
+        |est AS (
+        |  SELECT src_a, src_b,
+        |    CAST(sum(ia * ib) AS DOUBLE) / count(*) AS jk
+        |  FROM topu GROUP BY 1, 2),
+        |df AS (
+        |  SELECT p.src_a, p.src_b, x.h,
+        |    max(CASE WHEN x.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN x.source = p.src_b THEN 1 ELSE 0 END) AS ib
+        |  FROM pairs p JOIN d x ON x.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |ex AS (
+        |  SELECT src_a, src_b,
+        |    CAST(sum(ia * ib) AS DOUBLE) / count(*) AS je
+        |  FROM df GROUP BY 1, 2)
+        |SELECT est.src_a, est.src_b, round(est.jk, 6) AS jaccard_kmv,
+        |  round(ex.je, 6) AS jaccard_exact
+        |FROM est JOIN ex USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_tokenize_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text),
         |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pretok,
         |  true AS roundtrip_ok, true AS bounded_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(nfc_normalize(regexp_replace(text,
+        |      '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')),
+        |      ' ' || chr(10) || chr(9)) AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean, clean <> text AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, len(text) AS n_chars,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -138,6 +138,39 @@ object Sampling {
       defaultFraction = 0.0, seed = seed)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement: the `k` rows
+    * with the largest priority `u^(1/w)` (Efraimidis & Spirakis 2006,
+    * algorithm A-ES) — the one-pass answer to "give me 10k docs drawn
+    * proportionally to token count" that neither `sample` (unweighted)
+    * nor per-stratum fractions (discrete strata only) covers. `u` is
+    * the [[hashDraw]] md5 prefix mapped into (0,1), so like every draw
+    * here the SELECTED SET is a pure function of (ids, weights, seed):
+    * engine-, run- and partitioning-invariant.
+    *
+    * Scale: priorities are map-only codegen'd built-ins; top-k is
+    * `orderBy(...).limit(k)` = TakeOrdered — per-partition k-heaps,
+    * the driver merges |partitions|·k candidates, no global sort ever
+    * materializes. Rows with NULL or non-positive weight are excluded
+    * (E-S requires w > 0; a zero-weight row has sampling probability
+    * zero anyway). Ties (astronomically unlikely across md5 draws)
+    * break by `idCol`.
+    *
+    * At very large `w` the priority crowds toward 1.0 and double
+    * resolution shrinks; with 32-bit draws and corpus-realistic
+    * weights (≤ ~10^7 tokens) adjacent priorities stay well separated
+    * — the property the oracle's exact restatement exercises. */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String = "0"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(hashDraw(col(idCol), seed), 16, 10).cast("long")
+      .cast("double") + 1.0) / 4294967297.0 // (hash+1)/(2^32+1) ∈ (0,1)
+    df.where(weight.cast("double") > 0.0)
+      .withColumn("__pri", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions (e.g. keep
     * 50% of `en`, 25% of `de`, `defaultFraction` of everything else).
     * The draw hashes ONLY (id, seed) — the same row keeps or drops

@@ -62,6 +62,24 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Token-weighted priority sample (Efraimidis-Spirakis A-ES): the
+    // 20 docs with the largest u^(1/w) priorities, w = whitespace
+    // token count — weighted sampling WITHOUT replacement in one
+    // map-only pass + TakeOrdered. The oracle restates the md5 draw,
+    // the (hash+1)/(2^32+1) uniform map and the pow priority exactly,
+    // so the hash check pins the selected SET, not a distributional
+    // property.
+    "q_sample_priority" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      Sampling.prioritySample(docs, "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")), k = 20,
+          seed = "tok")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: concat-then-chunk pack assignment over the
     // doc_id-ordered token stream, 4096-token packs — distributed
     // two-pass prefix sum (the oracle restates the global running sum
@@ -128,6 +146,20 @@ object SamplingQueries {
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':78'), 1, 8)
         |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
         |ORDER BY d.doc_id""".stripMargin,
+    "q_sample_priority" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      END AS w,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tok'),
+        |       1, 8) AS BIGINT) + 1.0) / 4294967297.0 AS u
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, pow(u, 1.0 / w) AS pri FROM t WHERE w > 0),
+        |top AS (
+        |  SELECT doc_id, w FROM p ORDER BY pri DESC, doc_id LIMIT 20)
+        |SELECT doc_id, w AS n_tokens FROM top ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, ntok AS n_tokens,
         |  CAST(floor((cum - ntok) / 4096.0) AS BIGINT) AS pack_id

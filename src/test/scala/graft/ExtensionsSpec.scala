@@ -6,13 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 /** SQL-facing function registration via SparkSessionExtensions. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // `withExtensions` only takes effect when getOrCreate CONSTRUCTS the
+  // session — if another suite's shared session is already the default,
+  // the builder silently reuses it and no function gets registered
+  // (suite-ordering flake). Clearing active+default forces a fresh
+  // SparkSession (same SparkContext, new sessionState WITH extensions).
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   test("custom expressions are callable from SQL") {
     val row = spark.sql(

@@ -385,4 +385,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("priority sample ≡ local A-ES reference; w<=0 excluded; k >= n total") {
+    import graft.operators.Sampling
+    val rowsGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(80, for {
+        id <- Gen.chooseNum(0L, 100000L)
+        w <- Gen.chooseNum(-2L, 500L)
+      } yield (id, w)).map(_.distinctBy(_._1))
+    def pri(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:ps".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
+      math.pow(u, 1.0 / w)
+    }
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "w")
+        val got = Sampling.prioritySample(df, "id", col("w"), k = 10,
+          seed = "ps").select("id").as[Long].collect().toSet
+        val expect = rows.filter(_._2 > 0)
+          .map { case (id, w) => (id, pri(id, w)) }
+          .sortBy { case (id, p) => (-p, id) }.take(10).map(_._1).toSet
+        assert(got == expect,
+          s"missing=${expect -- got} spurious=${got -- expect}")
+        // k past the positive-weight population returns all of it
+        val all = Sampling.prioritySample(df, "id", col("w"),
+          k = rows.size + 5, seed = "ps").count()
+        assert(all == rows.count(_._2 > 0).toLong)
+      }
+    }
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DistinctSketch
+
+/** Mergeable HLL distinct sketches: the incremental algebra the
+  * `q_agg_hll_incremental` gate asserts end-to-end, pinned here on
+  * controlled cardinalities — union across disjoint batches equals the
+  * one-shot sketch EXACTLY (same lgK), estimates sit inside the
+  * published error bound, and sketch bytes survive a TableStore
+  * persist/reload (the build-once/roll-up-forever lifecycle). */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("union over batch sketches == one-shot sketch; error in bound") {
+    val n = 20000L
+    val df = spark.range(n).select(
+      (org.apache.spark.sql.functions.col("id") % 10).as("batch"),
+      org.apache.spark.sql.functions.col("id").as("user"))
+    val batched = DistinctSketch.build(df, "user", Seq("batch"))
+    val merged = DistinctSketch.rollup(batched)
+      .as[Double].head()
+    val oneShot = DistinctSketch.rollup(
+      DistinctSketch.build(df, "user", Nil)).as[Double].head()
+    assert(merged == oneShot,
+      s"HLL union at equal lgK must be lossless: $merged vs $oneShot")
+    // 1.04/sqrt(2^12) ≈ 1.6%; allow 3 sigma
+    assert(math.abs(merged - n) <= n * 0.05, s"estimate $merged for $n")
+  }
+
+  test("sketch table persists through a TableStore and still rolls up") {
+    val df = spark.range(5000).select(
+      (org.apache.spark.sql.functions.col("id") % 4).as("part"),
+      org.apache.spark.sql.functions.col("id").as("user"))
+    val sketches = DistinctSketch.build(df, "user", Seq("part"))
+    val dir = java.nio.file.Files.createTempDirectory("sketchstore").toString
+    val store = new graft.cdc.TableStore(spark, s"$dir/sketches")
+    store.write(sketches)
+    val reloaded = store.read().get
+    val est = DistinctSketch.rollup(reloaded).as[Double].head()
+    val direct = DistinctSketch.rollup(sketches).as[Double].head()
+    assert(est == direct, "persisted sketch bytes must round-trip exactly")
+  }
+
+  test("incremental append: new batch's sketch unions into old rollup") {
+    val old = spark.range(0, 1000).select(
+      org.apache.spark.sql.functions.lit(0L).as("batch"),
+      org.apache.spark.sql.functions.col("id").as("user"))
+    val fresh = spark.range(500, 1500).select( // 50% overlap
+      org.apache.spark.sql.functions.lit(1L).as("batch"),
+      org.apache.spark.sql.functions.col("id").as("user"))
+    val both = DistinctSketch.build(old.unionByName(fresh), "user", Seq("batch"))
+    val est = DistinctSketch.rollup(both).as[Double].head()
+    assert(math.abs(est - 1500.0) <= 1500 * 0.05,
+      s"overlapping-batch union must estimate the true 1500: $est")
+  }
+}
