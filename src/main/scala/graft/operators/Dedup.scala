@@ -34,7 +34,7 @@ object Dedup {
   /** Spread a low-parallelism scan (few files / single row group)
     * across the cluster before CPU-heavy per-row sketching. Explicit
     * partition count → AQE keeps it. */
-  private def spread(df: DataFrame): DataFrame =
+  private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get(
       "spark.sql.shuffle.partitions", "32").toInt)
 

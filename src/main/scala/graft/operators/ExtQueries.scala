@@ -222,9 +222,14 @@ object ExtQueries {
     // intersect — this is the sketch that can). The exact-Jaccard
     // truth leg lives in the [[gateQueries]] override; the md5-prefix
     // hash makes even the ESTIMATE deterministic and SQL-restatable.
+    // Dedup.spread BEFORE the explode: the tiny fixture scan is one
+    // split, and without it the whole explode+md5+partial-distinct
+    // chain serializes in a single task (Prof r14: one 5.5 s stage of
+    // an 8.45 s total — the same collapsed-scan fan-out disease as
+    // q_join_fuzzy, same explicit-count repartition cure).
     "q_sketch_overlap" -> { (s, d) =>
-      val grams = Tables(s, d, "documents").select(col("source"),
-        explode(wordGrams3(col("text"))).as("gram"))
+      val grams = Dedup.spread(Tables(s, d, "documents"))
+        .select(col("source"), explode(wordGrams3(col("text"))).as("gram"))
       val sk = KmvSketch.sketch(grams, "source", col("gram"), k = 256)
       KmvSketch.pairJaccard(sk, OverlapPairs, k = 256)
         .select(col("src_a"), col("src_b"),
@@ -546,7 +551,7 @@ object ExtQueries {
     // the whole sketch deterministic), so the estimate is hash-pinned
     // as a value, not bounded by a tolerance boolean.
     "q_sketch_overlap" -> { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      val docs = Dedup.spread(Tables(s, d, "documents"))
       val grams = docs.select(col("source"),
         explode(wordGrams3(col("text"))).as("gram"))
       val sk = KmvSketch.sketch(grams, "source", col("gram"), k = 256)
