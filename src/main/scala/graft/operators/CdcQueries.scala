@@ -146,6 +146,19 @@ object CdcQueries {
       clean.withColumn("__violations", lit(null).cast("string"))
         .unionByName(dirty)
         .orderBy("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+    },
+
+    // One-pass table profile (row count, per-column nulls / exact
+    // distinct / typed min-max) — the pre/post-load summary the
+    // reference gets from dbt schema tests + ad-hoc ClickHouse
+    // count()/uniq() probes, as one operator. Exact-distinct Expand
+    // plan; the 100 TB path is Profile.statsApprox (HLL, spec-tested).
+    "q_profile_stats" -> { (s, d) =>
+      import graft.quality.Profile
+      Profile.stats(Tables(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority", "o_orderstatus"))
+        .orderBy("col_name")
     }
   )
 
@@ -277,6 +290,39 @@ object CdcQueries {
     "q_scd2_check" ->
       """SELECT c_custkey, c_mktsegment, 'MOVED' AS c_mktsegment_new
         |FROM customer WHERE c_custkey % 3 = 0 AND c_mktsegment <> 'MOVED'
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // Per-column restatement of the one-pass profile; timestamps
+    // compare as epoch seconds (Spark session tz = UTC = DuckDB's
+    // epoch() frame).
+    "q_profile_stats" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey), CAST(min(o_custkey) AS DOUBLE),
+        |  CAST(max(o_custkey) AS DOUBLE), NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice), min(o_totalprice),
+        |  max(o_totalprice), NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate), epoch(min(o_orderdate)),
+        |  epoch(max(o_orderdate)), NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), NULL, NULL,
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL,
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -89,4 +89,63 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("fixture"))
   }
+
+  test("profile: nulls, exact distinct, and typed min/max routing") {
+    import java.sql.Timestamp
+    import graft.quality.Profile
+    val df = Seq(
+      (1L, Option(2.5), Option("b"), Option(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, Option(7.5), Option("a"), Option(Timestamp.valueOf("2024-03-01 12:00:00"))),
+      (2L, Option.empty[Double], Option.empty[String], Option.empty[Timestamp]),
+      (3L, Option(2.5), Option("a"), Option(Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .toDF("id", "score", "tag", "ts")
+    val p = Profile.stats(df, Seq("id", "score", "tag", "ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "score", "tag", "ts"))
+    p.values.foreach(r => assert(r.getLong(1) == 4L)) // n_rows everywhere
+    val id = p("id")
+    assert(id.getLong(2) == 0L && id.getLong(3) == 3L) // nulls, distinct
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 3.0)
+    assert(id.isNullAt(6) && id.isNullAt(7)) // numeric → str pair NULL
+    val sc = p("score")
+    assert(sc.getLong(2) == 1L && sc.getLong(3) == 2L) // NULL not distinct
+    assert(sc.getDouble(4) == 2.5 && sc.getDouble(5) == 7.5)
+    val tag = p("tag")
+    assert(tag.getLong(2) == 1L && tag.getLong(3) == 2L)
+    assert(tag.isNullAt(4) && tag.isNullAt(5)) // string → num pair NULL
+    assert(tag.getString(6) == "a" && tag.getString(7) == "b")
+    val ts = p("ts")
+    // epoch seconds (session tz UTC): 2024-01-01T00:00Z / 2024-03-01T12:00Z
+    assert(ts.getDouble(4) == 1704067200.0 && ts.getDouble(5) == 1709294400.0)
+  }
+
+  test("profile: statsApprox matches exact except HLL-bounded distinct") {
+    import graft.quality.Profile
+    val df = (1 to 5000).map(i => (i.toLong % 997, s"v${i % 211}"))
+      .toDF("k", "v")
+    val exact = Profile.stats(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profile.statsApprox(df, Seq("k", "v"), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("k", "v").foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / ed <= 0.15, s"$c distinct: $ad vs $ed")
+      assert(a.getString(6) == e.getString(6) || a.getDouble(4) == e.getDouble(4))
+    }
+  }
+
+  test("profile: unsupported column type is refused, missing column named") {
+    import graft.quality.Profile
+    val df = Seq((1L, Seq("x"))).toDF("id", "arr")
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.stats(df, Seq("arr"))
+    }
+    assert(e1.getMessage.contains("arr"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.stats(df, Seq("nope"))
+    }
+    assert(e2.getMessage.contains("nope"))
+  }
 }
