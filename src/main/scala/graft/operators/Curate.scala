@@ -74,6 +74,37 @@ object Curate {
     * Same non-quadratic scale story as the stages it composes; the
     * span pass adds one skew-safe hash aggregate + equi-join + per-doc
     * regroup over the (already reduced) survivor set. */
+  /** Keep the top `frac` of documents by heuristic quality score — the
+    * relative (distribution-anchored) counterpart to [[corpus]]'s
+    * absolute `minQuality` cut: "keep the best 20%" holds meaning
+    * across corpora whose score distributions drift, where a fixed
+    * threshold silently keeps 3% of one crawl and 60% of the next.
+    *
+    * Scale shape: scoring is map-only; the threshold is ONE
+    * `approx_percentile` pass (mergeable quantile sketch — no sort, no
+    * single-partition window; the exact-rank alternatives either
+    * globally sort 100 TB or funnel top-frac·n rows through one node).
+    * The scored frame is localCheckpoint'd so the threshold pass and
+    * the filter pass read one materialization — construction is
+    * therefore EAGER (same contract as [[Pack.sequences]]), and both
+    * passes see identical scores even over a nondeterministic source.
+    * Returns `(idCol, quality, threshold)` for kept docs; the gate key
+    * pins n_total exactly plus the structural cut invariant
+    * (max dropped < min kept) and the kept-fraction tolerance. */
+  def topFraction(docs: DataFrame, frac: Double = 0.2,
+      textCol: String = "text", idCol: String = "doc_id",
+      accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0,1): $frac")
+    val scored = docs.select(col(idCol),
+        TextFunctions.qualityScore(col(textCol)).as("quality"))
+      .localCheckpoint(true)
+    val thr = scored.agg(percentile_approx(col("quality"),
+      lit(1.0 - frac), lit(accuracy)).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality") >= col("__thr"))
+      .select(col(idCol), col("quality"), col("__thr").as("threshold"))
+  }
+
   def corpusSpanDedup(docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id",

@@ -269,6 +269,15 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Distribution-anchored quality cut: keep the best 20% by score,
+    // threshold from ONE mergeable approx_percentile pass (no global
+    // sort, no single-partition funnel). The gate override pins
+    // n_total exactly plus the structural cut + fraction invariants.
+    "q_quality_top_frac" -> { (s, d) =>
+      Curate.topFraction(Tables(s, d, "documents"), frac = 0.2)
+        .orderBy("doc_id")
+    },
+
     // Exact dedup: lowest doc_id survives per identical text.
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables(s, d, "documents"))
@@ -544,6 +553,32 @@ object ExtQueries {
     Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"))
 
   val gateQueries: Map[String, Q] = Map(
+    // Top-fraction quality cut gate. The approx threshold value is
+    // engine-specific (quantile sketch), so the pair set is not
+    // restatable; the scale-independent invariants are: (1) n_total
+    // exact; (2) the cut is CLEAN — every dropped score lies strictly
+    // below every kept score (structural for any threshold filter, so
+    // a broken comparison or a lost broadcast goes red); (3) the kept
+    // fraction lands within ±0.05 of the requested 0.2 (the sketch
+    // accuracy check — a mis-anchored quantile misses it).
+    "q_quality_top_frac" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val kept = Curate.topFraction(docs, frac = 0.2)
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      scored.agg(count(lit(1)).as("n_total"))
+        .crossJoin(kept.agg(count(lit(1)).as("__nk"),
+          min("quality").as("__min_kept")))
+        .crossJoin(dropped.agg(max("quality").as("__max_dropped")))
+        .select(col("n_total"),
+          (abs(col("__nk").cast("double") / col("n_total") - 0.2) <= 0.05)
+            .as("frac_kept_ok"),
+          (col("__max_dropped").isNull ||
+            col("__max_dropped") < col("__min_kept")).as("cut_clean"))
+    },
+
     // KMV overlap gate: the raw estimates PLUS the exact Jaccard over
     // the full distinct hash sets — the corpus-sized intersection the
     // sketch exists to avoid lives only here (verify-only), and the
@@ -1071,6 +1106,12 @@ object ExtQueries {
     "q_search_bm25_indexed" -> Bm25OracleSql,
     "q_search_hybrid_rrf" -> HybridRrfOracleSql,
     "q_quality_lm_score" -> LmScoreOracleSql,
+    // The quantile-sketch threshold is engine-specific; the restated
+    // truth is the exact corpus count plus the gate's structural
+    // booleans (see the gate comment for what each pins).
+    "q_quality_top_frac" ->
+      """SELECT count(*) AS n_total, true AS frac_kept_ok,
+        |  true AS cut_clean FROM documents""".stripMargin,
     "q_sketch_overlap" ->
       """WITH t AS (
         |  SELECT source, string_split_regex(trim(text), '\s+') AS w

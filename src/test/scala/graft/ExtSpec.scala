@@ -440,6 +440,36 @@ class ExtSpec extends AnyFunSuite {
     assert(ids(0.3) == Set(1L)) // cut bites only the spam doc
   }
 
+  test("topFraction: keeps exactly the best-scoring tail, threshold rides the row") {
+    import graft.operators.Curate
+    import graft.functions.TextFunctions
+    // 20 docs with strictly increasing quality (longer stopword-rich
+    // text scores higher under the heuristic). frac=0.25: the sketch
+    // is exact at this size and anchors the threshold AT the
+    // (1-frac)-quantile element (index round(p·(n-1)) = 15th smallest),
+    // which the inclusive `>=` keeps — so the kept set is the top
+    // n-15+1 = 6, one past frac·n: the documented ties-up convention,
+    // bounded by the gate's ±0.05 fraction check at corpus scale.
+    val docs = (1 to 20).map { i =>
+      (i.toLong, ("the quick brown fox jumps over the lazy dog and " * i).trim + ".")
+    }.toDF("doc_id", "text")
+    val scores = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = scores.toSeq.sortBy(-_._2).take(6).map(_._1).toSet
+    val kept = Curate.topFraction(docs, frac = 0.25).collect()
+    assert(kept.map(_.getLong(0)).toSet == expect,
+      s"kept ${kept.map(_.getLong(0)).toSet} expected $expect")
+    // threshold column is the same value on every kept row, and every
+    // kept quality is at or above it
+    val thrs = kept.map(_.getDouble(2)).toSet
+    assert(thrs.size == 1)
+    assert(kept.forall(r => r.getDouble(1) >= r.getDouble(2)))
+    // boundaries refused
+    intercept[IllegalArgumentException](Curate.topFraction(docs, frac = 0.0))
+    intercept[IllegalArgumentException](Curate.topFraction(docs, frac = 1.0))
+  }
+
   test("decontamination: leaked eval doc flagged, partial overlap scored, clean doc zero") {
     import graft.operators.Decontaminate
     val evalSet = Seq((100L, "what is the capital of france paris obviously"))
