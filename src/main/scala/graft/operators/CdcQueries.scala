@@ -159,6 +159,36 @@ object CdcQueries {
           Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
             "o_orderpriority", "o_orderstatus"))
         .orderBy("col_name")
+    },
+
+    // Snapshot diff (Diff.snapshotDiff): yesterday's vs today's load,
+    // one row per added/removed/changed key. Fixture: old drops
+    // key%7=3 (→ those keys are `added` in new), new drops key%5=2
+    // (→ `removed`) and bumps o_totalprice for key%11=0 (→ `changed`
+    // where both sides carry the key). The oracle restates the diff
+    // with a full outer join comparing the actual column tuple —
+    // matching it certifies the 96-bit digest compare made no
+    // false-unchanged/false-changed call on the fixture.
+    "q_cdc_snapshot_diff" -> { (s, d) =>
+      import graft.cdc.Diff
+      val o = Tables(s, d, "orders")
+      val oldSnap = o.where(col("o_orderkey") % 7 =!= 3)
+      val newSnap = o.where(col("o_orderkey") % 5 =!= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // Robust per-group outlier summary (Outliers.summary): Tukey
+    // fences on events.value within event_type. Exact quartiles →
+    // DuckDB quantile_cont parity (same linear interpolation as
+    // Spark's percentile; q_agg_median pins the same equivalence).
+    "q_quality_outliers" -> { (s, d) =>
+      import graft.quality.Outliers
+      Outliers.summary(Tables(s, d, "events"), "value", Seq("event_type"))
+        .orderBy("event_type")
     }
   )
 
@@ -323,6 +353,44 @@ object CdcQueries {
         |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
         |  count(DISTINCT o_orderstatus), NULL, NULL,
         |  min(o_orderstatus), max(o_orderstatus) FROM orders
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    // Diff restated with the actual column tuple (no digests): row
+    // values compare via IS DISTINCT FROM so a NULL-vs-value change
+    // counts as changed, same as the digest's null-flag interleave.
+    "q_cdc_snapshot_diff" ->
+      """WITH oldv AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 7 <> 3),
+        |newv AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + CASE WHEN o_orderkey % 11 = 0
+        |      THEN 10.0 ELSE 0.0 END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 <> 2)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |  OR (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+        |      o.o_orderpriority)
+        |     IS DISTINCT FROM
+        |     (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate,
+        |      n.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_quality_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(e.value) AS n_vals,
+        |  CAST(sum(CASE WHEN e.value < f.q1 - 1.5*(f.q3 - f.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN e.value > f.q3 + 1.5*(f.q3 - f.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  any_value(f.q1) AS q1, any_value(f.q3) AS q3
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

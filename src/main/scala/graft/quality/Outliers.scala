@@ -1,0 +1,76 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust numeric outlier detection (Tukey fences) — the distribution
+  * check a pipeline runs on a metric column before trusting a load:
+  * values outside `[q1 − k·IQR, q3 + k·IQR]` within their group are
+  * flagged. Quartiles (not mean/stddev) keep the fences themselves
+  * stable under the very outliers being hunted — one corrupt 1e300
+  * row shifts a mean-based z-score past usefulness but moves an exact
+  * quartile by at most one rank. The reference has no analog (its
+  * validation stops at dbt not_null/unique tests, schema.yml:9-37);
+  * this extends [[Check]]'s rule-based gate with a distribution-based
+  * one, the same relationship [[graft.operators.Curate.topFraction]]
+  * has to fixed-threshold curation.
+  *
+  * Scale shape: one aggregate pass computes per-group quartiles, the
+  * tiny per-group fence table (|groups| rows) broadcast-joins back,
+  * flagging is map-only — two jobs, one shuffle of group-partials, no
+  * sort of the data. `fences`/`summary`/`flag` use EXACT
+  * `percentile`, whose ObjectHashAggregate buffers each group's
+  * values — right for oracle-pinned parity and any group that fits an
+  * executor (≲10⁸ values), wrong for a 100 TB single group; there
+  * [[flagApprox]] swaps in `approx_percentile` (GK sketch, bounded
+  * memory, map-side partials) at a caller-chosen accuracy —
+  * spec-tested against the exact fences, not oracle-pinnable
+  * (engine-specific sketch).
+  */
+object Outliers {
+
+  /** Per-group fence table: `(groupCols*, q1, q3, lo, hi)`. */
+  def fences(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 1.5): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.25)").as("q1"),
+        expr(s"percentile($valueCol, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+
+  private def flagged(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], f: DataFrame): DataFrame =
+    df.join(broadcast(f), groupCols)
+      .withColumn("is_low", col(valueCol).isNotNull && col(valueCol) < col("lo"))
+      .withColumn("is_high", col(valueCol).isNotNull && col(valueCol) > col("hi"))
+
+  /** Row-level flags: input columns + `(is_low, is_high)`. NULL values
+    * are never outliers (they are [[Check]]'s business). */
+  def flag(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 1.5): DataFrame =
+    flagged(df, valueCol, groupCols, fences(df, valueCol, groupCols, k))
+      .drop("q1", "q3", "lo", "hi")
+
+  /** Per-group summary: `(groupCols*, n_vals, n_low, n_high, q1, q3)`. */
+  def summary(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 1.5): DataFrame =
+    flagged(df, valueCol, groupCols, fences(df, valueCol, groupCols, k))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(col(valueCol)).as("n_vals"),
+        sum(when(col("is_low"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("is_high"), 1L).otherwise(0L)).as("n_high"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"))
+
+  /** [[flag]] with GK-sketch quartiles — the 100 TB path: bounded
+    * memory per group at `accuracy` (ε ≈ 1/accuracy rank error), so a
+    * value within ε·n ranks of a fence may flip relative to exact. */
+  def flagApprox(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Double = 1.5, accuracy: Int = 10000): DataFrame = {
+    val f = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_percentile($valueCol, 0.25, $accuracy)").as("q1"),
+        expr(s"approx_percentile($valueCol, 0.75, $accuracy)").as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    flagged(df, valueCol, groupCols, f).drop("q1", "q3", "lo", "hi")
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.quality.Check
@@ -147,5 +148,79 @@ class QualitySpec extends AnyFunSuite {
       Profile.stats(df, Seq("nope"))
     }
     assert(e2.getMessage.contains("nope"))
+  }
+
+  test("Outliers: Tukey fences flag the planted extremes, nothing else") {
+    import graft.quality.Outliers
+    // group "a": 0..9 plus planted -100/+100; group "b": tight cluster,
+    // no outliers even though its values would be outliers under "a"'s
+    // fences (per-group fences, not global).
+    val rows = ((0 to 9).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", Some(-100.0)), ("a", Some(100.0)), ("a", Option.empty[Double])) ++
+      (0 to 9).map(i => ("b", Some(1000.0 + i)))).toDF("g", "v")
+    val flags = Outliers.flag(rows, "v", Seq("g"))
+      .where($"is_low" || $"is_high")
+      .select("g", "v", "is_low", "is_high").as[(String, Option[Double], Boolean, Boolean)]
+      .collect().toSet
+    assert(flags == Set(("a", Some(-100.0), true, false),
+      ("a", Some(100.0), false, true)))
+
+    val s = Outliers.summary(rows, "v", Seq("g"))
+      .select("g", "n_vals", "n_low", "n_high")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, n, lo, hi) => g -> ((n, lo, hi)) }.toMap
+    // n_vals counts non-null values only; the NULL row is not an outlier
+    assert(s("a") == ((12L, 1L, 1L)) && s("b") == ((10L, 0L, 0L)))
+  }
+
+  test("Outliers: approx path agrees with exact on a small frame") {
+    import graft.quality.Outliers
+    val rows = ((1 to 200).map(i => ("g", i.toDouble)) ++
+      Seq(("g", 1e6))).toDF("g", "v")
+    val exact = Outliers.flag(rows, "v", Seq("g"))
+      .where($"is_low" || $"is_high").select("v").as[Double].collect().toSet
+    val approx = Outliers.flagApprox(rows, "v", Seq("g"))
+      .where($"is_low" || $"is_high").select("v").as[Double].collect().toSet
+    // at accuracy 10000 on 201 rows the GK sketch is exact
+    assert(exact == Set(1e6) && approx == exact)
+  }
+
+  test("Diff: added/removed/changed partition, unchanged rows absent") {
+    import graft.cdc.Diff
+    val oldSnap = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0))
+      .toDF("k", "s", "v")
+    val newSnap = Seq((2L, "y", 2.0), (3L, "z", 30.0), (4L, "w", 4.0))
+      .toDF("k", "s", "v")
+    val d = Diff.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(d == Set((1L, Diff.Removed), (3L, Diff.Changed), (4L, Diff.Added)))
+  }
+
+  test("Diff: a column-value swap into NULL is changed (null-flag interleave)") {
+    import graft.cdc.Diff
+    // ("x", NULL) -> (NULL, "x"): both hash families fold NULL as a
+    // no-op, so WITHOUT the interleaved null flags this row would
+    // digest identically on both sides and pass as unchanged.
+    val oldSnap = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("k", "a", "b")
+    val newSnap = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("k", "a", "b")
+    val d = Diff.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .as[(Long, String)].collect().toList
+    assert(d == List((1L, Diff.Changed)))
+  }
+
+  test("Diff: compareCols restricts the compared surface; extra columns ignored") {
+    import graft.cdc.Diff
+    val oldSnap = Seq((1L, "x", "meta1")).toDF("k", "a", "loaded_by")
+    val newSnap = Seq((1L, "x", "meta2")).toDF("k", "a", "loaded_by")
+    // default: loaded_by differs -> changed
+    assert(Diff.snapshotDiff(oldSnap, newSnap, Seq("k")).count() == 1)
+    // restricted to `a`: identical -> empty diff
+    assert(Diff.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("a")).isEmpty)
+    // a column only one side has is never compared (schema drift is
+    // Normalize's job): old carries `extra`, new does not -> unchanged
+    val o2 = oldSnap.withColumn("extra", lit(7))
+    assert(Diff.snapshotDiff(o2, newSnap, Seq("k"), Seq("a")).isEmpty)
   }
 }
