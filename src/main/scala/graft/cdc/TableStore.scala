@@ -137,6 +137,37 @@ final class TableStore(spark: SparkSession, root: String,
       throw new java.io.IOException(s"pointer swap failed for $root v$next")
   }
 
+  /** [[write]] with output-file sizing — the small-files/giant-files
+    * control a 100 TB table needs: a snapshot written from however many
+    * shuffle partitions the upstream job happened to end with produces
+    * either thousands of KB files (metadata pressure, per-file open
+    * cost on every read) or a handful of multi-GB ones (no read
+    * parallelism, whole-file retries). Targets `targetFileBytes` per
+    * parquet file by estimating the frame's on-disk size from the
+    * optimizer's `sizeInBytes` statistic over an assumed
+    * `compressionRatio` (in-memory → parquet; ~3× is typical for mixed
+    * text/numeric — callers with atypical data pass their own), then
+    * `repartition(n)` before the write. The estimate costs no job
+    * (leaf file sizes propagate through the plan); being 2× off yields
+    * files 2× off target, which is operationally fine — the point is
+    * the ORDER of magnitude, not byte precision. Returns `n`.
+    * Bucketed stores are refused: their file count is bucket-driven.
+    * Cluster-key sorting still applies within each sized partition, so
+    * row-group min/max pruning survives sizing. */
+  def writeSized(df: DataFrame, targetFileBytes: Long = 128L << 20,
+      compressionRatio: Double = 3.0): Int = {
+    require(bucketBy.isEmpty,
+      "writeSized: bucketed stores derive file count from bucket spec")
+    require(targetFileBytes > 0 && compressionRatio > 0,
+      "writeSized: target size and compression ratio must be positive")
+    val estIn = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estOut = (BigDecimal(estIn) / compressionRatio).toBigInt
+    val tgt = BigInt(targetFileBytes)
+    val n = ((estOut + tgt - 1) / tgt).max(1).min(1 << 18).toInt
+    write(df.repartition(n))
+    n
+  }
+
   /** Keep the latest `n` versions, delete older ones (vacuum). */
   def vacuum(keep: Int = 2): Unit = currentVersion.foreach { cur =>
     if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>

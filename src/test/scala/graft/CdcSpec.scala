@@ -119,6 +119,30 @@ class CdcSpec extends AnyFunSuite {
     assert(store.read().get.count() == 2)
   }
 
+  test("TableStore writeSized: file count tracks the size estimate") {
+    val root = tmpDir("tsized")
+    val store = new TableStore(spark, root)
+    val wide = spark.range(20000)
+      .withColumn("pad", expr("repeat(uuid(), 8)"))
+    // huge target -> everything in one file regardless of upstream
+    // partitioning; tiny target -> many files; count returned == files
+    val n1 = store.writeSized(wide.repartition(7), targetFileBytes = 1L << 40)
+    assert(n1 == 1)
+    def parts(v: Int): Int =
+      new java.io.File(root, f"v_$v%08d").listFiles()
+        .count(_.getName.startsWith("part-"))
+    assert(parts(1) == 1)
+    val n2 = store.writeSized(wide, targetFileBytes = 16L << 10)
+    assert(n2 > 1 && parts(2) == n2)
+    assert(store.read().get.count() == 20000)
+    // bucketed stores refuse sizing (file count is bucket-driven)
+    val bStore = new TableStore(spark, tmpDir("tsizedb"),
+      bucketBy = Some((4, Seq("id"))))
+    intercept[IllegalArgumentException] {
+      bStore.writeSized(wide)
+    }
+  }
+
   test("TableStore time travel: past versions readable until vacuumed") {
     val root = tmpDir("ttravel")
     val store = new TableStore(spark, root)
