@@ -225,6 +225,23 @@ object ScaleBench {
     val (tPack1, _) = packAt(docs1)
     val (tPackF, _) = packAt(docsF)
 
+    // ---- snapshot diff (narrow digest projection + full-outer join):
+    // new snapshot drops ~1/7 of keys and rewrites ~1/11 of texts, so
+    // the change set (~20% of keys) grows f× with the corpus; the
+    // dominant costs — text digesting (map-only) and the (key, digest)
+    // shuffle — are both linear by construction
+    def diffAt(docs: DataFrame) = {
+      val newSnap = docs
+        .where(pmod(xxhash64(col("doc_id")), lit(7)) =!= 3)
+        .withColumn("text",
+          when(pmod(xxhash64(col("doc_id")), lit(11)) === 0,
+            concat(col("text"), lit(" qzdelta"))).otherwise(col("text")))
+      timed(runs)(consume(
+        graft.cdc.Diff.snapshotDiff(docs, newSnap, Seq("doc_id"))))
+    }
+    val (tDiff1, csDiff1) = diffAt(docs1)
+    val (tDiffF, csDiffF) = diffAt(docsF)
+
     // ---- as-of join via the histogram auto-dispatch (uniform user
     // keys here → plain path; rows per key grow f×)
     def asofAt(tag: String) = {
@@ -357,6 +374,8 @@ object ScaleBench {
       s""""bpe_count_1x":${f2(tBpeC1)},"bpe_count_fx":${f2(tBpeCF)},""" +
       s""""bpe_count_xlin":${xlin(tBpeC1, tBpeCF)},"bpe_merges":[$nM1,$nMF],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
+      s""""diff_1x":${f2(tDiff1)},"diff_fx":${f2(tDiffF)},"diff_xlin":${xlin(tDiff1, tDiffF)},""" +
+      s""""diff_rows":[${csDiff1._1},${csDiffF._1}],""" +
       s""""asof_1x":${f2(tAsof1)},"asof_fx":${f2(tAsofF)},"asof_xlin":${xlin(tAsof1, tAsofF)},""" +
       s""""asof_rows":[${csAsof1._1},${csAsofF._1}],""" +
       s""""ivf_build_1x":${f2(tIvfB1)},"ivf_build_fx":${f2(tIvfBF)},"ivf_build_xlin":${xlin(tIvfB1, tIvfBF)},""" +
