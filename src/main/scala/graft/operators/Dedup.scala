@@ -166,6 +166,34 @@ object Dedup {
         col("span"))
   }
 
+  /** INTRA-document line dedup — the Dolma/C4-style within-doc
+    * repetition scrub: within each document, drop every repeat of an
+    * already-seen line (first occurrence wins, original order kept)
+    * and rejoin. Complements the cross-doc span operators below: a
+    * boilerplate footer repeated inside ONE page never reaches their
+    * corpus-wide hash shuffle this way. Output: input columns with
+    * `textCol` rewritten plus `n_lines`/`n_dropped` provenance.
+    *
+    * Scale shape: map-only — `split` → `array_distinct` (first-
+    * occurrence order is its documented contract) → `array_join`,
+    * all codegen'd built-ins; no shuffle, no state, bounded by the
+    * row's own line count. Repeated BLANK lines count as repeats
+    * (split yields `""` between consecutive separators), so runs of
+    * blank lines collapse to one — the oracle restates that
+    * convention. */
+  def intraDocLineDedup(docs: DataFrame, textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    docs
+      .withColumn("__lines", split(col(textCol), quoted, -1))
+      .withColumn("__ded", array_distinct(col("__lines")))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_dropped",
+        (size(col("__lines")) - size(col("__ded"))).cast("long"))
+      .withColumn(textCol, array_join(col("__ded"), sep))
+      .drop("__lines", "__ded")
+  }
+
   def spanFlags(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", spanWords: Int = 10): DataFrame = {
     val spans = spanRows(docs, textCol, idCol, spanWords)

@@ -303,6 +303,22 @@ object ExtQueries {
         .orderBy("doc_id", "span_idx")
     },
 
+    // INTRA-doc line dedup (map-only within-row scrub): fixture plants
+    // each doc's full text twice and a 40-char prefix line twice, so
+    // every doc drops exactly its repeats (docs shorter than the
+    // prefix collapse further — same rule both sides). Exact oracle:
+    // first-occurrence-order distinct restated via min(ord) per line.
+    "q_dedup_lines" -> { (s, d) =>
+      val planted = Tables(s, d, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .withColumn("text", concat_ws("\n",
+          col("text"), substring(col("text"), 1, 40),
+          col("text"), substring(col("text"), 1, 40)))
+      Dedup.intraDocLineDedup(planted)
+        .select("doc_id", "text", "n_lines", "n_dropped")
+        .orderBy("doc_id")
+    },
+
     // MinHash+LSH near-dup pairs — the RAW scale-path operator (banded
     // signatures → bucket join → exact-Jaccard verify). Benched as-is;
     // its recall/precision gate vs the exact truth lives in
@@ -1356,6 +1372,27 @@ object ExtQueries {
         |  FROM s)
         |SELECT doc_id, span_idx, span, rn = 1 AS keep
         |FROM r ORDER BY doc_id, span_idx""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || substr(text, 1, 40) || chr(10) || text
+        |      || chr(10) || substr(text, 1, 40) AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+        |  FROM src),
+        |f AS (
+        |  SELECT doc_id, line, min(ord) AS ord
+        |  FROM ex GROUP BY doc_id, line),
+        |n AS (SELECT doc_id, count(*) AS n_lines FROM ex GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  string_agg(f.line, chr(10) ORDER BY f.ord) AS text,
+        |  any_value(n.n_lines) AS n_lines,
+        |  any_value(n.n_lines) - count(*) AS n_dropped
+        |FROM f JOIN n ON f.doc_id = n.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,

@@ -30,6 +30,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("intra-doc line dedup: repeats dropped in place, order kept, blanks collapse") {
+    val docs = Seq(
+      (1L, "keep me\nunique line\nkeep me\nanother\nkeep me"),
+      (2L, "a\n\n\nb"),          // blank-line run collapses to one
+      (3L, "no repeats here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.intraDocLineDedup(docs).orderBy("doc_id")
+      .select("doc_id", "text", "n_lines", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "keep me\nunique line\nanother", 5L, 2L),
+      (2L, "a\n\nb", 4L, 1L),
+      (3L, "no repeats here", 1L, 0L)))
+    // other columns pass through untouched
+    val withMeta = Dedup.intraDocLineDedup(
+      docs.withColumn("src", concat(lit("s"), $"doc_id")))
+    assert(withMeta.columns.toSet ==
+      Set("doc_id", "text", "src", "n_lines", "n_dropped"))
+  }
+
   test("span dedup: cross-doc boilerplate span dropped, first occurrence kept") {
     // 10-word boilerplate header shared verbatim by docs 1 and 2; the
     // bodies are distinct, so whole-doc dedup would keep both intact.
