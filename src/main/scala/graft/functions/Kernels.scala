@@ -371,6 +371,24 @@ object Kernels {
     best
   }
 
+  /** PQ asymmetric-distance-computation sum: `codes(j)` indexes a
+    * per-subspace lookup row in the flattened `m×k` table (row-major,
+    * one row per subspace), so the approximate dot product is
+    * `Σ_j tab(j·k + codes(j))` — m adds per corpus row, no vector math
+    * at serve time. Out-of-range codes contribute 0 (defensive; the
+    * encoder can't emit them). */
+  def adcSum(codes: ArrayData, tab: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getLong(j).toInt
+      if (c >= 0 && c < k) s += tab.getDouble(j * k + c)
+      j += 1
+    }
+    s
+  }
+
   def lshBuckets(input: ArrayData, tables: Int, bits: Int, dim: Int): ArrayData = {
     val v = input.toDoubleArray()
     val n = math.min(v.length, dim)

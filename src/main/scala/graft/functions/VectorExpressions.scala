@@ -73,6 +73,29 @@ case class NearestCentroid(left: Expression, right: Expression, dim: Int)
       : NearestCentroid = copy(left = l, right = r)
 }
 
+/** PQ ADC scoring: approximate dot of an encoded corpus row against a
+  * query's per-subspace lookup table (built once per query, KBs).
+  * `left` = the row's code array (m longs), `right` = the flattened
+  * m×k table. Serve-time cost is m table adds per corpus row — the
+  * memory/CPU trade that makes billion-vector ANN affordable. */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(codes: Any, tab: Any): Any =
+    java.lang.Double.valueOf(Kernels.adcSum(
+      codes.asInstanceOf[ArrayData], tab.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.functions.Kernels.adcSum($c, $t, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : PqAdc = copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -87,4 +110,7 @@ object VectorExpressions {
     column(NearestCentroid(expression(vec),
       Literal.create(flatCentroids, ArrayType(DoubleType, containsNull = false)),
       dim))
+
+  def pqAdc(codes: Column, tab: Column, k: Int): Column =
+    column(PqAdc(expression(codes), expression(tab), k))
 }

@@ -436,6 +436,20 @@ object ExtQueries {
         k = 5, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // Product-quantization ANN (Jégou 2011) — the memory-bounded third
+    // scale path beside LSH and IVF: 64 floats/row serve as 16 codes,
+    // ADC table adds + exact re-rank of the top-100. Self-contained
+    // build (deterministic sample-trained codebooks, map-only encode)
+    // + search; optimality + recall gates override in gateQueries.
+    "q_sim_ann_pq" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val model = Pq.train(e, m = 16, k = 64, iters = 8)
+      val codes = Pq.encode(e, model)
+      Pq.search(codes, model, e, e.where(col("vec_id") < 10),
+        k = 5, rerank = 100)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -870,6 +884,41 @@ object ExtQueries {
       val ivf = Ivf.search(assigned, centroids, q, k = 5, nprobe = 6)
         .select("query_id", "nbr_id").withColumn("__hit", lit(1))
       brute.join(ivf, Seq("query_id", "nbr_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))).as("__recall"))
+        .select(col("n_brute"),
+          coalesce(col("__recall") >= 0.8, lit(true)).as("recall_ge_08"))
+    },
+
+    // PQ ANN, same per-row optimality gate: the re-ranked cosine at
+    // rank r can never exceed the exact rank-r cosine.
+    "q_sim_ann_pq" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopKScored(e, q, k = 5)
+        .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
+      val model = Pq.train(e, m = 16, k = 64, iters = 8)
+      Pq.search(Pq.encode(e, model), model, e, q, k = 5, rerank = 100)
+        .join(brute, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          (col("cos") <= col("__bcos")).as("cos_le_exact"))
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ recall gate (measured 1.0 at sf0.01 AND sf0.1 with
+    // m=16/k=64/rerank=100 on these near-random embeddings — the
+    // ADC-hostile regime; gate at the shared 0.8 bar).
+    "q_sim_ann_pq_recall" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "nbr_id")
+      val model = Pq.train(e, m = 16, k = 64, iters = 8)
+      val pq = Pq.search(Pq.encode(e, model), model, e, q,
+          k = 5, rerank = 100)
+        .select("query_id", "nbr_id").withColumn("__hit", lit(1))
+      brute.join(pq, Seq("query_id", "nbr_id"), "left")
         .agg(count(lit(1)).as("n_brute"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") /
             count(lit(1))).as("__recall"))
@@ -1547,6 +1596,12 @@ object ExtQueries {
     "q_sim_ann_lsh_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
     "q_sim_ann_ivf_recall" ->
+      "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
+    "q_sim_ann_pq" ->
+      """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
+        |FROM embeddings, range(1, 6) t(r)
+        |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_ann_pq_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -727,6 +727,47 @@ class ExtSpec extends AnyFunSuite {
       maxBlockRows = 100).count() >= 0)
   }
 
+  test("PQ: codes are m small ints; recall >= 0.8 on clustered vectors; " +
+      "persisted == fresh") {
+    import graft.functions.Hashing.splitmix64
+    import graft.operators.Pq
+    def unit(seed: Long, dim: Int): Array[Double] = {
+      val v = Array.tabulate(dim)(i =>
+        splitmix64(seed * dim + i).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    val rows = for { c <- 0 until 40; m <- 0 until 15 } yield {
+      val center = unit(c + 1, dim)
+      val noise = unit(1000L + c * 15 + m, dim)
+      ((c * 15 + m).toLong,
+        center.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat }, c)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val q = embs.where(col("vec_id") % 15 === 0)
+    val model = Pq.train(embs, m = 4, k = 16, iters = 8)
+    val codes = Pq.encode(embs, model)
+    // the memory contract: m codes per row, every code in [0, k)
+    val bad = codes.where(size(col("__codes")) =!= 4 ||
+      exists(col("__codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    val brute = graft.operators.Similarity.bruteForceTopK(embs, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.search(codes, model, embs, q, k = 5, rerank = 30)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall $recall too low")
+    // build-once/serve-many: persisted index reproduces fresh results
+    val root = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Pq.persist(spark, root, codes, model)
+    val (pcodes, pmodel) = Pq.load(spark, root)
+      .getOrElse(fail("persisted PQ index did not load"))
+    val served = Pq.search(pcodes, pmodel, embs, q, k = 5, rerank = 30)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(served == pq && pq.nonEmpty)
+  }
+
   test("IVF persisted index: search-from-persisted == search-from-fresh") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = Ivf.build(e, nlist = 8, iters = 2)
