@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.Kernels
-import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, IncrementalDedup, Ivf, Pack, TextLm, TextSearch}
+import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, IncrementalDedup, Ivf, Pack, Pq, TextLm, TextSearch}
 import graft.streaming.DedupMicroBatch
 
 /** Synthetic scale-up harness — the measured evidence that the scale
@@ -274,6 +274,22 @@ object ScaleBench {
     val (tIvfB1, tIvfS1) = ivfAt(embs1)
     val (tIvfBF, tIvfSF) = ivfAt(embsF)
 
+    // ---- PQ encode + serve (memory-bounded ANN): codebooks train on a
+    // deterministic bounded sample (cost ~scale-invariant by design);
+    // the encode leg is the map-only corpus pass at full growth, the
+    // serve leg scores the m-codes corpus against the same fixed
+    // 10-query table set + exact re-rank
+    def pqAt(embs: DataFrame) = {
+      val model = Pq.train(embs, m = 16, k = 64, iters = 8)
+      val (tE, _) = timed(runs)(consume(Pq.encode(embs, model)))
+      val codes = Pq.encode(embs, model).localCheckpoint(true)
+      val (tS, _) = timed(runs)(consume(
+        Pq.search(codes, model, embs, queries, k = 10, rerank = 100)))
+      (tE, tS)
+    }
+    val (tPqE1, tPqS1) = pqAt(embs1)
+    val (tPqEF, tPqSF) = pqAt(embsF)
+
     // ---- incremental-dedup drain: 8 batches, compactEvery=3 → the
     // stores compact at batches 3 and 6 (two multi-segment compactions
     // below the replay frontier). Per-batch parquet is written untimed;
@@ -380,6 +396,8 @@ object ScaleBench {
       s""""asof_rows":[${csAsof1._1},${csAsofF._1}],""" +
       s""""ivf_build_1x":${f2(tIvfB1)},"ivf_build_fx":${f2(tIvfBF)},"ivf_build_xlin":${xlin(tIvfB1, tIvfBF)},""" +
       s""""ivf_search_1x":${f2(tIvfS1)},"ivf_search_fx":${f2(tIvfSF)},"ivf_search_xlin":${xlin(tIvfS1, tIvfSF)},""" +
+      s""""pq_encode_1x":${f2(tPqE1)},"pq_encode_fx":${f2(tPqEF)},"pq_encode_xlin":${xlin(tPqE1, tPqEF)},""" +
+      s""""pq_serve_1x":${f2(tPqS1)},"pq_serve_fx":${f2(tPqSF)},"pq_serve_xlin":${xlin(tPqS1, tPqSF)},""" +
       s""""drain_1x":${f2(tDrain1)},"drain_fx":${f2(tDrainF)},"drain_xlin":${xlin(tDrain1, tDrainF)},""" +
       s""""drain_batches":$nBatches,"drain_segments":[$segs1,$segsF],""" +
       s""""cc_edges":[$nEdges1,$nEdgesF],""" +
