@@ -18,14 +18,16 @@ import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampN
   * compare exactly for micro-precision fixtures), strings on the
   * `_str` pair; the other pair is NULL.
   *
-  * Scale shape: a single aggregate pass. `n_distinct` is EXACT
-  * (`count(DISTINCT c)`) — Catalyst plans multi-distinct via one
-  * `Expand` that replicates input rows (#cols + 1)×, the standard
-  * exact-profile cost; it is partial-aggregated map-side AFTER the
-  * expand, so the shuffle carries group counts, not rows. At 100 TB
-  * prefer [[statsApprox]]: HLL `approx_count_distinct` needs no
-  * Expand and one map-side sketch per column (spec-tested within
-  * rel-error vs exact; not oracle-pinnable — engine-specific sketch).
+  * Scale shape: one independent column-pruned aggregate per profiled
+  * column, unioned — the legs run concurrently inside one job, each
+  * leg's exact `n_distinct` is the plain two-phase aggregate, and no
+  * stage replicates rows (the one-pass multi-distinct alternative
+  * plans an Expand that duplicates every row (#cols+1)× — measured
+  * 5.3× slower on the declared profile; rationale at [[profiled]]).
+  * At 100 TB prefer [[statsApprox]]: HLL `approx_count_distinct`
+  * shuffles registers instead of distinct values per leg
+  * (spec-tested within rel-error vs exact; not oracle-pinnable —
+  * engine-specific sketch).
   */
 object Profile {
 
@@ -44,6 +46,18 @@ object Profile {
       case _ => v.cast("double")
     }
 
+  /** One independent single-column aggregate per profiled column,
+    * unioned. This REPLACED the one-pass multi-distinct aggregate
+    * (r14): exact multi-distinct plans through an Expand that
+    * replicates every input row (#cols+1)×, and on a few-split input
+    * the whole replicated partial aggregate serializes into one task
+    * — measured 2.67 s vs 0.50 s for this shape on the sf0.1 orders
+    * profile (per-column legs are column-pruned scans that run
+    * CONCURRENTLY as independent stages of one job, and each leg's
+    * single distinct is the plain two-phase aggregate, no Expand).
+    * At 100 TB the trade holds: L column-pruned scans read the same
+    * total bytes as one full-width scan, and no stage pays the
+    * (L+1)× row replication. */
   private def profiled(df: DataFrame, cols: Seq[String], distinct: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     cols.foreach { c =>
@@ -51,42 +65,39 @@ object Profile {
       require(isNum(df, c) || df.schema(c).dataType == StringType,
         s"unsupported profile type for $c: ${df.schema(c).dataType}")
     }
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"), distinct(c).as(s"__nd_$c")) ++
-        (if (isNum(df, c))
-          Seq(asNum(df, c)(min(col(c))).as(s"__mn_$c"),
-            asNum(df, c)(max(col(c))).as(s"__mx_$c"))
-        else
-          Seq(min(col(c)).as(s"__mns_$c"), max(col(c)).as(s"__mxs_$c")))
-    }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = cols.map { c =>
+    val legs = cols.map { c =>
+      val agged = df.select(col(c)).agg(
+        count(lit(1)).as("__n"), count(col(c)).as("__nn"),
+        distinct(c).as("__nd"),
+        min(col(c)).as("__mn"), max(col(c)).as("__mx"))
       if (isNum(df, c))
-        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
-          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-          col(s"__nd_$c").as("n_distinct"),
-          col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        agged.select(lit(c).as("col_name"), col("__n").as("n_rows"),
+          (col("__n") - col("__nn")).as("n_nulls"),
+          col("__nd").as("n_distinct"),
+          asNum(df, c)(col("__mn")).as("min_num"),
+          asNum(df, c)(col("__mx")).as("max_num"),
           lit(null).cast("string").as("min_str"),
           lit(null).cast("string").as("max_str"))
       else
-        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
-          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-          col(s"__nd_$c").as("n_distinct"),
+        agged.select(lit(c).as("col_name"), col("__n").as("n_rows"),
+          (col("__n") - col("__nn")).as("n_nulls"),
+          col("__nd").as("n_distinct"),
           lit(null).cast("double").as("min_num"),
           lit(null).cast("double").as("max_num"),
-          col(s"__mns_$c").as("min_str"), col(s"__mxs_$c").as("max_str"))
+          col("__mn").cast("string").as("min_str"),
+          col("__mx").cast("string").as("max_str"))
     }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    legs.reduce(_ unionByName _)
   }
 
-  /** Exact profile (oracle-pinnable): one aggregate pass, exact
-    * distinct counts via the multi-distinct Expand plan. */
+  /** Exact profile (oracle-pinnable): per-column exact distinct via
+    * the plain two-phase aggregate (no Expand — see [[profiled]]). */
   def stats(df: DataFrame, cols: Seq[String]): DataFrame =
     profiled(df, cols, c => countDistinct(col(c)))
 
   /** HLL profile for wide/huge tables: `approx_count_distinct(rsd)`
-    * replaces the Expand with one mergeable sketch per column —
-    * single narrow shuffle regardless of column count. */
+    * swaps the exact distinct for one mergeable sketch per column —
+    * each leg's shuffle carries registers, not distinct values. */
   def statsApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05)
       : DataFrame =
     profiled(df, cols, c => approx_count_distinct(col(c), rsd))
