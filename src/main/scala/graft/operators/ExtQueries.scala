@@ -450,6 +450,18 @@ object ExtQueries {
       Pq.search(codes, model, e, e.where(col("vec_id") < 10),
         k = 5, rerank = 100)
         .orderBy("query_id", "rank")
+    },
+
+    // PQ SERVING path (the Ivf `_search` analog): codebooks + codes
+    // train/encode ONCE per corpus snapshot and persist; the query
+    // pays only ADC + re-rank. Deterministic build ⇒ served == fresh
+    // ⇒ the same optimality oracle applies (gate override below).
+    "q_sim_ann_pq_search" -> { (s, d) =>
+      val (codes, model) = servedPq(s, d)
+      Pq.search(codes, model, Tables(s, d, "embeddings"),
+        Tables(s, d, "embeddings").where(col("vec_id") < 10),
+        k = 5, rerank = 100)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -555,6 +567,35 @@ object ExtQueries {
     })
     Ivf.load(s, root).getOrElse(
       sys.error(s"persisted IVF index missing under $root"))
+  }
+
+  /** Build-once cache behind `q_sim_ann_pq_search` — the PQ analog of
+    * [[servedIvf]]: same fingerprint key, same temp-root lifecycle. */
+  private val pqServeRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def servedPq(s: SparkSession, d: String): (DataFrame, Pq.Model) = {
+    val key = s"$d@${tableFingerprint(d, "embeddings")}"
+    val root = pqServeRoot.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_serve")
+      val r = dir.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files => F}
+        import java.util.Comparator
+        if (F.exists(dir)) {
+          val walk = F.walk(dir)
+          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { F.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      }
+      val e = Tables(s, d, "embeddings")
+      val model = Pq.train(e, m = 16, k = 64, iters = 8)
+      Pq.persist(s, r, Pq.encode(e, model), model)
+      r
+    })
+    Pq.load(s, root).getOrElse(
+      sys.error(s"persisted PQ index missing under $root"))
   }
 
   /** Verify-only quality gates (merged over [[queries]] by
@@ -900,6 +941,21 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
       val model = Pq.train(e, m = 16, k = 64, iters = 8)
       Pq.search(Pq.encode(e, model), model, e, q, k = 5, rerank = 100)
+        .join(brute, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          (col("cos") <= col("__bcos")).as("cos_le_exact"))
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ serving path, same optimality gate against the PERSISTED
+    // index (deterministic build makes served == fresh).
+    "q_sim_ann_pq_search" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopKScored(e, q, k = 5)
+        .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
+      val (codes, model) = servedPq(s, d)
+      Pq.search(codes, model, e, q, k = 5, rerank = 100)
         .join(brute, Seq("query_id", "rank"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           (col("cos") <= col("__bcos")).as("cos_le_exact"))
@@ -1598,6 +1654,10 @@ object ExtQueries {
     "q_sim_ann_ivf_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
     "q_sim_ann_pq" ->
+      """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
+        |FROM embeddings, range(1, 6) t(r)
+        |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_ann_pq_search" ->
       """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
         |FROM embeddings, range(1, 6) t(r)
         |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
