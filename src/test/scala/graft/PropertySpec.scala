@@ -417,4 +417,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("snapshot diff ≡ brute-force column compare on random snapshot pairs") {
+    import graft.cdc.Diff
+    val snapGen: Gen[List[(Long, Option[String], Option[String])]] =
+      Gen.listOfN(25, for {
+        k <- Gen.chooseNum(0L, 14L)
+        a <- Gen.option(Gen.oneOf("x", "y", "z"))
+        b <- Gen.option(Gen.oneOf("p", "q"))
+      } yield (k, a, b))
+    // keys may repeat in the generated lists; keep first per key so the
+    // fixture satisfies the operator's unique-key contract
+    def dedupKeys(rows: List[(Long, Option[String], Option[String])]) =
+      rows.groupBy(_._1).map(_._2.head).toList
+    forAll(snapGen, snapGen) { (oldRaw, newRaw) =>
+      val oldRows = dedupKeys(oldRaw)
+      val newRows = dedupKeys(newRaw)
+      whenever(oldRows.nonEmpty || newRows.nonEmpty) {
+        val got = Diff.snapshotDiff(
+          oldRows.toDF("k", "a", "b"), newRows.toDF("k", "a", "b"), Seq("k"))
+          .as[(Long, String)].collect().toMap
+        val oldM = oldRows.map(r => r._1 -> ((r._2, r._3))).toMap
+        val newM = newRows.map(r => r._1 -> ((r._2, r._3))).toMap
+        val expect = (oldM.keySet ++ newM.keySet).flatMap { k =>
+          (oldM.get(k), newM.get(k)) match {
+            case (None, Some(_)) => Some(k -> Diff.Added)
+            case (Some(_), None) => Some(k -> Diff.Removed)
+            case (Some(o), Some(n)) if o != n => Some(k -> Diff.Changed)
+            case _ => None
+          }
+        }.toMap
+        assert(got == expect,
+          s"diff mismatch: got=$got expect=$expect old=$oldRows new=$newRows")
+      }
+    }
+  }
+
+  test("intra-doc line dedup ≡ local first-occurrence distinct on random line lists") {
+    import graft.operators.Dedup
+    val docGen: Gen[List[(Long, List[String])]] =
+      Gen.listOfN(8, for {
+        id <- Gen.chooseNum(0L, 100L)
+        lines <- Gen.listOfN(12, Gen.oneOf("a", "bb", "", "ccc", "d d"))
+      } yield (id, lines))
+    forAll(docGen) { docsRaw =>
+      val docs = docsRaw.groupBy(_._1).map(_._2.head).toList
+      whenever(docs.nonEmpty) {
+        val df = docs.map { case (id, ls) => (id, ls.mkString("\n")) }
+          .toDF("doc_id", "text")
+        val got = Dedup.intraDocLineDedup(df)
+          .select("doc_id", "text", "n_lines", "n_dropped")
+          .as[(Long, String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        docs.foreach { case (id, ls) =>
+          val exp = ls.distinct.mkString("\n")
+          val (txt, n, dropped) = got(id)
+          assert(txt == exp && n == ls.size &&
+            dropped == (ls.size - ls.distinct.size).toLong,
+            s"doc $id: got=$txt expect=$exp lines=$ls")
+        }
+      }
+    }
+  }
 }
