@@ -27,11 +27,12 @@ import graft.functions.TextFunctions
   */
 object Curate {
 
-  def corpus(docs: DataFrame, minQuality: Double = 0.7,
-      langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
-      textCol: String = "text", idCol: String = "doc_id",
-      maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
-      maxDupGram: Double = 1.0): DataFrame = {
+  /** The shared funnel behind [[corpus]] and [[report]]:
+    * (kept, unique-checkpointed, final representatives). */
+  private def funnel(docs: DataFrame, minQuality: Double,
+      langs: Seq[String], jaccard: Double, textCol: String, idCol: String,
+      maxShingleDf: Long, maxDupGram: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     val scored = docs
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("lang_detected", TextFunctions.langId(col(textCol)))
@@ -59,9 +60,50 @@ object Curate {
     val reps = Dedup.clusters(pairs)
     // representative = the cluster's min member (its own label); docs in
     // no near-dup pair pass through (left join, null cluster)
-    unique.join(reps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+    val finals = unique
+      .join(reps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+    (kept, unique, finals)
+  }
+
+  def corpus(docs: DataFrame, minQuality: Double = 0.7,
+      langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
+      maxDupGram: Double = 1.0): DataFrame =
+    funnel(docs, minQuality, langs, jaccard, textCol, idCol,
+      maxShingleDf, maxDupGram)._3
       .select(col(idCol), col("lang_detected"), col("quality"))
+
+  /** The curation FUNNEL REPORT — the per-stage survivor counts every
+    * production corpus pipeline publishes with each release (what
+    * fraction died to the language/quality gate vs exact dedup vs
+    * near-dup clustering): one row per stage,
+    * `(stage_idx, stage, n_docs)` for raw → lang_quality →
+    * exact_unique → near_dup_reps. Same parameters and EXACTLY the
+    * same stage frames as [[corpus]] (shared [[funnel]]), so the
+    * report provably describes the corpus the composition would ship.
+    *
+    * Eager by contract (the counts are actions at construction — the
+    * [[Pack.sequences]]/[[topFraction]] convention): cost ≈ one
+    * [[corpus]] run plus one extra scoring scan for the kept count;
+    * each count is a distributed aggregate returning one driver long.
+    */
+  def report(docs: DataFrame, minQuality: Double = 0.7,
+      langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
+      maxDupGram: Double = 1.0): DataFrame = {
+    val (kept, unique, finals) = funnel(docs, minQuality, langs, jaccard,
+      textCol, idCol, maxShingleDf, maxDupGram)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(
+      (0, "raw", docs.count()),
+      (1, "lang_quality", kept.count()),
+      (2, "exact_unique", unique.count()),
+      (3, "near_dup_reps", finals.count()))
+      .toDF("stage_idx", "stage", "n_docs")
   }
 
   /** [[corpus]] plus the span-level scrub — stage 5 of the full

@@ -269,6 +269,16 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Curation funnel report: per-stage survivor counts (raw →
+    // lang/quality → exact-unique → near-dup representatives) over
+    // EXACTLY the stage frames q_curate_corpus ships (shared funnel).
+    // The oracle reuses the full curate restatement's CTEs and counts
+    // them, so a drift in ANY stage shows up as the wrong count at
+    // that stage — a funnel-shaped diagnostic, not just a final hash.
+    "q_curate_report" -> { (s, d) =>
+      Curate.report(Tables(s, d, "documents")).orderBy("stage_idx")
+    },
+
     // Distribution-anchored quality cut: keep the best 20% by score,
     // threshold from ONE mergeable approx_percentile pass (no global
     // sort, no single-partition funnel). The gate override pins
@@ -994,7 +1004,14 @@ object ExtQueries {
     * [[Curate.corpus]]'s `maxDupGram` path; dup3 arithmetic is the same
     * exact integer-count division the green `q_text_repetition` oracle
     * pins, so the predicate is bit-stable across engines. */
-  private def curateOracle(gopher: Boolean): String = {
+  private def curateOracle(gopher: Boolean): String =
+    curateOracle(gopher,
+      """SELECT u.doc_id, u.lang_detected, u.quality
+        |FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
+        |WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id
+        |ORDER BY u.doc_id""".stripMargin)
+
+  private def curateOracle(gopher: Boolean, tail: String): String = {
     val repCte = if (!gopher) "" else
       """rep AS (
         |  SELECT doc_id,
@@ -1088,10 +1105,7 @@ object ExtQueries {
       |labels AS (
       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |  FROM reach GROUP BY src)
-      |SELECT u.doc_id, u.lang_detected, u.quality
-      |FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
-      |WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id
-      |ORDER BY u.doc_id""".stripMargin
+      |$tail""".stripMargin
   }
 
   /** The full BM25 restatement as a CTE chain (through `ranked`) —
@@ -1347,6 +1361,17 @@ object ExtQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_corpus" -> curateOracle(gopher = false),
     "q_curate_corpus_gopher" -> curateOracle(gopher = true),
+    "q_curate_report" -> curateOracle(gopher = false,
+      """SELECT * FROM (
+        |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs
+        |  FROM documents
+        |  UNION ALL SELECT 1, 'lang_quality', count(*) FROM kept
+        |  UNION ALL SELECT 2, 'exact_unique', count(*) FROM uniq
+        |  UNION ALL SELECT 3, 'near_dup_reps', count(*) FROM (
+        |    SELECT u.doc_id
+        |    FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
+        |    WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id))
+        |ORDER BY stage_idx""".stripMargin),
     "q_text_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(toks) <= 3 THEN 0.0

@@ -768,6 +768,21 @@ class ExtSpec extends AnyFunSuite {
     assert(served == pq && pq.nonEmpty)
   }
 
+  test("curate report: monotone funnel, final stage == corpus survivors") {
+    import graft.operators.Curate
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rep = Curate.report(docs)
+      .select("stage_idx", "stage", "n_docs")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(rep.map(_._2).toSeq ==
+      Seq("raw", "lang_quality", "exact_unique", "near_dup_reps"))
+    val ns = rep.map(_._3)
+    assert(ns(0) == docs.count())
+    assert(ns(1) <= ns(0) && ns(2) <= ns(1) && ns(3) <= ns(2))
+    assert(ns(3) == Curate.corpus(docs).count(),
+      "report's final stage must count exactly corpus()'s survivors")
+  }
+
   test("IVF persisted index: search-from-persisted == search-from-fresh") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = Ivf.build(e, nlist = 8, iters = 2)
