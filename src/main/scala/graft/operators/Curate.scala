@@ -31,7 +31,8 @@ object Curate {
     * (kept, unique-checkpointed, final representatives). */
   private def funnel(docs: DataFrame, minQuality: Double,
       langs: Seq[String], jaccard: Double, textCol: String, idCol: String,
-      maxShingleDf: Long, maxDupGram: Double)
+      maxShingleDf: Long, maxDupGram: Double,
+      checkpointKept: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     val scored = docs
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
@@ -45,7 +46,11 @@ object Curate {
       if (maxDupGram >= 1.0) langQual
       else langQual &&
         TextFunctions.dupGramFraction(col(textCol)) <= maxDupGram
-    val kept = scored.where(keepPred)
+    // report() counts `kept` AND derives every later stage from it —
+    // checkpointing it there trades one block write for the second
+    // full scoring scan; corpus() keeps the fused single pass.
+    val kept0 = scored.where(keepPred)
+    val kept = if (checkpointKept) kept0.localCheckpoint(true) else kept0
     // Materialized once, consumed twice (pair generation + final
     // representative join). localCheckpoint instead of cache(): cached
     // plans stay registered in the session CacheManager until an
@@ -86,8 +91,10 @@ object Curate {
     *
     * Eager by contract (the counts are actions at construction — the
     * [[Pack.sequences]]/[[topFraction]] convention): cost ≈ one
-    * [[corpus]] run plus one extra scoring scan for the kept count;
-    * each count is a distributed aggregate returning one driver long.
+    * [[corpus]] run — `kept` is localCheckpoint'd on this path so its
+    * count and every later stage read one scoring materialization
+    * instead of re-scanning the corpus; each count is a distributed
+    * aggregate returning one driver long.
     */
   def report(docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
@@ -95,7 +102,7 @@ object Curate {
       maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
       maxDupGram: Double = 1.0): DataFrame = {
     val (kept, unique, finals) = funnel(docs, minQuality, langs, jaccard,
-      textCol, idCol, maxShingleDf, maxDupGram)
+      textCol, idCol, maxShingleDf, maxDupGram, checkpointKept = true)
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(

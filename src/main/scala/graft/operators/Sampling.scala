@@ -171,6 +171,42 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): sample
+    * `k` documents with probability proportional to how much more
+    * target-like than corpus-like each one reads, where both densities
+    * are bigram LMs ([[TextLm]]) — the target model trained on the
+    * `targetPred` subset (the high-quality reference slice), the
+    * source model on the whole corpus. The importance weight is the
+    * LENGTH-NORMALIZED likelihood ratio
+    * `w = exp(nll_source − nll_target)` (mean per-bigram, so a long
+    * document's weight measures its distribution, not its length),
+    * drawn without replacement via the deterministic A-ES priority
+    * sample ([[prioritySample]] — same md5 draw, same repartition
+    * invariance). Documents with fewer than two tokens have no bigrams
+    * under either model and are excluded (the [[TextLm]] convention).
+    *
+    * Scale shape: two LM trains (each one corpus-sized bigram
+    * aggregate), two scoring joins against 1-row-per-key model tables,
+    * one map-only priority draw + TakeOrdered — nothing quadratic,
+    * nothing iterative, no driver model state beyond [[TextLm]]'s
+    * aggregate frames. Returns `(idCol, w)` for the selected docs. */
+  def dsirSample(docs: DataFrame, targetPred: Column, k: Int,
+      seed: String = "dsir", alpha: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val target = TextLm.train(docs.where(targetPred), textCol, idCol)
+    val source = TextLm.train(docs, textCol, idCol)
+    val st = TextLm.score(target, docs, alpha, textCol, idCol)
+      .select(col(idCol), col("nll").as("__nll_t"))
+    val ss = TextLm.score(source, docs, alpha, textCol, idCol)
+      .select(col(idCol), col("nll").as("__nll_s"))
+    val weighted = st.join(ss, Seq(idCol))
+      .withColumn("w", exp(col("__nll_s") - col("__nll_t")))
+    prioritySample(weighted, idCol, col("w"), k, seed)
+      .select(col(idCol), col("w"))
+  }
+
   /** Deterministic stratified sample: per-stratum fractions (e.g. keep
     * 50% of `en`, 25% of `de`, `defaultFraction` of everything else).
     * The draw hashes ONLY (id, seed) — the same row keeps or drops

@@ -80,6 +80,20 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR-style importance resampling (Xie et al. 2023): target LM
+    // trained on the lang='en' slice, source LM on the whole corpus,
+    // importance w = exp(nll_source - nll_target) (length-normalized
+    // likelihood ratio), top-20 by deterministic A-ES priority. The
+    // oracle restates BOTH bigram models (left-join scoring — OOV
+    // bigrams under the target model coalesce to 0 counts), the ratio,
+    // and the md5 priority draw, so the selected SET is pinned.
+    "q_sample_dsir" -> { (s, d) =>
+      Sampling.dsirSample(Tables(s, d, "documents"),
+          targetPred = col("lang") === "en", k = 20, seed = "dsir")
+        .withColumn("w", round(col("w"), 6))
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: concat-then-chunk pack assignment over the
     // doc_id-ordered token stream, 4096-token packs — distributed
     // two-pass prefix sum (the oracle restates the global running sum
@@ -160,6 +174,54 @@ object SamplingQueries {
         |top AS (
         |  SELECT doc_id, w FROM p ORDER BY pri DESC, doc_id LIMIT 20)
         |SELECT doc_id, w AS n_tokens FROM top ORDER BY doc_id""".stripMargin,
+    "q_sample_dsir" ->
+      """WITH dt AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |bgall AS (
+        |  SELECT doc_id, lang, s.w1 AS w1, s.w2 AS w2 FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(0, len(toks) - 1),
+        |        i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS s
+        |    FROM dt WHERE len(toks) >= 2)),
+        |sb2 AS (SELECT w1, w2, count(*) AS c12 FROM bgall GROUP BY 1, 2),
+        |sc1 AS (SELECT w1, sum(c12) AS c1 FROM sb2 GROUP BY 1),
+        |sv AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(toks) AS w FROM dt)),
+        |tb2 AS (SELECT w1, w2, count(*) AS c12 FROM bgall
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |tc1 AS (SELECT w1, sum(c12) AS c1 FROM tb2 GROUP BY 1),
+        |tv AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(toks) AS w FROM dt WHERE lang = 'en')),
+        |db AS (
+        |  SELECT doc_id, w1, w2, count(*) AS n FROM bgall GROUP BY 1, 2, 3),
+        |snll AS (
+        |  SELECT d.doc_id,
+        |    -sum(d.n * ln((coalesce(b.c12, 0) + 0.5)
+        |      / (coalesce(c.c1, 0) + 0.5 * sv.v))) / sum(d.n) AS nll_s
+        |  FROM db d LEFT JOIN sb2 b USING (w1, w2)
+        |    LEFT JOIN sc1 c USING (w1), sv
+        |  GROUP BY 1),
+        |tnll AS (
+        |  SELECT d.doc_id,
+        |    -sum(d.n * ln((coalesce(b.c12, 0) + 0.5)
+        |      / (coalesce(c.c1, 0) + 0.5 * tv.v))) / sum(d.n) AS nll_t
+        |  FROM db d LEFT JOIN tb2 b USING (w1, w2)
+        |    LEFT JOIN tc1 c USING (w1), tv
+        |  GROUP BY 1),
+        |wts AS (
+        |  SELECT s.doc_id, exp(s.nll_s - t.nll_t) AS w
+        |  FROM snll s JOIN tnll t USING (doc_id)),
+        |pri AS (
+        |  SELECT doc_id, w,
+        |    pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':dsir'), 1, 8) AS BIGINT) + 1.0) / 4294967297.0,
+        |      1.0 / w) AS pri
+        |  FROM wts WHERE w > 0),
+        |top AS (SELECT doc_id, w FROM pri ORDER BY pri DESC, doc_id LIMIT 20)
+        |SELECT doc_id, round(w, 6) AS w FROM top ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, ntok AS n_tokens,
         |  CAST(floor((cum - ntok) / 4096.0) AS BIGINT) AS pack_id
