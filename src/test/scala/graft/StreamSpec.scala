@@ -688,6 +688,37 @@ class StreamSpec extends AnyFunSuite {
       2L, 3.0)), s"late event corrupted sessionization: $u1")
   }
 
+  test("streaming ANN ingest: drained index == batch encode; replay idempotent") {
+    import graft.operators.Pq
+    import graft.streaming.AnnMicroBatch
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = Pq.train(e, m = 8, k = 16, iters = 4)
+    val src = tmp("ann-src")
+    val store = new AppendStore(spark, tmp("ann-codes") + "/t")
+    val ckpt = tmp("ann-ckpt")
+    // land the corpus as three arrival batches, drain after each
+    val schema = e.schema
+    (0 until 3).foreach { i =>
+      e.where(pmod(col("vec_id"), lit(3)) === i)
+        .write.mode("append").parquet(src)
+      AnnMicroBatch.runAvailableNow(spark, src, schema, store, model, ckpt)
+    }
+    val q = e.where(col("vec_id") < 5)
+    val streamed = AnnMicroBatch.search(store, model, e, q, k = 3, rerank = 20)
+      .getOrElse(fail("drained store is empty"))
+      .collect().map(_.toSeq).toSet
+    val batch = Pq.search(Pq.encode(e, model), model, e, q, k = 3, rerank = 20)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      "search over the drained code segments must equal batch encode+search")
+    // replaying a batch rewrites identical content (pure transition)
+    val before = store.read().get.collect().map(_.toSeq).toSet
+    AnnMicroBatch.processBatch(
+      e.where(pmod(col("vec_id"), lit(3)) === 1), 1L, store, model)
+    val after = store.read().get.collect().map(_.toSeq).toSet
+    assert(after == before, "replayed batch must leave the store unchanged")
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
