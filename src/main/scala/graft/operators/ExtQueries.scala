@@ -215,6 +215,20 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Multinomial Naive Bayes self-classification (the fastText-shaped
+    // model-based filter): train per-lang token models on the corpus'
+    // own labels, emit every doc's full ranked class posterior
+    // (rank 1 = prediction; the rank-1-vs-stored-label disagreement is
+    // the mislabel probe). Exact-count model + closed-form smoothing,
+    // so the oracle restates train AND score in SQL — one float
+    // surface (ln/÷, round-4), same contract as q_quality_lm_score.
+    "q_text_classify_nb" -> { (s, d) =>
+      NaiveBayes.selfScore(Tables(s, d, "documents"), labelCol = "lang",
+          alpha = 0.5)
+        .withColumn("logpost", round(col("logpost"), 4))
+        .orderBy("doc_id", "rank")
+    },
+
     // Corpus-overlap KMV sketch — the RAW scale-path operator: per-
     // source k-minimum-values sketches over word-3-gram md5 hashes,
     // pairwise Jaccard estimated from sketch rows only (estimation
@@ -1236,11 +1250,59 @@ object ExtQueries {
       |  round(nll, 4) AS nll
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** `q_text_classify_nb`: the multinomial-NB train+score restated in
+    * SQL. Tokens mirror [[TextSearch.tokens]]; the model is exact
+    * integer counts (per-(label, token), per-label totals, doc priors,
+    * vocabulary size); the posterior is `ln(prior) + Σ n·ln((c+α)/
+    * (n_c+α·V))` over the COMPLETE doc-token × label grid (the LEFT
+    * join coalesces unseen pairs to the smoothing floor, exactly as
+    * the Spark side does). Ranking happens on unrounded posteriors in
+    * both engines; only the emitted score is round-4. Zero-token docs
+    * are absent on both sides. */
+  private val ClassifyNbOracleSql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, lang AS label,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |d2 AS (SELECT * FROM dt WHERE len(toks) > 0),
+      |doctok AS (
+      |  SELECT doc_id, label, t AS token, count(*) AS n FROM (
+      |    SELECT doc_id, label, unnest(toks) AS t FROM d2)
+      |  GROUP BY 1, 2, 3),
+      |w AS (SELECT label, token, sum(n) AS c FROM doctok GROUP BY 1, 2),
+      |ctot AS (SELECT label, sum(c) AS n_tok FROM w GROUP BY 1),
+      |pri AS (SELECT label, count(*) AS n_docs FROM d2 GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM d2),
+      |v AS (SELECT count(DISTINCT token) AS v FROM doctok),
+      |ll AS (
+      |  SELECT g.doc_id, g.label,
+      |    sum(g.n * ln((COALESCE(w.c, 0) + 0.5) / (g.n_tok + 0.5 * v.v)))
+      |      AS s
+      |  FROM (SELECT d.doc_id, d.token, d.n, ct.label, ct.n_tok
+      |        FROM (SELECT doc_id, token, n FROM doctok) d
+      |        CROSS JOIN ctot ct) g
+      |  LEFT JOIN w ON g.token = w.token AND g.label = w.label, v
+      |  GROUP BY 1, 2),
+      |post AS (
+      |  SELECT ll.doc_id, ll.label,
+      |    ln(CAST(p.n_docs AS DOUBLE) / t.n_total) + ll.s AS logpost
+      |  FROM ll JOIN pri p ON ll.label = p.label, tot t),
+      |r AS (
+      |  SELECT doc_id, label, logpost,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY logpost DESC, label) AS rank
+      |  FROM post)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, label,
+      |  round(logpost, 4) AS logpost
+      |FROM r ORDER BY doc_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_search_bm25" -> Bm25OracleSql,
     "q_search_bm25_indexed" -> Bm25OracleSql,
     "q_search_hybrid_rrf" -> HybridRrfOracleSql,
     "q_quality_lm_score" -> LmScoreOracleSql,
+    "q_text_classify_nb" -> ClassifyNbOracleSql,
     // The quantile-sketch threshold is engine-specific; the restated
     // truth is the exact corpus count plus the gate's structural
     // booleans (see the gate comment for what each pins).
