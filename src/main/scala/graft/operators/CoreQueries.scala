@@ -175,6 +175,20 @@ object CoreQueries {
         .orderBy("ship_month")
     },
 
+    // O2-ext — Z-order clustering key (multi-dim layout for min/max
+    // data skipping; Layout.zorder's range exchange is result-
+    // invisible, so the gate pins the z-VALUE arithmetic — affine
+    // 8-bit quantization + bit interleave — against a DuckDB
+    // restatement of the identical expression; the file-skipping win
+    // itself is LayoutSpec's evidence).
+    "q_layout_zorder" -> { (s, d) =>
+      Layout.zvalue(Tables(s, d, "lineitem"),
+          Seq("l_partkey", "l_suppkey"), bits = 8, as = "z")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("z"))
+        .orderBy("z", "l_orderkey", "l_linenumber")
+    },
+
     // F1 — concat full-name (reference: dim_users.sql:8).
     "q_fn_concat" -> { (s, d) =>
       Tables(s, d, "customer")
@@ -249,6 +263,36 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }
   )
+
+  /** `q_layout_zorder`: the z-value arithmetic restated in SQL —
+    * identical affine quantization (subtract-times-divide in the same
+    * double-op order; IEEE ops are engine-identical on exact integer
+    * inputs) and the identical flat OR of single-bit terms, generated
+    * by the same `(i, j) → bit i·d + j` loop as
+    * [[Layout.zvalue]]'s expression tree. */
+  private val ZorderOracleSql: String = {
+    val bits = 8
+    val terms = (for {
+      i <- 0 until bits
+      j <- 0 until 2
+    } yield s"((((q$j >> $i) & 1)) << ${i * 2 + j})").mkString(" | ")
+    s"""WITH s AS (
+       |  SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+       |         min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CASE WHEN l_partkey IS NULL OR mx0 <= mn0 THEN 0
+       |      ELSE CAST(floor((CAST(l_partkey AS DOUBLE) - mn0) * 255.0
+       |        / (CAST(mx0 AS DOUBLE) - mn0)) AS BIGINT) END AS q0,
+       |    CASE WHEN l_suppkey IS NULL OR mx1 <= mn1 THEN 0
+       |      ELSE CAST(floor((CAST(l_suppkey AS DOUBLE) - mn1) * 255.0
+       |        / (CAST(mx1 AS DOUBLE) - mn1)) AS BIGINT) END AS q1
+       |  FROM lineitem, s)
+       |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  ($terms) AS z
+       |FROM q ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_join_cross" ->
@@ -327,6 +371,7 @@ object CoreQueries {
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
         |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q_layout_zorder" -> ZorderOracleSql,
     "q_fn_concat" ->
       """SELECT c_custkey, c_name || ' ' || c_mktsegment AS full_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
