@@ -229,6 +229,90 @@ object Dedup {
         count(lit(1)).as("n_spans"),
         count(when(col("keep"), lit(1))).as("n_spans_kept"))
 
+  /** EXACT-SUBSTRING dedup at every word offset — the sliding-window
+    * form of Lee et al. 2022's ExactSubstr ("Deduplicating Training
+    * Data Makes Language Models Better": cut every occurrence of a
+    * duplicated ≥threshold substring except one). [[spanFlags]]'s
+    * stride-`spanWords` grid misses duplicates that straddle span
+    * boundaries or sit at different offsets in different docs; here a
+    * window starts at EVERY word position, so any duplicated run of
+    * ≥ `windowWords` words is caught wherever it lands. Semantics:
+    * a window occurring more than once corpus-wide keeps only its
+    * earliest occurrence (min `(doc, start)`); every other
+    * occurrence's word range is marked, per-doc overlapping marks are
+    * merged into intervals, and the doc is reassembled without the
+    * covered words. Returns input id + `(text_dedup, n_words,
+    * n_removed)`.
+    *
+    * Scale shape: the window EXPLODE is ~one row per corpus word
+    * (vs. one per `spanWords` for the stride grid) but each row is
+    * hashed immediately, so the corpus-sized shuffle carries
+    * `(hash, doc, start)` ≈ 24 B/word — about the corpus's own size,
+    * the price of offset-exact coverage (Lee et al. pay a suffix
+    * array for the same reason). Keeper election is an aggregate
+    * (count + min-struct, map-side combined — a hot boilerplate
+    * window becomes ONE row before its join back, never a window
+    * function over a hot partition); interval merge is a per-doc
+    * window bounded by the doc's own mark count; reassembly is
+    * map-only higher-order functions. Oracle `q_dedup_substrings`
+    * restates all of it (window grid, keeper election, island merge,
+    * reassembly) in SQL. */
+  def exactSubstrDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", windowWords: Int = 10): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val base = spread(docs)
+      .select(col(idCol), col(textCol),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .localCheckpoint(true) // occurrence explode + final reassembly join
+    val occ = base
+      .where(size(col("__ws")) >= windowWords)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__ws")) - windowWords),
+        i => xxhash64(array_join(
+          slice(col("__ws"), i + 1, lit(windowWords)), " "))))
+        .as(Seq("__s", "__h")))
+      .select(col(idCol), col("__s").cast("long").as("__s"), col("__h"))
+      .localCheckpoint(true) // keeper aggregate + mark join
+    val keepers = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__s"))).as("__first"))
+    val marked = occ.join(keepers, Seq("__h"))
+      .where(col("__c") > 1 &&
+        !(col(idCol) === col("__first").getField(idCol) &&
+          col("__s") === col("__first").getField("__s")))
+      .select(col(idCol), col("__s"),
+        (col("__s") + windowWords).as("__e"))
+    // per-doc island merge: a mark starts a new interval iff it
+    // begins past everything seen so far
+    val byDoc = Window.partitionBy(idCol).orderBy("__s")
+    val prevMax = max(col("__e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = marked
+      .withColumn("__ni",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__ni"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("__s").as("__is"), max("__e").as("__ie"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__is"), col("__ie"))))
+          .as("__ivs"),
+        sum(col("__ie") - col("__is")).as("__removed"))
+    base.join(grouped, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ivs").isNull, col(textCol)).otherwise(
+          array_join(transform(filter(
+            zip_with(col("__ws"),
+              sequence(lit(0L), size(col("__ws")).cast("long") - 1),
+              (w, i) => struct(w.as("w"), i.as("i"))),
+            p => !exists(col("__ivs"),
+              iv => p.getField("i") >= iv.getField("__is") &&
+                p.getField("i") < iv.getField("__ie"))),
+            p => p.getField("w")), " ")).as("text_dedup"),
+        size(col("__ws")).cast("long").as("n_words"),
+        coalesce(col("__removed"), lit(0L)).as("n_removed"))
+  }
+
   /** NEAR-duplicate span pairs — [[minhashLsh]]'s kernel applied at
     * span granularity, for boilerplate that varies slightly across
     * sites (a cookie banner with the site name substituted survives

@@ -327,6 +327,17 @@ object ExtQueries {
         .orderBy("doc_id", "span_idx")
     },
 
+    // EXACT-SUBSTRING dedup (Lee et al. 2022 ExactSubstr, sliding
+    // form): a window at EVERY word offset, so duplicated runs are
+    // cut wherever they land — the offset-exact sibling of the stride
+    // grid above. Keeper = global min (doc, start); non-keeper ranges
+    // island-merged per doc and cut. Exact oracle restates the window
+    // grid, keeper election, island merge, and reassembly.
+    "q_dedup_substrings" -> { (s, d) =>
+      Dedup.exactSubstrDedup(Tables(s, d, "documents"))
+        .orderBy("doc_id")
+    },
+
     // INTRA-doc line dedup (map-only within-row scrub): fixture plants
     // each doc's full text twice and a 40-char prefix line twice, so
     // every doc drops exactly its repeats (docs shorter than the
@@ -1585,6 +1596,52 @@ object ExtQueries {
         |  any_value(n.n_lines) - count(*) AS n_dropped
         |FROM f JOIN n ON f.doc_id = n.doc_id
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+    "q_dedup_substrings" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    array_to_string(ws[i+1:i+10], ' ') AS win
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 10 + 1)) AS i
+        |        FROM w WHERE len(ws) >= 10)),
+        |marked AS (
+        |  SELECT doc_id, s, s + 10 AS e FROM (
+        |    SELECT doc_id, s,
+        |      count(*) OVER (PARTITION BY win) AS c,
+        |      row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn
+        |    FROM occ)
+        |  WHERE c > 1 AND rn > 1),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM marked),
+        |isl2 AS (SELECT doc_id, s, e,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM isl),
+        |ivs AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM isl2 GROUP BY doc_id, grp),
+        |perdoc AS (SELECT doc_id AS pdoc,
+        |  list(struct_pack(s := s, e := e)) AS ivl,
+        |  sum(e - s) AS removed FROM ivs GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  -- COALESCE: DuckDB's array_to_string of an EMPTY list is
+        |  -- NULL; Spark's array_join is '' (a fully-removed doc)
+        |  COALESCE(array_to_string(list_transform(list_filter(
+        |    list_transform(range(0, len(ws)),
+        |      i -> struct_pack(i := i, wd := ws[i+1])),
+        |    p -> COALESCE(len(list_filter(ivl,
+        |      iv -> p['i'] >= iv['s'] AND p['i'] < iv['e'])), 0) = 0),
+        |    p -> p['wd']), ' '), '') AS text_dedup,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(removed, 0) AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN perdoc ON w.doc_id = pdoc
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,
