@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.Kernels
-import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, IncrementalDedup, Ivf, Pack, Pq, TextLm, TextSearch}
+import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, IncrementalDedup, Ivf, Layout, NaiveBayes, Pack, Pq, TextLm, TextSearch}
 import graft.streaming.DedupMicroBatch
 
 /** Synthetic scale-up harness — the measured evidence that the scale
@@ -198,6 +198,16 @@ object ScaleBench {
     val (tLm1, csLm1) = lmAt(docs1)
     val (tLmF, csLmF) = lmAt(docsF)
 
+    // ---- Naive Bayes self-classification (train + score fused).
+    // Content-token suffixing grows the vocabulary ~f× while the label
+    // set (lang) stays constant, so the weight table grows f× — the
+    // same honest model-side-join growth story as the LM leg, plus the
+    // doc-token × label broadcast grid at full corpus growth.
+    def nbAt(docs: DataFrame) = timed(runs)(
+      consume(NaiveBayes.selfScore(docs, labelCol = "lang")))
+    val (tNb1, csNb1) = nbAt(docs1)
+    val (tNbF, csNbF) = nbAt(docsF)
+
     // ---- BPE: train (word-count aggregate + driver merge loop) then
     // tokenize the corpus (map-only). Content-token suffixing grows
     // the word vocabulary ~f×, so at f≥10 the `maxWords` Zipf-head cap
@@ -241,6 +251,28 @@ object ScaleBench {
     }
     val (tDiff1, csDiff1) = diffAt(docs1)
     val (tDiffF, csDiffF) = diffAt(docsF)
+
+    // ---- exact-substring dedup: the corpus-word-sized occurrence
+    // shuffle at full growth. Copy-0 keeps the fixture's planted
+    // duplicated runs verbatim and every copy's mangled text is
+    // internally consistent, so the duplicate structure (and the
+    // marked-interval work) grows ~f× with the corpus.
+    def substrAt(docs: DataFrame) = timed(runs)(
+      consume(Dedup.exactSubstrDedup(docs)))
+    val (tSub1, csSub1) = substrAt(docs1)
+    val (tSubF, csSubF) = substrAt(docsF)
+
+    // ---- z-order clustering: stats aggregate + z projection + range
+    // exchange + per-partition sort over the events table — the
+    // layout-write path whose cost must track the corpus, not the
+    // dimension count.
+    def zorderAt(tag: String) = {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+      timed(runs)(consume(
+        Layout.zorder(ev, Seq("user_id", "value"), numPartitions = 32)))
+    }
+    val (tZo1, _) = zorderAt("1")
+    val (tZoF, _) = zorderAt("f")
 
     // ---- as-of join via the histogram auto-dispatch (uniform user
     // keys here → plain path; rows per key grow f×)
@@ -386,6 +418,11 @@ object ScaleBench {
       s""""bm25_rows":[${csBm1._1},${csBmF._1}],""" +
       s""""lm_1x":${f2(tLm1)},"lm_fx":${f2(tLmF)},"lm_xlin":${xlin(tLm1, tLmF)},""" +
       s""""lm_rows":[${csLm1._1},${csLmF._1}],""" +
+      s""""nb_1x":${f2(tNb1)},"nb_fx":${f2(tNbF)},"nb_xlin":${xlin(tNb1, tNbF)},""" +
+      s""""nb_rows":[${csNb1._1},${csNbF._1}],""" +
+      s""""substr_1x":${f2(tSub1)},"substr_fx":${f2(tSubF)},"substr_xlin":${xlin(tSub1, tSubF)},""" +
+      s""""substr_rows":[${csSub1._1},${csSubF._1}],""" +
+      s""""zorder_1x":${f2(tZo1)},"zorder_fx":${f2(tZoF)},"zorder_xlin":${xlin(tZo1, tZoF)},""" +
       s""""bpe_train_1x":${f2(tBpeT1)},"bpe_train_fx":${f2(tBpeTF)},""" +
       s""""bpe_count_1x":${f2(tBpeC1)},"bpe_count_fx":${f2(tBpeCF)},""" +
       s""""bpe_count_xlin":${xlin(tBpeC1, tBpeCF)},"bpe_merges":[$nM1,$nMF],""" +

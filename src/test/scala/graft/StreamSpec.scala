@@ -719,6 +719,70 @@ class StreamSpec extends AnyFunSuite {
     assert(after == before, "replayed batch must leave the store unchanged")
   }
 
+  test("stream-stream interval join: streamed == batch, inner and outer") {
+    import graft.streaming.StreamJoin
+    val ldir = tmp("ssj-l"); val rdir = tmp("ssj-r")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def landL(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      rows.toDF("user_id", "lts", "imp").coalesce(1)
+        .write.mode("append").parquet(ldir)
+      Thread.sleep(1100)
+    }
+    def landR(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      rows.toDF("user_id", "rts", "clk").coalesce(1)
+        .write.mode("append").parquet(rdir)
+      Thread.sleep(1100)
+    }
+    // u1: click inside the ±60s window + one outside; u2: no click
+    // (outer row); u3: click BEFORE the impression (beforeSec side);
+    // arrival is out of order across batches; key-999 sentinels push
+    // BOTH watermarks far forward so outer rows drain under
+    // AvailableNow.
+    landL(Seq((1L, ts("2024-06-01 10:00:00"), "i1"),
+      (2L, ts("2024-06-01 10:00:00"), "i2")))
+    landR(Seq((1L, ts("2024-06-01 10:00:30"), "c1"),
+      (1L, ts("2024-06-01 10:02:00"), "c-far"),
+      (3L, ts("2024-06-01 10:00:00"), "c3")))
+    landL(Seq((3L, ts("2024-06-01 10:00:50"), "i3")))
+    landL(Seq((999L, ts("2025-01-01 00:00:00"), "s")))
+    landR(Seq((999L, ts("2025-01-01 00:00:00"), "s")))
+
+    val lSchema = Seq((1L, ts("2024-01-01 00:00:00"), ""))
+      .toDF("user_id", "lts", "imp").schema
+    val rSchema = Seq((1L, ts("2024-01-01 00:00:00"), ""))
+      .toDF("user_id", "rts", "clk").schema
+    def collect(joinType: String, name: String): Set[Seq[Any]] = {
+      val l = spark.readStream.schema(lSchema)
+        .option("maxFilesPerTrigger", 1).parquet(ldir)
+      val r = spark.readStream.schema(rSchema)
+        .option("maxFilesPerTrigger", 1).parquet(rdir)
+      val q = StreamJoin.interval(l, r, "user_id", "lts", "rts",
+          beforeSec = 60, afterSec = 60, watermarkDelay = "1 second",
+          joinType = joinType)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).where(col("user_id") =!= 999L)
+        .collect().map(_.toSeq).toSet
+    }
+    val lAll = spark.read.parquet(ldir)
+    val rAll = spark.read.parquet(rdir)
+    def batchOf(joinType: String): Set[Seq[Any]] =
+      StreamJoin.batch(lAll, rAll, "user_id", "lts", "rts", 60, 60, joinType)
+        .where(col("user_id") =!= 999L).collect().map(_.toSeq).toSet
+
+    val inner = collect("inner", "ssj_inner")
+    assert(inner == batchOf("inner") && inner.size == 2,
+      s"inner parity (u1+c1, u3+c3): $inner vs ${batchOf("inner")}")
+    val outer = collect("left_outer", "ssj_outer")
+    assert(outer == batchOf("left_outer") && outer.size == 3,
+      s"left_outer parity (+u2 unmatched): $outer vs ${batchOf("left_outer")}")
+    assert(outer.exists(r => r.head == 2L && r(3) == null),
+      s"u2 must surface with null right side: $outer")
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
