@@ -497,6 +497,21 @@ object ExtQueries {
         Tables(s, d, "embeddings").where(col("vec_id") < 10),
         k = 5, rerank = 100)
         .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ composite (faiss IVFx,PQy; Jégou 2011 §V): coarse cells
+    // bound the SCAN (nprobe/nlist of the corpus), shared residual
+    // codebooks bound the BYTES (m codes/row) — both billion-scale
+    // levers in one index. nlist=8/nprobe=6 mirrors the IVF recall
+    // gate (the near-random fixture is the cell-probing worst case);
+    // optimality + recall gates override in gateQueries.
+    "q_sim_ann_ivfpq" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val (codes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2,
+        m = 16, k = 64, pqIters = 8)
+      IvfPq.search(codes, model, e, e.where(col("vec_id") < 10),
+        k = 5, nprobe = 6, rerank = 100)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -995,6 +1010,43 @@ object ExtQueries {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           (col("cos") <= col("__bcos")).as("cos_le_exact"))
         .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ, same per-row optimality gate: the exact re-rank's cosine
+    // at rank r can never exceed the brute-force rank-r cosine.
+    "q_sim_ann_ivfpq" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopKScored(e, q, k = 5)
+        .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
+      val (codes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2,
+        m = 16, k = 64, pqIters = 8)
+      IvfPq.search(codes, model, e, q, k = 5, nprobe = 6, rerank = 100)
+        .join(brute, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          (col("cos") <= col("__bcos")).as("cos_le_exact"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ recall gate (nlist=8/nprobe=6 — the IVF gate's probe
+    // width; the residual-PQ ADC stage only orders candidates and
+    // rerank=100 re-ranks exactly, so recall tracks the cell probing).
+    "q_sim_ann_ivfpq_recall" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "nbr_id")
+      val (codes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2,
+        m = 16, k = 64, pqIters = 8)
+      val got = IvfPq.search(codes, model, e, q, k = 5, nprobe = 6,
+          rerank = 100)
+        .select("query_id", "nbr_id").withColumn("__hit", lit(1))
+      brute.join(got, Seq("query_id", "nbr_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))).as("__recall"))
+        .select(col("n_brute"),
+          coalesce(col("__recall") >= 0.8, lit(true)).as("recall_ge_08"))
     },
 
     // PQ recall gate (measured 1.0 at sf0.01 AND sf0.1 with
@@ -1806,6 +1858,12 @@ object ExtQueries {
         |FROM embeddings, range(1, 6) t(r)
         |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
     "q_sim_ann_pq_recall" ->
+      "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
+    "q_sim_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
+        |FROM embeddings, range(1, 6) t(r)
+        |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_ann_ivfpq_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

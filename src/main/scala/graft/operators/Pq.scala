@@ -47,15 +47,20 @@ object Pq {
   }
 
   /** Train per-subspace codebooks on a deterministic sample of
-    * `corpus`. `dim` must split evenly into `m` subspaces. */
+    * `corpus`. `dim` must split evenly into `m` subspaces.
+    * `normalize = false` trains on the raw vectors — required when the
+    * input is RESIDUALS ([[IvfPq]]): normalizing residuals would break
+    * the additive `q·x = q·c + q·r` decomposition ADC relies on. */
   def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 8,
       maxTrainRows: Int = 1 << 16,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Model = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      normalize: Boolean = true): Model = {
     require(m > 0 && k > 1 && iters > 0 && maxTrainRows >= k,
       "need m>0, k>1, iters>0, maxTrainRows>=k")
+    val prep = if (normalize) l2Normalize(toDouble(col(vecCol)))
+      else toDouble(col(vecCol))
     val sample = corpus
-      .select(col(idCol).as("__id"),
-        l2Normalize(toDouble(col(vecCol))).as("__v"))
+      .select(col(idCol).as("__id"), prep.as("__v"))
       .orderBy(xxhash64(col("__id")))
       .limit(maxTrainRows)
       .select(col("__v"))
@@ -130,7 +135,20 @@ object Pq {
     * augmented with its −|c|²/2 bias folded in via an appended
     * constant-1 vector component. */
   def encode(corpus: DataFrame, model: Model,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      normalize: Boolean = true): DataFrame = {
+    val prep = if (normalize) l2Normalize(toDouble(col(vecCol)))
+      else toDouble(col(vecCol))
+    corpus
+      .select(col(idCol).as("vec_id"), prep.as("__v"))
+      .select(col("vec_id"), codesOf(model, col("__v")).as("__codes"))
+  }
+
+  /** The m-argmin code array of an (already prepared) double vector
+    * column — [[encode]]'s kernel, shared with [[IvfPq]]'s residual
+    * encode so the cell column can ride along. */
+  private[operators] def codesOf(model: Model,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val codeCols = (0 until model.m).map { j =>
       // argmin_c |x−c|² = argmax_c (x·c − |c|²/2): append 1.0 to the
       // subvector and −|c|²/2 to each centroid row, reuse the dot argmax
@@ -149,14 +167,33 @@ object Pq {
         aug(c * (model.dsub + 1) + model.dsub) = -n2 / 2.0
         c += 1
       }
-      val sub = concat(
-        slice(col("__v"), j * model.dsub + 1, model.dsub), array(lit(1.0)))
+      val sub = concat(slice(v, j * model.dsub + 1, model.dsub),
+        array(lit(1.0)))
       nearestCentroid(sub, aug, model.dsub + 1)
     }
-    corpus
-      .select(col(idCol).as("vec_id"),
-        l2Normalize(toDouble(col(vecCol))).as("__v"))
-      .select(col("vec_id"), array(codeCols: _*).as("__codes"))
+    array(codeCols: _*)
+  }
+
+  /** The per-query m×k ADC dot table (flat row-major) — shared with
+    * [[IvfPq]]. */
+  private[operators] def adcTable(model: Model,
+      qv: Array[Double]): Array[Double] = {
+    val tab = new Array[Double](model.m * model.k)
+    var j = 0
+    while (j < model.m) {
+      var c = 0
+      while (c < model.k) {
+        var s = 0.0; var i = 0
+        while (i < model.dsub) {
+          s += qv(j * model.dsub + i) * model.codebooks(j)(c * model.dsub + i)
+          i += 1
+        }
+        tab(j * model.k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    tab
   }
 
   /** ADC top-`k` per query with exact re-rank: score every code row by
@@ -176,22 +213,7 @@ object Pq {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val tabs = qRows.map { case (qid, qv) =>
-      val tab = new Array[Double](model.m * model.k)
-      var j = 0
-      while (j < model.m) {
-        var c = 0
-        while (c < model.k) {
-          var s = 0.0; var i = 0
-          while (i < model.dsub) {
-            s += qv(j * model.dsub + i) * model.codebooks(j)(c * model.dsub + i)
-            i += 1
-          }
-          tab(j * model.k + c) = s
-          c += 1
-        }
-        j += 1
-      }
-      (qid, qv.toSeq, tab.toSeq)
+      (qid, qv.toSeq, adcTable(model, qv).toSeq)
     }.toIndexedSeq
     import spark.implicits._
     val qdf = tabs.toDF("query_id", "__qv", "__tab")
