@@ -512,6 +512,18 @@ object ExtQueries {
       IvfPq.search(codes, model, e, e.where(col("vec_id") < 10),
         k = 5, nprobe = 6, rerank = 100)
         .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ SERVING path (the Ivf/Pq `_search` analog): index built
+    // and persisted once per corpus snapshot; queries pay cell routing
+    // + ADC over probed cells + re-rank only. Deterministic build →
+    // served == fresh → same optimality gate applies.
+    "q_sim_ann_ivfpq_search" -> { (s, d) =>
+      val (codes, model) = servedIvfPq(s, d)
+      IvfPq.search(codes, model, Tables(s, d, "embeddings"),
+        Tables(s, d, "embeddings").where(col("vec_id") < 10),
+        k = 5, nprobe = 6, rerank = 100)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -646,6 +658,38 @@ object ExtQueries {
     })
     Pq.load(s, root).getOrElse(
       sys.error(s"persisted PQ index missing under $root"))
+  }
+
+  /** Build-once cache behind `q_sim_ann_ivfpq_search` — the IVF-PQ
+    * analog of [[servedPq]]: same fingerprint key, same temp-root
+    * lifecycle. */
+  private val ivfPqServeRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def servedIvfPq(s: SparkSession, d: String)
+      : (DataFrame, IvfPq.Model) = {
+    val key = s"$d@${tableFingerprint(d, "embeddings")}"
+    val root = ivfPqServeRoot.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_serve")
+      val r = dir.toString
+      sys.addShutdownHook {
+        import java.nio.file.{Files => F}
+        import java.util.Comparator
+        if (F.exists(dir)) {
+          val walk = F.walk(dir)
+          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { F.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      }
+      val e = Tables(s, d, "embeddings")
+      val (codes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2,
+        m = 16, k = 64, pqIters = 8)
+      IvfPq.persist(s, r, codes, model)
+      r
+    })
+    IvfPq.load(s, root).getOrElse(
+      sys.error(s"persisted IVF-PQ index missing under $root"))
   }
 
   /** Verify-only quality gates (merged over [[queries]] by
@@ -1021,6 +1065,21 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
       val (codes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2,
         m = 16, k = 64, pqIters = 8)
+      IvfPq.search(codes, model, e, q, k = 5, nprobe = 6, rerank = 100)
+        .join(brute, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          (col("cos") <= col("__bcos")).as("cos_le_exact"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ serving path, same optimality gate against the PERSISTED
+    // index (deterministic build makes served == fresh).
+    "q_sim_ann_ivfpq_search" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopKScored(e, q, k = 5)
+        .select(col("query_id"), col("rank"), col("cos").as("__bcos"))
+      val (codes, model) = servedIvfPq(s, d)
       IvfPq.search(codes, model, e, q, k = 5, nprobe = 6, rerank = 100)
         .join(brute, Seq("query_id", "rank"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -1860,6 +1919,10 @@ object ExtQueries {
     "q_sim_ann_pq_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_brute, true AS recall_ge_08",
     "q_sim_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
+        |FROM embeddings, range(1, 6) t(r)
+        |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_ann_ivfpq_search" ->
       """SELECT vec_id AS query_id, r AS rank, true AS cos_le_exact
         |FROM embeddings, range(1, 6) t(r)
         |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
