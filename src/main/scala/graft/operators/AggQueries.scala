@@ -24,6 +24,22 @@ object AggQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // windowFunnel sequence analytics (ClickHouse's signature
+    // behavioral aggregate over the reference's own event store
+    // shape): per-user deepest view→click→purchase chain completing
+    // within 24h of its first event. Spark computes a greedy HOF
+    // automaton over per-user sorted events; the oracle restates the
+    // EXISTS semantics as k-way self-joins — equivalent by the
+    // greedy-is-optimal-per-start argument (Funnel scaladoc), so the
+    // two formulations check each other.
+    "q_funnel_window" -> { (s, d) =>
+      Funnel.levels(Tables(s, d, "events"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSec = 86400L)
+        .orderBy("user_id")
+    },
+
     // Flagship aggregate (prompt's q1_agg, TPC-H Q1 shape): partial agg
     // map-side, 4 groups out — shuffle is a few KB regardless of input.
     "q1_agg" -> { (s, d) =>
@@ -524,6 +540,36 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (
+        |  SELECT DISTINCT e1.user_id
+        |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+        |    AND e1.event_type = 'view' AND e2.event_type = 'click'
+        |    AND e2.us > e1.us AND e2.us <= e1.us + 86400000000),
+        |l3 AS (
+        |  SELECT DISTINCT e1.user_id
+        |  FROM e e1
+        |  JOIN e e2 ON e1.user_id = e2.user_id
+        |    AND e1.event_type = 'view' AND e2.event_type = 'click'
+        |    AND e2.us > e1.us AND e2.us <= e1.us + 86400000000
+        |  JOIN e e3 ON e3.user_id = e1.user_id
+        |    AND e3.event_type = 'purchase'
+        |    AND e3.us > e2.us AND e3.us <= e1.us + 86400000000)
+        |SELECT u.user_id AS user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |            WHEN l2.user_id IS NOT NULL THEN 2
+        |            WHEN l1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS level
+        |FROM u
+        |LEFT JOIN l1 ON u.user_id = l1.user_id
+        |LEFT JOIN l2 ON u.user_id = l2.user_id
+        |LEFT JOIN l3 ON u.user_id = l3.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q_join_full_outer" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer
         |           WHERE c_custkey % 2 = 0),

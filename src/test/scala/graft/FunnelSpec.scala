@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Funnel
+
+/** windowFunnel semantics: hand cases (ordering, window expiry, the
+  * later-start-rescues case that breaks first-start-only
+  * implementations, no-step-1 zero), plus a randomized parity sweep
+  * against an independent DFS exists-reference (brute force over all
+  * chains — NOT the greedy the operator uses, so a greedy-optimality
+  * bug cannot hide). End-to-end oracle gate: `q_funnel_window`. */
+class FunnelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  /** events: (user, sec, stepIdx). Three steps: 0, 1, 2. */
+  private def run(events: Seq[(Long, Long, Int)], nSteps: Int,
+      winSec: Long): Map[Long, Long] = {
+    val df = events.map { case (u, s, st) => (u, ts(s), st) }
+      .toDF("user_id", "ts", "step")
+    Funnel.levels(df,
+      (0 until nSteps).map(i => col("step") === i), winSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** DFS exists-reference: max chain length over ALL strictly-
+    * increasing chains within the first event's window. */
+  private def truth(events: Seq[(Long, Long, Int)], nSteps: Int,
+      winSec: Long): Map[Long, Long] = {
+    events.groupBy(_._1).flatMap { case (u, evs0) =>
+      val evs = evs0.map(e => (e._2, e._3)).sortBy(identity)
+      if (evs.isEmpty) None
+      else {
+        def chains(anchor: Long, lvl: Int, last: Long): Int =
+          if (lvl == nSteps) lvl
+          else {
+            val nexts = evs.filter(e =>
+              e._2 == lvl && e._1 > last && e._1 <= anchor + winSec)
+            if (nexts.isEmpty) lvl
+            else nexts.map(e => chains(anchor, lvl + 1, e._1)).max
+          }
+        val starts = evs.filter(_._2 == 0)
+        Some(u -> (if (starts.isEmpty) 0L
+          else starts.map(s => chains(s._1, 1, s._1)).max.toLong))
+      }
+    }
+  }
+
+  test("ordering, expiry, and zero-level hand cases") {
+    val events = Seq(
+      // u1: full chain in order within the 3600s window -> 3
+      (1L, 0L, 0), (1L, 100L, 1), (1L, 200L, 2),
+      // u2: purchase BEFORE click -> chain stops at 2
+      (2L, 0L, 0), (2L, 50L, 2), (2L, 100L, 1),
+      // u3: click outside the window of the only view -> 1
+      (3L, 0L, 0), (3L, 4000L, 1),
+      // u4: only clicks/purchases, no step-1 -> 0
+      (4L, 0L, 1), (4L, 10L, 2))
+    val got = run(events, 3, 3600L)
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L), s"$got")
+    assert(got == truth(events, 3, 3600L))
+  }
+
+  test("a later start rescues the chain the first start cannot finish") {
+    // greedy from v@0 reaches c@3000 but p@5400 is outside 0+3600;
+    // the v@2400 start completes the chain — first-start-only = 2
+    val events = Seq(
+      (1L, 0L, 0), (1L, 2400L, 0), (1L, 3000L, 1), (1L, 5400L, 2))
+    val got = run(events, 3, 3600L)
+    assert(got == Map(1L -> 3L), s"later start must rescue: $got")
+    assert(got == truth(events, 3, 3600L))
+  }
+
+  test("strictly increasing: same-timestamp step events do not chain") {
+    val events = Seq((1L, 100L, 0), (1L, 100L, 1), (1L, 200L, 2))
+    val got = run(events, 3, 3600L)
+    assert(got == Map(1L -> 1L),
+      s"t2 > t1 is strict, and step order cannot restart mid-chain: $got")
+    assert(got == truth(events, 3, 3600L))
+  }
+
+  test("randomized parity vs the DFS exists-reference") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 20) {
+      val n = 2 + rnd.nextInt(3) // 2..4 steps
+      val win = 50L + rnd.nextInt(200)
+      val events = (0 until 200).map { _ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, rnd.nextInt(n))
+      }.distinct
+      val got = run(events, n, win)
+      val want = truth(events, n, win)
+      assert(got == want,
+        s"trial $trial (n=$n win=$win): ${got.toSet.diff(want.toSet)} vs ${
+          want.toSet.diff(got.toSet)}")
+    }
+  }
+}
