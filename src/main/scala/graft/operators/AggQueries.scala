@@ -40,6 +40,23 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    // Cohort retention (ClickHouse `retention`, funnel's unordered
+    // sibling): week-1 signups (anchor) who clicked in week 2 /
+    // purchased in week 3. One map-side-combined aggregate — |conds|
+    // booleans per user through the shuffle, count-shaped at any
+    // corpus size.
+    "q_funnel_retention" -> { (s, d) =>
+      val wk = (a: String, b: String) =>
+        col("ts") >= lit(a).cast("timestamp") &&
+          col("ts") < lit(b).cast("timestamp")
+      Funnel.retention(Tables(s, d, "events"), Seq(
+        col("event_type") === "signup" && col("ts") <
+          lit("2024-01-08").cast("timestamp"),
+        col("event_type") === "click" && wk("2024-01-08", "2024-01-15"),
+        col("event_type") === "purchase" && wk("2024-01-15", "2024-01-22")))
+        .orderBy("user_id")
+    },
+
     // Flagship aggregate (prompt's q1_agg, TPC-H Q1 shape): partial agg
     // map-side, 4 groups out — shuffle is a few KB regardless of input.
     "q1_agg" -> { (s, d) =>
@@ -540,6 +557,24 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_retention" ->
+      """SELECT user_id,
+        |  max(CASE WHEN event_type = 'signup'
+        |        AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) = 1
+        |    AS r_0,
+        |  max(CASE WHEN event_type = 'signup'
+        |        AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) = 1
+        |  AND max(CASE WHEN event_type = 'click'
+        |        AND ts >= TIMESTAMP '2024-01-08'
+        |        AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) = 1
+        |    AS r_1,
+        |  max(CASE WHEN event_type = 'signup'
+        |        AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) = 1
+        |  AND max(CASE WHEN event_type = 'purchase'
+        |        AND ts >= TIMESTAMP '2024-01-15'
+        |        AND ts < TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END) = 1
+        |    AS r_2
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_funnel_window" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events

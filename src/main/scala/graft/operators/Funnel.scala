@@ -78,4 +78,27 @@ object Funnel {
         st => st.getField("lvl")))), lit(0))
     perUser.select(col("user_id"), level.cast("long").as("level"))
   }
+
+  /** Cohort retention (the ClickHouse `retention` aggregate, funnel's
+    * unordered sibling): per user, `r_0 = did cond_0 ever` (the cohort
+    * anchor — e.g. "signed up in week 0") and `r_i = r_0 AND did
+    * cond_i ever` ("…and returned in week i"). Column-per-condition
+    * output; the cohort curve is one `avg(r_i)` away. Pure partial
+    * aggregate — ONE map-side-combined shuffle carrying |conds|
+    * booleans per user, no collect, no window; at any corpus size
+    * this is a count-shaped aggregation. Oracle `q_funnel_retention`
+    * restates it directly. */
+  def retention(events: DataFrame, conds: Seq[Column],
+      userCol: String = "user_id"): DataFrame = {
+    require(conds.nonEmpty, "need at least the anchor condition")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, lit(1)).otherwise(lit(0))).as(s"__c$i")
+    }
+    val anchored = col("__c0") === 1
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(flags.head, flags.tail: _*)
+      .select(col("user_id") +: conds.indices.map(i =>
+        (if (i == 0) anchored else anchored && col(s"__c$i") === 1)
+          .as(s"r_$i")): _*)
+  }
 }

@@ -90,6 +90,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == truth(events, 3, 3600L))
   }
 
+  test("retention: anchor gates every later flag; unordered within cohort") {
+    val df = Seq(
+      (1L, ts(10), 0), (1L, ts(500), 2),           // anchored, did c2, no c1
+      (2L, ts(20), 1), (2L, ts(30), 2),            // never anchored -> all false
+      (3L, ts(40), 0), (3L, ts(5), 1))             // c1 BEFORE anchor still counts
+      .toDF("user_id", "ts", "step")
+    val got = Funnel.retention(df, Seq(col("step") === 0,
+        col("step") === 1, col("step") === 2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((true, false, true)),
+      2L -> ((false, false, false)),
+      3L -> ((true, true, false))),
+      s"retention flags wrong: $got")
+  }
+
   test("randomized parity vs the DFS exists-reference") {
     val rnd = new scala.util.Random(41)
     for (trial <- 0 until 20) {
