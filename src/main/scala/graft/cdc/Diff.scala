@@ -38,11 +38,16 @@ object Diff {
   val Changed = "changed"
 
   /** 96-bit row digest over `cols` (values interleaved with null
-    * flags), split across two columns `__d1`/`__d2`. */
-  private def digest(cols: Seq[String]): (Column, Column) = {
-    val parts = cols.flatMap(c => Seq(col(c), isnull(col(c))))
-    (xxhash64(parts: _*), hash(parts: _*))
-  }
+    * flags), split across two columns `__d1`/`__d2`. With no compared
+    * columns (keys-only tables, or fully drifted schemas) `changed` is
+    * impossible by definition, so the digest degrades to constants —
+    * `xxhash64()`/`hash()` with zero children would fail analysis. */
+  private def digest(cols: Seq[String]): (Column, Column) =
+    if (cols.isEmpty) (lit(0L), lit(0))
+    else {
+      val parts = cols.flatMap(c => Seq(col(c), isnull(col(c))))
+      (xxhash64(parts: _*), hash(parts: _*))
+    }
 
   /** Diff `newSnap` against `oldSnap` on `keys`: one row per key whose
     * presence or compared-column content differs, `(keys*, change)`,

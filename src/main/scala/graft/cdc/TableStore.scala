@@ -151,19 +151,38 @@ final class TableStore(spark: SparkSession, root: String,
     * (leaf file sizes propagate through the plan); being 2× off yields
     * files 2× off target, which is operationally fine — the point is
     * the ORDER of magnitude, not byte precision. Returns `n`.
-    * Bucketed stores are refused: their file count is bucket-driven.
-    * Cluster-key sorting still applies within each sized partition, so
-    * row-group min/max pruning survives sizing. */
+    *
+    * The statistic is only trustworthy near the leaves: without CBO,
+    * Spark propagates a join's size as the PRODUCT of its children's
+    * sizes, and a plan with no stats at all reports the
+    * `defaultSizeInBytes` sentinel (Long.MaxValue) — either would turn
+    * the sizing repartition into a small-files bomb, the exact
+    * pathology this method exists to prevent. Two guards:
+    *   - the sentinel (stats absent) falls back to a row-count
+    *     estimate — `df.count()` × the schema's default row width —
+    *     which costs one extra job but can never be a blow-up;
+    *   - `n` is clamped to `maxPartitions` (default 4096 ≈ 512 GB of
+    *     output at the default target — callers sizing a genuinely
+    *     larger snapshot raise it explicitly), so a joined/derived
+    *     frame whose product-estimate is orders of magnitude off
+    *     still writes a sane file count. Callers wanting exact sizing
+    *     for derived frames should localCheckpoint first so leaf-file
+    *     stats apply. */
   def writeSized(df: DataFrame, targetFileBytes: Long = 128L << 20,
-      compressionRatio: Double = 3.0): Int = {
+      compressionRatio: Double = 3.0, maxPartitions: Int = 4096): Int = {
     require(bucketBy.isEmpty,
       "writeSized: bucketed stores derive file count from bucket spec")
-    require(targetFileBytes > 0 && compressionRatio > 0,
-      "writeSized: target size and compression ratio must be positive")
-    val estIn = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(targetFileBytes > 0 && compressionRatio > 0 && maxPartitions > 0,
+      "writeSized: target size, compression ratio and maxPartitions must be positive")
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val planEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estIn =
+      if (planEst >= sentinel)
+        BigInt(df.count()) * math.max(df.schema.defaultSize, 1)
+      else planEst
     val estOut = (BigDecimal(estIn) / compressionRatio).toBigInt
     val tgt = BigInt(targetFileBytes)
-    val n = ((estOut + tgt - 1) / tgt).max(1).min(1 << 18).toInt
+    val n = ((estOut + tgt - 1) / tgt).max(1).min(maxPartitions).toInt
     write(df.repartition(n))
     n
   }

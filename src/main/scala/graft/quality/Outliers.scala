@@ -38,11 +38,22 @@ object Outliers {
       .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
 
+  /** Null-safe (`<=>`) equi-join on the group columns: `groupBy`
+    * produces a fence row for the NULL group, and a plain equi-join
+    * would silently drop every input row in it — the flagged frame
+    * must keep exactly the input's rows. */
   private def flagged(df: DataFrame, valueCol: String,
-      groupCols: Seq[String], f: DataFrame): DataFrame =
-    df.join(broadcast(f), groupCols)
+      groupCols: Seq[String], f: DataFrame): DataFrame = {
+    val da = df.alias("__d")
+    val fa = broadcast(f.alias("__f"))
+    val cond = groupCols.map(c => col(s"__d.$c") <=> col(s"__f.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = groupCols.foldLeft(da.join(fa, cond))(
+      (j, c) => j.drop(col(s"__f.$c")))
+    joined
       .withColumn("is_low", col(valueCol).isNotNull && col(valueCol) < col("lo"))
       .withColumn("is_high", col(valueCol).isNotNull && col(valueCol) > col("hi"))
+  }
 
   /** Row-level flags: input columns + `(is_low, is_high)`. NULL values
     * are never outliers (they are [[Check]]'s business). */

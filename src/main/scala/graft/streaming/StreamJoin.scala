@@ -55,10 +55,10 @@ object StreamJoin {
       "interval bounds must be non-negative")
     require(Set("inner", "left_outer")(joinType),
       s"unsupported joinType $joinType (inner | left_outer)")
+    val (r0, rTs) = disambiguate(left, right, key, rightTs)
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
-    val r = disambiguate(left, right, key, rightTs)
-      .withWatermark(rightTs, watermarkDelay).alias("r")
-    l.join(r, cond(beforeSec, afterSec, key, leftTs, rightTs), joinType)
+    val r = r0.withWatermark(rTs, watermarkDelay).alias("r")
+    l.join(r, cond(beforeSec, afterSec, key, leftTs, rTs), joinType)
       .drop(col(s"r.$key"))
   }
 
@@ -67,18 +67,24 @@ object StreamJoin {
       leftTs: String, rightTs: String, beforeSec: Long, afterSec: Long,
       joinType: String = "inner"): DataFrame = {
     val l = left.alias("l")
-    val r = disambiguate(left, right, key, rightTs).alias("r")
-    l.join(r, cond(beforeSec, afterSec, key, leftTs, rightTs), joinType)
+    val (r0, rTs) = disambiguate(left, right, key, rightTs)
+    val r = r0.alias("r")
+    l.join(r, cond(beforeSec, afterSec, key, leftTs, rTs), joinType)
       .drop(col(s"r.$key"))
   }
 
-  /** Suffix right-side columns (except the join key and `rightTs`)
-    * that clash with left-side names, so the joined frame is
-    * unambiguous without callers pre-renaming. */
+  /** Suffix right-side columns (except the join key, which is dropped
+    * after the join) that clash with left-side names, so the joined
+    * frame is unambiguous without callers pre-renaming. `rightTs` is
+    * IN the rename set — the natural call has the same ts name on both
+    * sides (leftTs = rightTs = "ts"), and leaving it unrenamed would
+    * emit two identically-named columns. Returns the renamed frame and
+    * the effective right-ts name (`<rightTs>_r` on clash). */
   private def disambiguate(left: DataFrame, right: DataFrame,
-      key: String, rightTs: String): DataFrame = {
-    val clash = right.columns.toSet
-      .intersect(left.columns.toSet) - key - rightTs
-    clash.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
+      key: String, rightTs: String): (DataFrame, String) = {
+    val clash = right.columns.toSet.intersect(left.columns.toSet) - key
+    val renamed =
+      clash.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
+    (renamed, if (clash(rightTs)) s"${rightTs}_r" else rightTs)
   }
 }

@@ -143,6 +143,30 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("TableStore writeSized: sentinel and product estimates are clamped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val store = new TableStore(spark, tmpDir("tsclamp"))
+    // RDD-backed frame: the plan has no stats, so sizeInBytes reports
+    // the defaultSizeInBytes sentinel — the count-based fallback must
+    // size it at 1 file, not 2^18 tiny ones.
+    val rdd = spark.sparkContext.parallelize((1 to 100).map(i => Row(i.toLong)))
+    val noStats = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id", LongType))))
+    assert(store.writeSized(noStats) == 1)
+    // joined frame: without CBO the plan estimate is the PRODUCT of
+    // the children's sizes (orders of magnitude over the real output);
+    // the maxPartitions clamp keeps the file count sane.
+    val j = spark.range(200000).toDF("id")
+      .join(spark.range(200000).toDF("id"), "id")
+    val prodEst = j.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(prodEst > BigInt(200000L * 8) * 100,
+      s"precondition: join estimate must be a blow-up, got $prodEst")
+    val n = store.writeSized(j, targetFileBytes = 4L << 10, maxPartitions = 16)
+    assert(n == 16)
+    assert(store.read().get.count() == 200000)
+  }
+
   test("TableStore time travel: past versions readable until vacuumed") {
     val root = tmpDir("ttravel")
     val store = new TableStore(spark, root)

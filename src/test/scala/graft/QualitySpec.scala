@@ -223,4 +223,42 @@ class QualitySpec extends AnyFunSuite {
     val o2 = oldSnap.withColumn("extra", lit(7))
     assert(Diff.snapshotDiff(o2, newSnap, Seq("k"), Seq("a")).isEmpty)
   }
+
+  test("Diff: keys-only tables degrade to added/removed, never error") {
+    import graft.cdc.Diff
+    // no common non-key columns -> empty digest surface; `changed` is
+    // impossible and the diff must not fail analysis (zero-child hash)
+    val oldSnap = Seq(1L, 2L).toDF("k")
+    val newSnap = Seq(2L, 3L).toDF("k")
+    val d = Diff.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(d == Set((1L, Diff.Removed), (3L, Diff.Added)))
+    // fully drifted non-key schemas reduce to the same keys-only diff
+    val o2 = oldSnap.withColumn("only_old", lit("x"))
+    val n2 = newSnap.withColumn("only_new", lit("y"))
+    val d2 = Diff.snapshotDiff(o2, n2, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(d2 == d)
+  }
+
+  test("Outliers: NULL-group rows are kept by the null-safe fence join") {
+    import graft.quality.Outliers
+    // the NULL group gets its own fences (groupBy emits a NULL-group
+    // row); a plain equi-join would drop every one of its input rows
+    val rows = ((0 to 9).map(i => (Option.empty[String], i.toDouble)) ++
+      Seq((Option.empty[String], 100.0)) ++
+      (0 to 9).map(i => (Option("a"), i.toDouble))).toDF("g", "v")
+    val flags = Outliers.flag(rows, "v", Seq("g"))
+    assert(flags.count() == rows.count(),
+      "flag must preserve every input row, including the NULL group")
+    val hit = flags.where($"is_low" || $"is_high")
+      .select("g", "v").as[(Option[String], Double)].collect().toSet
+    assert(hit == Set((None, 100.0)),
+      s"only the NULL group's planted extreme flags: $hit")
+    val s = Outliers.summary(rows, "v", Seq("g"))
+      .select("g", "n_vals", "n_high")
+      .as[(Option[String], Long, Long)].collect()
+      .map { case (g, n, h) => g -> ((n, h)) }.toMap
+    assert(s(None) == ((11L, 1L)) && s(Some("a")) == ((10L, 0L)))
+  }
 }

@@ -783,6 +783,25 @@ class StreamSpec extends AnyFunSuite {
       s"u2 must surface with null right side: $outer")
   }
 
+  test("stream-stream join: same ts name on both sides is suffixed _r") {
+    import graft.streaming.StreamJoin
+    // the natural call passes leftTs = rightTs = "ts"; right's ts must
+    // come back as ts_r or every downstream col("ts") is ambiguous
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-06-01 10:00:00"), "i1"))
+      .toDF("user_id", "ts", "imp")
+    val r = Seq((1L, ts("2024-06-01 10:00:30"), "c1"),
+      (1L, ts("2024-06-01 10:05:00"), "c-far"))
+      .toDF("user_id", "ts", "clk")
+    val out = StreamJoin.batch(l, r, "user_id", "ts", "ts", 60, 60)
+    assert(out.columns.count(_ == "ts") == 1 && out.columns.contains("ts_r"),
+      s"right ts must be suffixed: ${out.columns.toSeq}")
+    val got = out.select(col("ts"), col("ts_r"), col("clk"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String)].collect().toSeq
+    assert(got == Seq((ts("2024-06-01 10:00:00"),
+      ts("2024-06-01 10:00:30"), "c1")))
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
