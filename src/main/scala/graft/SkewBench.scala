@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Skew, TopKPerKey}
+import graft.operators.{AsOfJoin, Funnel, Skew, TopKPerKey}
 
 /** Skew proof harness — the measured evidence behind the hot-key
   * variants ([[graft.operators.AsOfJoin.backwardBucketed]],
@@ -166,6 +166,37 @@ object SkewBench {
       s"top-k variants diverge on the skewed fixture: " +
         s"$csTopkHybrid vs $csTopkResort vs $csTopkWindow")
 
+    // ---- funnel: bot user (quadratic greedy) vs time-bucketed -------------
+    // One user carries 40k participating events across 30 days — the
+    // plain per-user collect runs its greedy as starts × events ≈
+    // 13k × 40k state steps in ONE task; levelsBucketed splits the
+    // same user over ~720 hour buckets. Normal users ride along so the
+    // dispatch-independent result covers both populations.
+    val nBot = 40000L
+    val nNormal = 100000L
+    spark.range(nBot).select(
+        lit(0L).as("user_id"),
+        timestamp_seconds(lit(base) + pmod(xxhash64(col("id"), lit(3)), lit(span)))
+          .as("ts"),
+        pmod(xxhash64(col("id"), lit(4)), lit(3)).cast("int").as("step"))
+      .unionByName(spark.range(nNormal).select(
+        (pmod(xxhash64(col("id"), lit(5)), lit(2000)) + 1).as("user_id"),
+        timestamp_seconds(lit(base) + pmod(xxhash64(col("id"), lit(6)), lit(span)))
+          .as("ts"),
+        pmod(xxhash64(col("id"), lit(7)), lit(3)).cast("int").as("step")))
+      .write.mode("overwrite").parquet(s"$dir/funnel")
+    val fev = spark.read.parquet(s"$dir/funnel")
+    val fConds = (0 until 3).map(i => col("step") === i)
+    val (tFunnelPlain, csFunnelPlain) = timeMin(runs) {
+      Funnel.levels(fev, fConds, windowSec = 3600L)
+    }
+    val (tFunnelBucketed, csFunnelBucketed) = timeMin(runs) {
+      Funnel.levelsBucketed(fev, fConds, windowSec = 3600L)
+    }
+    require(csFunnelPlain == csFunnelBucketed,
+      s"funnel variants diverge on the bot fixture: " +
+        s"$csFunnelPlain vs $csFunnelBucketed")
+
     // result equality on the skewed distribution: same row count AND
     // same order-independent full-row checksum
     require(csPlain == csBucketed,
@@ -181,6 +212,8 @@ object SkewBench {
       s""""join_salted":${f(tSalted)},""" +
       s""""topk_k":$topkK,"topk_hybrid":${f(tTopkHybrid)},""" +
       s""""topk_resort":${f(tTopkResort)},"topk_window":${f(tTopkWindow)},""" +
+      s""""funnel_bot_events":$nBot,"funnel_plain":${f(tFunnelPlain)},""" +
+      s""""funnel_bucketed":${f(tFunnelBucketed)},""" +
       s""""runs":$runs}""")
     spark.stop()
   }

@@ -32,8 +32,11 @@ object AggQueries {
     // EXISTS semantics as k-way self-joins — equivalent by the
     // greedy-is-optimal-per-start argument (Funnel scaladoc), so the
     // two formulations check each other.
+    // levelsAuto: the histogram probe picks plain vs time-bucketed off
+    // the hottest user's participating-event count (FunnelSpec pins
+    // dispatch independence; the fixture dispatches plain).
     "q_funnel_window" -> { (s, d) =>
-      Funnel.levels(Tables(s, d, "events"),
+      Funnel.levelsAuto(Tables(s, d, "events"),
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"),
         windowSec = 86400L)

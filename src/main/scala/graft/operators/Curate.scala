@@ -27,13 +27,19 @@ import graft.functions.TextFunctions
   */
 object Curate {
 
-  /** The shared funnel behind [[corpus]] and [[report]]:
-    * (kept, unique-checkpointed, final representatives). */
+  /** The shared funnel behind [[corpus]] and [[report]]: the final
+    * representatives frame. With `obs` present, the raw/kept counts
+    * (scan observation) and the unique count attach as
+    * `CollectMetrics` nodes to the ONE materialization this plan
+    * already performs — [[report]]'s per-stage counts then cost zero
+    * extra passes (they are accumulator side-outputs of the eager
+    * `unique` checkpoint), instead of a second raw scan plus a kept
+    * checkpoint. */
   private def funnel(docs: DataFrame, minQuality: Double,
       langs: Seq[String], jaccard: Double, textCol: String, idCol: String,
       maxShingleDf: Long, maxDupGram: Double,
-      checkpointKept: Boolean = false)
-      : (DataFrame, DataFrame, DataFrame) = {
+      obs: Option[(org.apache.spark.sql.Observation,
+        org.apache.spark.sql.Observation)] = None): DataFrame = {
     val scored = docs
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("lang_detected", TextFunctions.langId(col(textCol)))
@@ -46,11 +52,16 @@ object Curate {
       if (maxDupGram >= 1.0) langQual
       else langQual &&
         TextFunctions.dupGramFraction(col(textCol)) <= maxDupGram
-    // report() counts `kept` AND derives every later stage from it —
-    // checkpointing it there trades one block write for the second
-    // full scoring scan; corpus() keeps the fused single pass.
-    val kept0 = scored.where(keepPred)
-    val kept = if (checkpointKept) kept0.localCheckpoint(true) else kept0
+    // the scan observation counts every scored row (raw) and the
+    // filter survivors (kept) in the same pass the filter runs in
+    val kept = obs match {
+      case Some((scanObs, _)) =>
+        scored.observe(scanObs, count(lit(1)).as("n_raw"),
+          coalesce(sum(when(keepPred, 1L).otherwise(0L)), lit(0L))
+            .as("n_kept"))
+          .where(keepPred)
+      case None => scored.where(keepPred)
+    }
     // Materialized once, consumed twice (pair generation + final
     // representative join). localCheckpoint instead of cache(): cached
     // plans stay registered in the session CacheManager until an
@@ -58,17 +69,23 @@ object Curate {
     // plan still needs the data), leaking a corpus-sized cache entry
     // per corpus() call; checkpoint blocks are RDD-level storage the
     // ContextCleaner reclaims as soon as the result frame is GC'd.
-    val unique = Dedup.exact(kept, textCol, idCol).localCheckpoint(true)
+    // The eager checkpoint is ALSO what fires the observations exactly
+    // once — without it the twice-consumed subplan would double-count.
+    val uniqueBase = Dedup.exact(kept, textCol, idCol)
+    val unique = (obs match {
+      case Some((_, uniqueObs)) =>
+        uniqueBase.observe(uniqueObs, count(lit(1)).as("n_unique"))
+      case None => uniqueBase
+    }).localCheckpoint(true)
     val pairs = Dedup.ngramJaccardPairs(unique,
       blockCols = Seq("lang_detected"), textCol = textCol, idCol = idCol,
       threshold = jaccard, maxShingleDf = maxShingleDf)
     val reps = Dedup.clusters(pairs)
     // representative = the cluster's min member (its own label); docs in
     // no near-dup pair pass through (left join, null cluster)
-    val finals = unique
+    unique
       .join(reps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
-    (kept, unique, finals)
   }
 
   def corpus(docs: DataFrame, minQuality: Double = 0.7,
@@ -77,7 +94,7 @@ object Curate {
       maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
       maxDupGram: Double = 1.0): DataFrame =
     funnel(docs, minQuality, langs, jaccard, textCol, idCol,
-      maxShingleDf, maxDupGram)._3
+      maxShingleDf, maxDupGram)
       .select(col(idCol), col("lang_detected"), col("quality"))
 
   /** The curation FUNNEL REPORT — the per-stage survivor counts every
@@ -90,26 +107,34 @@ object Curate {
     * report provably describes the corpus the composition would ship.
     *
     * Eager by contract (the counts are actions at construction — the
-    * [[Pack.sequences]]/[[topFraction]] convention): cost ≈ one
-    * [[corpus]] run — `kept` is localCheckpoint'd on this path so its
-    * count and every later stage read one scoring materialization
-    * instead of re-scanning the corpus; each count is a distributed
-    * aggregate returning one driver long.
+    * [[Pack.sequences]]/[[topFraction]] convention): cost is STRICTLY
+    * ONE corpus pass — raw/kept/unique ride the funnel's single eager
+    * materialization as `Observation` (CollectMetrics accumulator)
+    * side-outputs, so no stage is scanned or executed a second time;
+    * the only separate action is the final representatives count,
+    * which reads the `unique` checkpoint (never the raw corpus).
     */
   def report(docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id",
       maxShingleDf: Long = Dedup.DefaultMaxShingleDf,
       maxDupGram: Double = 1.0): DataFrame = {
-    val (kept, unique, finals) = funnel(docs, minQuality, langs, jaccard,
-      textCol, idCol, maxShingleDf, maxDupGram, checkpointKept = true)
+    val scanObs = new org.apache.spark.sql.Observation()
+    val uniqueObs = new org.apache.spark.sql.Observation()
+    val finals = funnel(docs, minQuality, langs, jaccard,
+      textCol, idCol, maxShingleDf, maxDupGram,
+      obs = Some((scanObs, uniqueObs)))
+    // the funnel's eager checkpoint already fired both observations;
+    // .get just reads the captured rows (no job, no blocking wait)
+    val nFinal = finals.count()
+    val scan = scanObs.get
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(
-      (0, "raw", docs.count()),
-      (1, "lang_quality", kept.count()),
-      (2, "exact_unique", unique.count()),
-      (3, "near_dup_reps", finals.count()))
+      (0, "raw", scan("n_raw").asInstanceOf[Long]),
+      (1, "lang_quality", scan("n_kept").asInstanceOf[Long]),
+      (2, "exact_unique", uniqueObs.get("n_unique").asInstanceOf[Long]),
+      (3, "near_dup_reps", nFinal))
       .toDF("stage_idx", "stage", "n_docs")
   }
 

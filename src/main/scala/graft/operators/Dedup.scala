@@ -361,25 +361,41 @@ object Dedup {
     val sh = spread(docs).select(col(idCol),
       TextExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("__sim"))
       .localCheckpoint(true)
+    hammingPairs64(sh, idCol, "__sim", maxHamming)
+  }
+
+  /** Banded Hamming-radius pair search over ANY 64-bit signature
+    * column — the kernel [[simhashDup]] and
+    * [[Multimodal.phashDupPairs]] share. Pigeonhole recall guarantee:
+    * with `blocks > maxHamming` bit blocks, a pair within Hamming ≤
+    * maxHamming shares ≥ 1 block verbatim, so the block equi-join
+    * misses nothing at the radius; verification is exact
+    * `bit_count(xor)`. Returns `(id_a, id_b, hamming)`, `id_a < id_b`.
+    * Pass a materialized (checkpointed) `sigs` — both join legs read
+    * it. */
+  private[graft] def hammingPairs64(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16) for the 64-bit block guarantee: $maxHamming")
     val blocks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
     val width = 64 / blocks
     val mask = (1L << width) - 1
     val blockExprs = (0 until blocks).map { i =>
       struct(lit(i).as("blk"),
-        shiftright(col("__sim"), i * width).bitwiseAND(lit(mask)).as("bv"))
+        shiftright(col(sigCol), i * width).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = sh.select(col(idCol), col("__sim"),
+    val banded = sigs.select(col(idCol), col(sigCol),
         explode(array(blockExprs: _*)).as("__b"))
-      .select(col(idCol), col("__sim"),
+      .select(col(idCol), col(sigCol),
         col("__b.blk").as("__blk"), col("__b.bv").as("__bv"))
-    val a = banded.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
+    val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
       col("__blk"), col("__bv"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sim").as("sim_b"),
+    val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
       col("__blk"), col("__bv"))
     a.join(b, Seq("__blk", "__bv"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -293,6 +293,27 @@ object ExtQueries {
       Curate.report(Tables(s, d, "documents")).orderBy("stage_idx")
     },
 
+    // URL/domain curation (C4/RefinedWeb day-one pass): deterministic
+    // per-doc URLs synthesized from the source column, host extraction
+    // via parse_url, broadcast blocklist (one domain-level entry
+    // blocking both its subdomain hosts, one host-level entry leaving
+    // the sibling subdomain alive), then a per-registrable-domain cap
+    // via the uniform-weight A-ES draw through TopKPerKey. The oracle
+    // restates host parse, two-label domain, blocklist semantics and
+    // the exact md5 draw ranking — the KEPT SET is pinned, not just
+    // counts.
+    "q_curate_url_filter" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("cdn.")),
+          col("source"), lit("-site.org/page/"), col("doc_id")).as("url"))
+      UrlCurate.filter(docs, "url", "doc_id",
+        blocklist = Seq("src13-site.org", "cdn.src7-site.org"),
+        perDomainCap = 15, seed = "url")
+        .orderBy("doc_id")
+    },
+
     // Distribution-anchored quality cut: keep the best 20% by score,
     // threshold from ONE mergeable approx_percentile pass (no global
     // sort, no single-partition funnel). The gate override pins
@@ -537,8 +558,7 @@ object ExtQueries {
     * are deleted on JVM exit (they are per-process serving state, not a
     * durable artifact; a real deployment would persist to a managed
     * TableStore path with its own lifecycle). */
-  private val ivfServeRoot =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfServeRoot = new ServeCache(8, "graft_ivf_serve")
 
   /** Cheap content fingerprint of a fixture table: (path, length,
     * mtime) of each parquet part, hashed. Local-filesystem stat calls
@@ -581,81 +601,40 @@ object ExtQueries {
     * snapshot tokenizes + aggregates the postings and persists them via
     * [[TextSearch.persistIndex]]; later calls serve from the snapshot.
     * Cache key = (corpus dir, documents fingerprint). */
-  private val bm25ServeRoot =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bm25ServeRoot = new ServeCache(8, "graft_bm25_serve")
 
   private def servedBm25(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val key = s"$d@${tableFingerprint(d, "documents")}"
-    val root = bm25ServeRoot.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_serve")
-      val r = dir.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files => F}
-        import java.util.Comparator
-        if (F.exists(dir)) {
-          val walk = F.walk(dir)
-          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { F.deleteIfExists(p); () })
-          finally walk.close()
-        }
-      }
+    val root = bm25ServeRoot.getOrBuild(key) { r =>
       val (postings, stats) = TextSearch.index(Tables(s, d, "documents"))
       TextSearch.persistIndex(s, r, postings, stats)
-      r
-    })
+    }
     TextSearch.loadIndex(s, root).getOrElse(
       sys.error(s"persisted BM25 index missing under $root"))
   }
 
   private def servedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val key = s"$d@${tableFingerprint(d, "embeddings")}"
-    val root = ivfServeRoot.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
-      val r = dir.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files => F}
-        import java.util.Comparator
-        if (F.exists(dir)) {
-          val walk = F.walk(dir)
-          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { F.deleteIfExists(p); () })
-          finally walk.close()
-        }
-      }
+    val root = ivfServeRoot.getOrBuild(key) { r =>
       val (assigned, centroids) =
         Ivf.build(Tables(s, d, "embeddings"), nlist = 16, iters = 2)
       Ivf.persist(s, r, assigned, centroids)
-      r
-    })
+    }
     Ivf.load(s, root).getOrElse(
       sys.error(s"persisted IVF index missing under $root"))
   }
 
   /** Build-once cache behind `q_sim_ann_pq_search` — the PQ analog of
     * [[servedIvf]]: same fingerprint key, same temp-root lifecycle. */
-  private val pqServeRoot =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqServeRoot = new ServeCache(8, "graft_pq_serve")
 
   private def servedPq(s: SparkSession, d: String): (DataFrame, Pq.Model) = {
     val key = s"$d@${tableFingerprint(d, "embeddings")}"
-    val root = pqServeRoot.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pq_serve")
-      val r = dir.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files => F}
-        import java.util.Comparator
-        if (F.exists(dir)) {
-          val walk = F.walk(dir)
-          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { F.deleteIfExists(p); () })
-          finally walk.close()
-        }
-      }
+    val root = pqServeRoot.getOrBuild(key) { r =>
       val e = Tables(s, d, "embeddings")
       val model = Pq.train(e, m = 16, k = 64, iters = 8)
       Pq.persist(s, r, Pq.encode(e, model), model)
-      r
-    })
+    }
     Pq.load(s, root).getOrElse(
       sys.error(s"persisted PQ index missing under $root"))
   }
@@ -663,31 +642,17 @@ object ExtQueries {
   /** Build-once cache behind `q_sim_ann_ivfpq_search` — the IVF-PQ
     * analog of [[servedPq]]: same fingerprint key, same temp-root
     * lifecycle. */
-  private val ivfPqServeRoot =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfPqServeRoot = new ServeCache(8, "graft_ivfpq_serve")
 
   private def servedIvfPq(s: SparkSession, d: String)
       : (DataFrame, IvfPq.Model) = {
     val key = s"$d@${tableFingerprint(d, "embeddings")}"
-    val root = ivfPqServeRoot.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_serve")
-      val r = dir.toString
-      sys.addShutdownHook {
-        import java.nio.file.{Files => F}
-        import java.util.Comparator
-        if (F.exists(dir)) {
-          val walk = F.walk(dir)
-          try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { F.deleteIfExists(p); () })
-          finally walk.close()
-        }
-      }
+    val root = ivfPqServeRoot.getOrBuild(key) { r =>
       val e = Tables(s, d, "embeddings")
       val (codes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2,
         m = 16, k = 64, pqIters = 8)
       IvfPq.persist(s, r, codes, model)
-      r
-    })
+    }
     IvfPq.load(s, root).getOrElse(
       sys.error(s"persisted IVF-PQ index missing under $root"))
   }
@@ -1545,6 +1510,35 @@ object ExtQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_corpus" -> curateOracle(gopher = false),
     "q_curate_corpus_gopher" -> curateOracle(gopher = true),
+    "q_curate_url_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.'
+        |      ELSE 'cdn.' END || source || '-site.org/page/' || doc_id
+        |      AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[a-z]+://([^/:]+)', 1)) AS host
+        |  FROM m),
+        |hd AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN len(string_split(host, '.')) >= 2
+        |      THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |      ELSE host END AS domain
+        |  FROM h),
+        |allowed AS (
+        |  SELECT * FROM hd
+        |  WHERE host NOT IN ('src13-site.org', 'cdn.src7-site.org')
+        |    AND domain NOT IN ('src13-site.org', 'cdn.src7-site.org')),
+        |ranked AS (
+        |  SELECT doc_id, host, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'),
+        |        1, 8) AS BIGINT) DESC, doc_id DESC) AS rn
+        |  FROM allowed)
+        |SELECT doc_id, host, domain FROM ranked
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "q_curate_report" -> curateOracle(gopher = false,
       """SELECT * FROM (
         |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs

@@ -29,37 +29,39 @@ import org.apache.spark.sql.functions._
   * aggregated by Spark's collect_list buffers), then a map-only
   * higher-order-function automaton — no UDF, no second pass. The
   * per-user array is bounded by that user's PARTICIPATING event
-  * count; the greedy-over-starts is O(starts × events) per user —
-  * for a pathological bot user, pre-bucket by coarse time (funnel
-  * windows are hours/days; a chain never crosses a bucket boundary
-  * by more than one window, so overlap-by-window bucketing bounds
-  * the array at 2×bucket) before handing events in.
+  * count; the greedy-over-starts is O(starts × events) per user — a
+  * pathological bot user is a single-task quadratic stall, which
+  * [[levelsBucketed]] cures by overlap-by-window time bucketing
+  * (funnel windows are hours/days; a chain never crosses a bucket
+  * boundary by more than one window, so each `(user, bucket)` group
+  * sees at most 2×bucket events) and [[levelsAuto]] dispatches to
+  * automatically off a cheap per-user histogram probe, the same
+  * pattern as [[AsOfJoin.backwardAuto]].
   */
 object Funnel {
 
-  /** Per-user funnel depth: `(user_id, level)` over ALL users that
-    * produced at least one participating event (level ≥ 1 requires a
-    * step-1 event; users with only later-step events report 0). */
-  def levels(events: DataFrame, conds: Seq[Column], windowSec: Long,
-      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    require(conds.nonEmpty && conds.size <= 30, "need 1..30 steps")
-    require(windowSec > 0, "windowSec must be positive")
-    val n = conds.size
-    val winUs = windowSec * 1000000L
+  /** Participating events only, bit-packed: `(user_id, __us, __b)`
+    * with `__b` the mask of step predicates the event satisfies —
+    * the pre-shuffle pruning both variants share. */
+  private def participating(events: DataFrame, conds: Seq[Column],
+      userCol: String, tsCol: String): DataFrame = {
     val bits = conds.zipWithIndex
       .map { case (c, i) => when(c, lit(1 << i)).otherwise(lit(0)) }
       .reduce(_ + _)
-    val perUser = events
+    events
       .select(col(userCol).as("user_id"),
         unix_micros(col(tsCol)).as("__us"), bits.cast("long").as("__b"))
       .where(col("__b") =!= 0)
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("__us"), col("__b"))))
-        .as("__evs"))
-    // greedy automaton state: (lvl, need = bit value of the NEXT step,
-    // last = ts of the chain's latest event); `s` is the fixed first
-    // event, so the window anchor s.__us rides the outer lambda.
-    val level = coalesce(array_max(transform(
+  }
+
+  /** The greedy automaton over a sorted `__evs` array column. State:
+    * (lvl, need = bit value of the NEXT step, last = ts of the
+    * chain's latest event); `s` is the fixed first event, so the
+    * window anchor s.__us rides the outer lambda. `need` starts at 2
+    * and only ever doubles — bit 0 is consulted ONLY for anchors,
+    * which is what lets [[levelsBucketed]]'s overlap copies strip it. */
+  private def greedyLevel(n: Int, winUs: Long): Column =
+    coalesce(array_max(transform(
       filter(col("__evs"),
         e => e.getField("__b").bitwiseAND(lit(1L)) =!= 0L),
       s => aggregate(
@@ -76,7 +78,94 @@ object Funnel {
             e.getField("__us").as("last")))
           .otherwise(st),
         st => st.getField("lvl")))), lit(0))
-    perUser.select(col("user_id"), level.cast("long").as("level"))
+
+  private def checkArgs(conds: Seq[Column], windowSec: Long): Unit = {
+    require(conds.nonEmpty && conds.size <= 30, "need 1..30 steps")
+    require(windowSec > 0, "windowSec must be positive")
+  }
+
+  /** Per-user funnel depth: `(user_id, level)` over ALL users that
+    * produced at least one participating event (level ≥ 1 requires a
+    * step-1 event; users with only later-step events report 0). */
+  def levels(events: DataFrame, conds: Seq[Column], windowSec: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    checkArgs(conds, windowSec)
+    val perUser = participating(events, conds, userCol, tsCol)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("__us"), col("__b"))))
+        .as("__evs"))
+    perUser.select(col("user_id"),
+      greedyLevel(conds.size, windowSec * 1000000L).cast("long").as("level"))
+  }
+
+  /** [[levels]] for the HOT-USER case — row-identical output
+    * (spec-pinned), bounded per-task work. Events are grouped by
+    * `(user, time bucket)` with `bucketSec ≥ windowSec` (default:
+    * exactly the window), each event overlap-copied into the PREVIOUS
+    * bucket so a chain anchored anywhere in bucket j — whose span is
+    * ≤ windowSec ≤ bucketSec, hence entirely inside [j·B, (j+2)·B) —
+    * is fully visible in j's group. The overlap copy has the step-1
+    * bit STRIPPED (and is dropped when nothing else remains): the
+    * automaton's `need` starts at 2 and only doubles, so bit 0 is
+    * consulted only for anchors — stripping it means every anchor is
+    * counted in exactly its native bucket, no double counting, and
+    * the unchanged greedy kernel runs per group. Per-user level is
+    * then `max` over buckets.
+    *
+    * Cost vs [[levels]]: ≤ 2× the shuffled participating rows and one
+    * extra count-shaped aggregate; per-task work drops from
+    * O(user-events²) to O(bucket-events²), and a bot user's buckets
+    * spread across tasks instead of serializing in one. */
+  def levelsBucketed(events: DataFrame, conds: Seq[Column],
+      windowSec: Long, userCol: String = "user_id", tsCol: String = "ts",
+      bucketSec: Long = 0L): DataFrame = {
+    checkArgs(conds, windowSec)
+    val bSec = if (bucketSec <= 0L) windowSec else bucketSec
+    require(bSec >= windowSec,
+      s"bucketSec ($bSec) must cover windowSec ($windowSec): a chain " +
+        "may span one full window past its anchor's bucket")
+    val bUs = bSec * 1000000L
+    val p = participating(events, conds, userCol, tsCol)
+      .withColumn("__bkt",
+        floor(col("__us").cast("double") / bUs).cast("long"))
+    val overlap = p
+      .withColumn("__bkt", col("__bkt") - 1)
+      .withColumn("__b", col("__b").bitwiseAND(lit(~1L)))
+      .where(col("__b") =!= 0)
+    val perBucket = p.unionByName(overlap)
+      .groupBy("user_id", "__bkt")
+      .agg(sort_array(collect_list(struct(col("__us"), col("__b"))))
+        .as("__evs"))
+      .select(col("user_id"),
+        greedyLevel(conds.size, windowSec * 1000000L).as("__lvl"))
+    perBucket.groupBy("user_id")
+      .agg(max(col("__lvl")).cast("long").as("level"))
+  }
+
+  /** Auto-dispatching [[levels]]: one cheap per-user histogram over
+    * the PARTICIPATING rows (two-level aggregate, map-side partials —
+    * safe under any skew) picks the plain per-user collect when every
+    * user is small and [[levelsBucketed]] when any user carries
+    * ≥ `hotUserEvents` participating events (the greedy is quadratic
+    * in that count, so the threshold bounds per-task work at
+    * ~hotUserEvents² ops). Use the explicit variants when the user
+    * distribution is known at build time. */
+  def levelsAuto(events: DataFrame, conds: Seq[Column], windowSec: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      hotUserEvents: Long = 5000L, bucketSec: Long = 0L): DataFrame = {
+    checkArgs(conds, windowSec)
+    if (maxUserEvents(participating(events, conds, userCol, tsCol))
+        >= hotUserEvents)
+      levelsBucketed(events, conds, windowSec, userCol, tsCol, bucketSec)
+    else levels(events, conds, windowSec, userCol, tsCol)
+  }
+
+  /** Largest single-user participating-event count — the dispatch
+    * statistic (exposed for specs). 0 on an empty frame. */
+  private[graft] def maxUserEvents(p: DataFrame): Long = {
+    val r = p.groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Cohort retention (the ClickHouse `retention` aggregate, funnel's

@@ -125,8 +125,8 @@ object Ivf {
     * literal inside a codegen'd [[graft.functions.NearestCentroid]] — no
     * crossJoin expansion and no Exchange, where the previous
     * crossJoin+row_number shuffled corpus×nlist rows per Lloyd round. */
-  private def assign(vecs: DataFrame, centroidSeq: Seq[(Long, Seq[Double])])
-      : DataFrame = {
+  private[operators] def assign(vecs: DataFrame,
+      centroidSeq: Seq[(Long, Seq[Double])]): DataFrame = {
     val ordered = centroidSeq.sortBy(_._1)
     require(ordered.map(_._1) == ordered.indices.map(_.toLong),
       "centroid cells must be dense 0..nlist-1")

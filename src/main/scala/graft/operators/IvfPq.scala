@@ -71,6 +71,29 @@ object IvfPq {
     (codes, Model(centroids, pqm))
   }
 
+  /** Encode a batch with a FROZEN model — the streaming-ingest kernel
+    * ([[graft.streaming.AnnMicroBatch]]'s IVF-PQ path): map-only cell
+    * routing (the codegen'd nearest-centroid literal — no shuffle, no
+    * crossJoin), broadcast-centroid residual subtract, shared-codebook
+    * encode. Pure in (batch, model): a replayed batch re-encodes to
+    * content-identical `(vec_id, cell, __codes)` rows, and encoding
+    * the full corpus with [[build]]'s own model reproduces [[build]]'s
+    * codes exactly (spec-pinned). Same frozen-model contract as
+    * [[Pq.encode]]: codebooks/centroids are distribution statistics —
+    * encode online, retrain offline into a new root. */
+  def encode(batch: DataFrame, model: Model,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val vecs = batch.select(col(idCol).as("vec_id"),
+      l2Normalize(toDouble(col(vecCol))).as("__v"))
+    val centroidSeq = model.centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    Ivf.assign(vecs, centroidSeq)
+      .join(broadcast(model.centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        Pq.codesOf(model.pq,
+          zip_with(col("__v"), col("__c"), (a, b) => a - b)).as("__codes"))
+  }
+
   /** Search: route each query to its `nprobe` best cells (carrying the
     * exact `q·c_cell` term), ADC-score only those cells' codes, keep
     * the `rerank` best per query, exact re-rank. Returns

@@ -221,6 +221,174 @@ object Multimodal {
     (if (looksLikeImage(payload)) resizeImage(payload, target) else None)
       .getOrElse(stubResize(payload, target))
 
+  /** Decode + grayscale-downscale to `w × h` raster bytes — the
+    * shared kernel behind [[resizeImage]] and [[dHash64]]. */
+  private def grayRaster(payload: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        val bytes = new Array[Byte](w * h)
+        out.getRaster.getDataElements(0, 0, w, h, bytes)
+        Some(bytes)
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit perceptual difference hash (dHash, the standard
+    * public-domain construction): grayscale-downscale to a 9×8 grid,
+    * one bit per horizontal neighbor comparison (bit set ⇔ right cell
+    * brighter). Because it compares PIXELS, two re-encodings of the
+    * same image (JPEG at different qualities, PNG vs JPEG) hash within
+    * a few bits of each other while byte-level hashing sees them as
+    * unrelated — the property [[phashDupPairs]] dedups on. None when
+    * no JDK codec accepts the bytes. */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    grayRaster(payload, 9, 8).map { g =>
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if ((g(y * 9 + x) & 0xFF) < (g(y * 9 + x + 1) & 0xFF))
+            bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** Deterministic 64-bit content hash over raw bytes — the fallback
+    * signature for payloads no codec decodes: byte-identical copies
+    * still collapse; re-encodings of an undecodable format cannot be
+    * recognized (there are no pixels to compare). */
+  def contentHash64(payload: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < payload.length) { h = h * 31 + (payload(i) & 0xFF); i += 1 }
+    Hashing.splitmix64(h + payload.length)
+  }
+
+  final case class MediaHash(media_id: Long, phash: Long, decoded: Boolean)
+
+  /** Per-payload perceptual hash with the deterministic fallback:
+    * decodable images get [[dHash64]] (`decoded = true`); everything
+    * else gets [[contentHash64]] (`decoded = false`). Same sniff-first
+    * dispatch and mapPartitions batch shape as [[extractFeatures]]. */
+  def perceptualHashes(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          (if (looksLikeImage(payload)) dHash64(payload) else None) match {
+            case Some(h) => MediaHash(id, h, decoded = true)
+            case None => MediaHash(id, contentHash64(payload), decoded = false)
+          }
+        }
+      }
+  }
+
+  /** Image-level near-dup pairs: [[perceptualHashes]] → banded
+    * Hamming join ([[Dedup.hammingPairs64]] — recall 1 at the radius
+    * by pigeonhole, one hash per payload through the shuffle). Decoded
+    * pairs match at `hamming ≤ maxHamming`; stub-hashed payloads only
+    * at hamming 0 (content-hash equality = byte-identical), and the
+    * two hash families never cross-match. Returns
+    * `(id_a, id_b, hamming)`. Scale shape: the corpus is decoded
+    * once map-side into 9-byte rows; the band join carries
+    * (id, 64-bit hash) only — never pixels. */
+  def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hashes = perceptualHashes(media).toDF().localCheckpoint(true)
+    val pairs = Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming)
+    def flags(s: String) = hashes.select(col("media_id").as(s"id_$s"),
+      col("decoded").as(s"__dec_$s"))
+    pairs.join(flags("a"), Seq("id_a")).join(flags("b"), Seq("id_b"))
+      .where(col("__dec_a") === col("__dec_b") &&
+        (col("__dec_a") || col("hamming") === 0))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Canonical representative per perceptual-duplicate cluster:
+    * `(media_id, canon_id)` for EVERY input row — connected components
+    * over [[phashDupPairs]] ([[Dedup.clusters]], distributed past its
+    * edge threshold), `canon_id` = the cluster's minimum member, own
+    * id for unduplicated media. `media.select(...).join(...)` on
+    * `canon_id === media_id` is then the deduped corpus. */
+  def phashDedup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val reps = Dedup.clusters(
+      phashDupPairs(media, maxHamming).select("id_a", "id_b"))
+    media.select(col("media_id"))
+      .join(reps.withColumnRenamed("doc_id", "media_id"), Seq("media_id"),
+        "left")
+      .select(col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("canon_id"))
+  }
+
+  /** Deterministic 72×64 cell-pattern image whose [[dHash64]] equals
+    * `bits` BY CONSTRUCTION: 8 rows × 9 constant-color 8×8 cells, each
+    * row a brightness walk `v(x+1) = v(x) ± 14` directed by the target
+    * bit — every neighbor comparison decisive by a 14-step margin, and
+    * the 8×8 cells align with JPEG's DCT blocks (constant blocks →
+    * DC-only → survive lossy re-encode within ±2). The planted-fixture
+    * generator for perceptual-dedup gates: the SAME bits encoded at
+    * different `format`/`quality` must dedup; different bits must not.
+    * `format` ∈ png | jpg. */
+  def cellPatternImage(bits: Long, format: String,
+      quality: Float = 0.7f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      var x = 0
+      while (x < 9) {
+        val rgb = (v << 16) | (v << 8) | v
+        var py = 0
+        while (py < 8) {
+          var px = 0
+          while (px < 8) {
+            img.setRGB(x * 8 + px, y * 8 + py, rgb)
+            px += 1
+          }
+          py += 1
+        }
+        if (x < 8)
+          v += (if ((bits >> (y * 8 + x) & 1L) != 0L) 14 else -14)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    format match {
+      case "png" => javax.imageio.ImageIO.write(img, "png", bos)
+      case "jpg" =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+        val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(out)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null),
+            params)
+        } finally { writer.dispose(); out.close() }
+      case other =>
+        throw new IllegalArgumentException(s"format must be png|jpg: $other")
+    }
+    bos.toByteArray
+  }
+
   /** STUB frame sampling: split the payload into `frames` equal spans
     * ("frames") and keep every `stride`-th one — the video path's
     * batch shape (one row in, few rows out via flatMap). */

@@ -71,6 +71,38 @@ object StreamQueries {
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           element_at(col("feature"), 1).as("f0"))
         .orderBy("media_id")
+    },
+
+    // Perceptual-hash image dedup, end to end through REAL codecs: per
+    // base doc, a PNG and a lossy JPEG re-encode of the SAME
+    // deterministic image (must dedup — the bytes differ, the pixels
+    // match), a DISTINCT image (must not), plus byte-identical and
+    // distinct undecodable payloads exercising the content-hash
+    // fallback. The oracle restates the PLANTED truth as pure id
+    // arithmetic — a dHash, band-join, or cluster regression breaks
+    // the match. Image synthesis is executor-side (mapPartitions
+    // batch shape, no driver bytes).
+    "q_multimodal_phash" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .where(col("doc_id") % 100 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { dd =>
+            val bits = graft.functions.Hashing.splitmix64(dd)
+            val alt = graft.functions.Hashing.splitmix64(dd ^ 0x9E3779B9L)
+            val garbage = s"undecodable-payload-$dd".getBytes("UTF-8")
+            Iterator(
+              (dd * 10, Multimodal.cellPatternImage(bits, "png")),
+              (dd * 10 + 1,
+                Multimodal.cellPatternImage(bits, "jpg", quality = 0.7f)),
+              (dd * 10 + 2, Multimodal.cellPatternImage(alt, "png")),
+              (dd * 10 + 3, garbage),
+              (dd * 10 + 4, garbage.clone()),
+              (dd * 10 + 5, s"other-garbage-$dd".getBytes("UTF-8")))
+          }
+        }.toDF("media_id", "payload")
+      Multimodal.phashDedup(media).orderBy("media_id")
     }
   )
 
@@ -304,6 +336,15 @@ object StreamQueries {
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,
         |  true AS dims_ok, true AS feature_len_8
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_phash" ->
+      """SELECT (doc_id * 10 + s.i) AS media_id,
+        |  CASE WHEN s.i = 1 THEN doc_id * 10
+        |       WHEN s.i = 4 THEN doc_id * 10 + 3
+        |       ELSE doc_id * 10 + s.i END AS canon_id
+        |FROM documents
+        |CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) AS s(i)
+        |WHERE doc_id % 100 = 0
+        |ORDER BY media_id""".stripMargin
   )
 }

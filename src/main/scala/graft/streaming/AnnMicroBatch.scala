@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 import graft.cdc.AppendStore
-import graft.operators.Pq
+import graft.operators.{IvfPq, Pq}
 
 /** Streaming ANN index ingest — the serving-freshness story for
   * [[graft.operators.Pq]]: embeddings arrive in micro-batches, each
@@ -73,5 +73,61 @@ object AnnMicroBatch {
       : Option[DataFrame] =
     codesStore.read().map { codes =>
       Pq.search(codes, model, corpus, queries, k, rerank, vecCol, idCol)
+    }
+
+  // ---- IVF-PQ ingest: the composite index's O(batch) freshness path ----
+  // Same contract as the PQ trio above, with cell routing per batch
+  // ([[IvfPq.encode]] — frozen centroids AND frozen codebooks), so the
+  // index with BOTH 100 TB levers (cell-bounded scans + code-bounded
+  // bytes) also grows by exactly the batch's delta. Create the codes
+  // store with `sortCols = ivfPqStoreSortCols` so each landed segment
+  // is cell-clustered — parquet row-group min/max on `cell` then prunes
+  // unprobed cells at serve time, segment by segment.
+
+  /** Recommended AppendStore sort columns for an IVF-PQ codes store:
+    * cell-clustered segments give the serve path row-group pruning on
+    * the probed cells. */
+  val ivfPqStoreSortCols: Seq[String] = Seq("cell")
+
+  /** One micro-batch transition: route + encode `batch` with the
+    * frozen composite `model`, land segment `batchId`. Pure in
+    * (batch, model, batchId) — replays rewrite identical content. */
+  def processBatchIvfPq(batch: DataFrame, batchId: Long,
+      codesStore: AppendStore, model: IvfPq.Model,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val codes = IvfPq.encode(batch, model, vecCol, idCol)
+    codesStore.write(codes, batchId)
+    codes
+  }
+
+  /** Drain all available input once (blocking), compacting below the
+    * replay frontier every `compactEvery` batches. */
+  def runAvailableNowIvfPq(spark: SparkSession, sourceDir: String,
+      schema: StructType, codesStore: AppendStore, model: IvfPq.Model,
+      checkpoint: String, vecCol: String = "embedding",
+      idCol: String = "vec_id", compactEvery: Int = 16): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchIvfPq(batch, batchId, codesStore, model, vecCol, idCol)
+        AppendStore.maybeCompact(compactEvery, batchId, codesStore)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Search the drained composite index over every code segment
+    * admitted so far ([[IvfPq.search]] semantics). Empty store → None. */
+  def searchIvfPq(codesStore: AppendStore, model: IvfPq.Model,
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, nprobe: Int = 4,
+      rerank: Int = 50, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Option[DataFrame] =
+    codesStore.read().map { codes =>
+      IvfPq.search(codes, model, corpus, queries, k, nprobe, rerank,
+        vecCol, idCol)
     }
 }

@@ -783,6 +783,77 @@ class ExtSpec extends AnyFunSuite {
       "report's final stage must count exactly corpus()'s survivors")
   }
 
+  test("serve cache: LRU eviction deletes the root, re-request rebuilds") {
+    import graft.operators.ServeCache
+    val cache = new ServeCache(2, "graft_servecache_spec")
+    var builds = 0
+    def build(key: String): String = cache.getOrBuild(key) { r =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(r, "index.marker"),
+        key.getBytes("UTF-8"))
+      ()
+    }
+    // three corpus snapshots through a capacity-2 cache
+    val r1 = build("snap1"); val r2 = build("snap2")
+    assert(builds == 2 && build("snap1") == r1 && builds == 2,
+      "second request must serve the cached root without rebuilding")
+    // snap1 was just touched, so inserting snap3 evicts snap2 (LRU)
+    val r3 = build("snap3")
+    assert(builds == 3 && cache.size == 2)
+    assert(cache.peek("snap2").isEmpty &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(r2)),
+      "evicted root must be deleted from disk")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(r1, "index.marker")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(r3, "index.marker")),
+      "survivors keep their roots")
+    // re-requesting the evicted snapshot rebuilds into a FRESH root
+    val r2b = build("snap2")
+    assert(builds == 4 && r2b != r2 &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(r2b, "index.marker")))
+    // a throwing build caches nothing and leaves no root behind
+    val before = cache.size
+    intercept[RuntimeException] {
+      cache.getOrBuild("bad") { _ => throw new RuntimeException("boom") }
+    }
+    assert(cache.size == before && cache.peek("bad").isEmpty)
+  }
+
+  test("url curation: blocklist semantics, per-domain cap, draw invariance") {
+    import graft.operators.UrlCurate
+    // a.example.com + b.example.com (domain example.com), www.other.org,
+    // plus a parse failure; blocklist: the DOMAIN example.com (blocks
+    // both subdomain hosts) and the HOST www.keep.net (its sibling
+    // cdn.keep.net survives)
+    val docs = (1L to 40L).map { i =>
+      val url =
+        if (i <= 5) s"https://a.example.com/p/$i"
+        else if (i <= 10) s"https://b.example.com/p/$i"
+        else if (i <= 12) s"https://www.keep.net/p/$i"
+        else if (i <= 14) s"https://cdn.keep.net/p/$i"
+        else if (i == 15) "not a url at all"
+        else s"https://bulk.big.io/p/$i" // 25 docs on one domain
+      (i, url)
+    }.toDF("doc_id", "url")
+    val kept = UrlCurate.filter(docs, "url", "doc_id",
+      blocklist = Seq("example.com", "www.keep.net"), perDomainCap = 10)
+      .select("doc_id", "host", "domain")
+      .as[(Long, String, String)].collect()
+    val byDomain = kept.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(!byDomain.contains("example.com"),
+      s"domain-level entry must block every subdomain host: $byDomain")
+    assert(byDomain("keep.net") == Set(13L, 14L),
+      s"host-level entry blocks only that host: $byDomain")
+    assert(byDomain("big.io").size == 10,
+      s"per-domain cap must bite on the hot domain: ${byDomain("big.io").size}")
+    assert(!kept.exists(_._1 == 15L), "unparseable url must drop")
+    // the kept SET is a pure function of (ids, seed) — partitioning-blind
+    val kept2 = UrlCurate.filter(docs.repartition(7), "url", "doc_id",
+      blocklist = Seq("example.com", "www.keep.net"), perDomainCap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept.map(_._1).toSet)
+  }
+
   test("IVF persisted index: search-from-persisted == search-from-fresh") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = Ivf.build(e, nlist = 8, iters = 2)

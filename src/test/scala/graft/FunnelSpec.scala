@@ -122,4 +122,77 @@ class FunnelSpec extends AnyFunSuite {
           want.toSet.diff(got.toSet)}")
     }
   }
+
+  private def runBucketed(events: Seq[(Long, Long, Int)], nSteps: Int,
+      winSec: Long, bucketSec: Long = 0L): Map[Long, Long] = {
+    val df = events.map { case (u, s, st) => (u, ts(s), st) }
+      .toDF("user_id", "ts", "step")
+    Funnel.levelsBucketed(df,
+      (0 until nSteps).map(i => col("step") === i), winSec,
+      bucketSec = bucketSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("levelsBucketed == levels: boundary-crossing chains, all hand cases") {
+    // chains placed to straddle a bucket boundary (win = bucket = 100):
+    // u1 anchors at 95, finishes at 180 — entirely in bucket 0's group
+    // only via the overlap copies of bucket-1 events; u2's anchor at
+    // 100 is native to bucket 1 (no double count from the overlap
+    // copy into bucket 0, whose step-1 bit is stripped); u3's rescue
+    // anchor and u4's no-step-1 zero carry over unchanged.
+    val events = Seq(
+      (1L, 95L, 0), (1L, 120L, 1), (1L, 180L, 2),
+      (2L, 100L, 0), (2L, 150L, 1), (2L, 260L, 2),
+      (3L, 0L, 0), (3L, 60L, 0), (3L, 90L, 1), (3L, 140L, 2),
+      (4L, 5L, 1), (4L, 10L, 2))
+    val plain = run(events, 3, 100L)
+    val bucketed = runBucketed(events, 3, 100L)
+    assert(bucketed == plain && plain == truth(events, 3, 100L),
+      s"bucketed $bucketed vs plain $plain")
+    // a wider bucket (bucketSec > windowSec) must not change results
+    assert(runBucketed(events, 3, 100L, bucketSec = 250L) == plain)
+    // bucketSec < windowSec is rejected: a chain could escape j+1
+    intercept[IllegalArgumentException] {
+      runBucketed(events, 3, 100L, bucketSec = 50L)
+    }
+  }
+
+  test("levelsBucketed randomized dispatch independence vs levels") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 0 until 10) {
+      val n = 2 + rnd.nextInt(3)
+      val win = 50L + rnd.nextInt(200)
+      val events = (0 until 300).map { _ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(n))
+      }.distinct
+      val plain = run(events, n, win)
+      val bucketed = runBucketed(events, n, win)
+      assert(bucketed == plain,
+        s"trial $trial (n=$n win=$win): ${bucketed.toSet.diff(plain.toSet)}" +
+          s" vs ${plain.toSet.diff(bucketed.toSet)}")
+    }
+  }
+
+  test("levelsAuto: probe dispatches on the hottest user, results identical") {
+    // u1 is a planted bot: many participating events; u2 is normal.
+    val events = (0 until 400).map(i => (1L, i.toLong * 3, i % 3)) ++
+      Seq((2L, 0L, 0), (2L, 10L, 1))
+    val df = events.map { case (u, s, st) => (u, ts(s), st) }
+      .toDF("user_id", "ts", "step")
+    val conds = (0 until 3).map(i => col("step") === i)
+    val probe = Funnel.maxUserEvents(
+      df.select(col("user_id"), col("ts"),
+        (col("step") >= 0).as("__keep")).where(col("__keep"))
+        .select(col("user_id")))
+    assert(probe == 400L, s"probe must see the bot user's count: $probe")
+    val viaPlain = Funnel.levelsAuto(df, conds, 3600L,
+        hotUserEvents = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBucketed = Funnel.levelsAuto(df, conds, 3600L,
+        hotUserEvents = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPlain == viaBucketed,
+      s"dispatch must be result-invisible: $viaPlain vs $viaBucketed")
+    assert(viaPlain(2L) == 2L)
+  }
 }

@@ -719,6 +719,51 @@ class StreamSpec extends AnyFunSuite {
     assert(after == before, "replayed batch must leave the store unchanged")
   }
 
+  test("streaming IVF-PQ ingest: drained == batch encode+search; replay idempotent") {
+    import graft.operators.IvfPq
+    import graft.streaming.AnnMicroBatch
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // model trained once on the corpus, then FROZEN for the drain
+    val (builtCodes, model) = IvfPq.build(e, nlist = 8, ivfIters = 2)
+    val src = tmp("ivfpq-src")
+    val store = new AppendStore(spark, tmp("ivfpq-codes") + "/t",
+      AnnMicroBatch.ivfPqStoreSortCols)
+    val ckpt = tmp("ivfpq-ckpt")
+    val schema = e.schema
+    (0 until 3).foreach { i =>
+      e.where(pmod(col("vec_id"), lit(3)) === i)
+        .write.mode("append").parquet(src)
+      AnnMicroBatch.runAvailableNowIvfPq(spark, src, schema, store, model,
+        ckpt)
+    }
+    // drained code content == build's own encode of the full corpus
+    val drained = store.read().get
+      .select("vec_id", "cell", "__codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq)).toSet
+    val built = builtCodes
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq)).toSet
+    assert(drained == built && built.nonEmpty,
+      "cell routing + residual encode over the drain must equal build's codes")
+    // search over the drained segments == search over the batch build
+    val q = e.where(col("vec_id") < 5)
+    val streamed = AnnMicroBatch.searchIvfPq(store, model, e, q,
+        k = 3, nprobe = 6, rerank = 20)
+      .getOrElse(fail("drained store is empty"))
+      .collect().map(_.toSeq).toSet
+    val batch = IvfPq.search(builtCodes, model, e, q,
+        k = 3, nprobe = 6, rerank = 20)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // replaying a batch rewrites identical content (pure transition)
+    val before = store.read().get.collect().map(_.toSeq).toSet
+    AnnMicroBatch.processBatchIvfPq(
+      e.where(pmod(col("vec_id"), lit(3)) === 1), 1L, store, model)
+    val after = store.read().get.collect().map(_.toSeq).toSet
+    assert(after == before, "replayed batch must leave the store unchanged")
+  }
+
   test("stream-stream interval join: streamed == batch, inner and outer") {
     import graft.streaming.StreamJoin
     val ldir = tmp("ssj-l"); val rdir = tmp("ssj-r")
@@ -800,6 +845,40 @@ class StreamSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, java.sql.Timestamp, String)].collect().toSeq
     assert(got == Seq((ts("2024-06-01 10:00:00"),
       ts("2024-06-01 10:00:30"), "c1")))
+  }
+
+  test("multimodal phash: dHash-by-construction, re-encode dedup, stub fallback") {
+    // cellPatternImage is built so its dHash IS the requested bits
+    val bitsA = 0x5A3C96E1D4B27F08L
+    val bitsB = bitsA ^ 0x0FF0F00FF00FF0F0L // hamming 32 from A
+    val pngA = Multimodal.cellPatternImage(bitsA, "png")
+    assert(Multimodal.dHash64(pngA).contains(bitsA),
+      "PNG round-trip must reproduce the constructed dHash exactly")
+    // the SAME pixels through lossy JPEG stay within the dedup radius
+    val jpgA = Multimodal.cellPatternImage(bitsA, "jpg", quality = 0.7f)
+    val hJpg = Multimodal.dHash64(jpgA).getOrElse(fail("jpeg must decode"))
+    assert(java.lang.Long.bitCount(hJpg ^ bitsA) <= 4,
+      s"JPEG re-encode drifted ${java.lang.Long.bitCount(hJpg ^ bitsA)} bits")
+    assert(!java.util.Arrays.equals(pngA, jpgA),
+      "the two encodings must differ at the byte level (that's the point)")
+
+    // planted corpus: (1,2) = same image re-encoded; 3 = distinct image;
+    // (4,5) = byte-identical undecodable payloads; 6 = other garbage
+    val garbage = "not-an-image-payload-0123456789".getBytes
+    val garbage2 = "different-garbage-payload".getBytes
+    val media = Seq(
+      (1L, pngA), (2L, jpgA),
+      (3L, Multimodal.cellPatternImage(bitsB, "png")),
+      (4L, garbage), (5L, garbage.clone()), (6L, garbage2))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.phashDupPairs(media)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)),
+      s"re-encoded dup + exact-byte stub dup only: $pairs")
+    val canon = Multimodal.phashDedup(media)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L), s"canon map: $canon")
   }
 
   test("multimodal: stub decode is deterministic, batch shape preserved") {
