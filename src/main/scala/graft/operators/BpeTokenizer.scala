@@ -116,6 +116,30 @@ object BpeTokenizer {
 
   /** Token count column — the packing/accounting primitive; skips
     * materializing token strings. */
+  /** Persist the trained merge list — train-once / tokenize-everywhere:
+    * a tokenizer is an ARTIFACT (retraining per job would silently
+    * change every downstream token count and pack boundary), so the
+    * merge list lands in a [[graft.cdc.TableStore]] the same way the
+    * ANN/BM25 indexes do. Merge ORDER is the model; rows carry their
+    * index. Loaded-vs-fresh encode parity is spec-pinned (BpeSpec). */
+  def persist(spark: org.apache.spark.sql.SparkSession, root: String,
+      model: Model): Unit = {
+    import spark.implicits._
+    new graft.cdc.TableStore(spark, root).write(
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("i", "m_left", "m_right"))
+  }
+
+  /** Load a persisted merge list; None if never written. */
+  def load(spark: org.apache.spark.sql.SparkSession, root: String)
+      : Option[Model] =
+    new graft.cdc.TableStore(spark, root).read().map { df =>
+      Model(df.orderBy("i").collect()
+        .map(r => (r.getAs[String]("m_left"), r.getAs[String]("m_right")))
+        .toSeq)
+    }
+
   def countTokens(model: Model, text: Column): Column =
     BpeExpressions.bpeCount(preTokens(text), model.merges)
 }

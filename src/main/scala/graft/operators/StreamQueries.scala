@@ -36,6 +36,26 @@ object StreamQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // Interval join — the batch leg of the stream-stream join
+    // (StreamJoin.batch: IDENTICAL predicate to the streaming path,
+    // whose streamed == batch parity is spec-pinned in StreamSpec):
+    // views joined to same-user clicks within [view, view + 10 min].
+    // Passing ts as BOTH side's time column exercises the _r clash
+    // disambiguation end to end. At scale this is one equi-shuffle on
+    // user_id with the interval as a residual predicate — for the
+    // static-static giant case RangeJoin's bucketed kernel applies.
+    "q_join_interval" -> { (s, d) =>
+      import graft.streaming.StreamJoin
+      val ev = Tables(s, d, "events")
+      val l = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val r = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      StreamJoin.batch(l, r, "user_id", "ts", "ts",
+        beforeSec = 0, afterSec = 600)
+        .orderBy("view_id", "click_id")
+    },
+
     // Gap-based sessionization (batch formulation; streaming parity via
     // flatMapGroupsWithState asserted in StreamSpec).
     "q_sessionize" -> { (s, d) =>
@@ -327,6 +347,18 @@ object StreamQueries {
         |  contamination,
         |  contamination >= 0.5 AS contaminated
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_join_interval" ->
+      """SELECT l.user_id, l.ts, l.view_id, r.ts AS ts_r, r.click_id
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        event_id AS view_id
+        |      FROM events WHERE event_type = 'view') l
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        event_id AS click_id
+        |      FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts
+        | AND r.ts <= l.ts + INTERVAL '600 seconds'
+        |ORDER BY view_id, click_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  octet_length(encode(text)) AS n_bytes,

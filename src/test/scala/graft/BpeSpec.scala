@@ -161,5 +161,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted model == fresh model: merges and every token count") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val model = BpeTokenizer.train(docs, numMerges = 40)
+    val root = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    BpeTokenizer.persist(spark, root, model)
+    val loaded = BpeTokenizer.load(spark, root)
+      .getOrElse(fail("persisted BPE model did not load"))
+    assert(loaded.merges == model.merges,
+      "merge list (including ORDER) must round-trip exactly")
+    val fresh = docs.select(col("doc_id"),
+        BpeTokenizer.countTokens(model, col("text")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val served = docs.select(col("doc_id"),
+        BpeTokenizer.countTokens(loaded, col("text")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(served == fresh && fresh.nonEmpty)
+    assert(BpeTokenizer.load(spark,
+      java.nio.file.Files.createTempDirectory("bpe-none").toString).isEmpty)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
