@@ -314,6 +314,17 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Sliding-window chunking (the embedding-pipeline preprocessing
+    // step: context-budget windows with overlap, LangChain-standard
+    // layout — see TextChunk scaladoc). Map-only explode, no shuffle;
+    // oracle restates tokenization + slice arithmetic exactly.
+    "q_text_chunks" -> { (s, d) =>
+      TextChunk.chunks(Tables(s, d, "documents"),
+        chunkTokens = 64, overlapTokens = 16)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Distribution-anchored quality cut: keep the best 20% by score,
     // threshold from ONE mergeable approx_percentile pass (no global
     // sort, no single-partition funnel). The gate override pins
@@ -1510,6 +1521,25 @@ object ExtQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_corpus" -> curateOracle(gopher = false),
     "q_curate_corpus_gopher" -> curateOracle(gopher = true),
+    "q_text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT) END
+        |      AS nc
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(nc)) AS chunk_idx FROM s)
+        |SELECT doc_id, chunk_idx,
+        |  least(64, n - chunk_idx * 48) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+        |    least(chunk_idx * 48 + 64, n)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_curate_url_filter" ->
       """WITH m AS (
         |  SELECT doc_id,

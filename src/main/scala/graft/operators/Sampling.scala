@@ -138,6 +138,43 @@ object Sampling {
       defaultFraction = 0.0, seed = seed)
   }
 
+  /** Temperature-rescaled domain mixture — the multilingual/domain
+    * rebalancing standard (XLM-R / mT5 exponentiated sampling: draw
+    * domain `d` with probability ∝ W_d^τ): τ = 1 keeps the corpus
+    * distribution, τ → 0 flattens toward uniform, so low-resource
+    * domains are up-weighted RELATIVELY (never up-sampled — the
+    * binding domain keeps fraction 1, [[mixtureBy]] semantics).
+    * Target shares are computed FROM the corpus: one K-domain
+    * aggregate (driver-held model state, like [[mixtureBy]]'s
+    * totals), then `q_d = floor(W_d^τ · 10⁶)` — integer quantization
+    * so the shares are ratios of exact longs and the whole
+    * downstream draw stays bit-reproducible cross-engine. τ = 0.5
+    * evaluates via `sqrt` (IEEE-correctly-rounded on every engine);
+    * other τ use `pow`, whose last ulp is engine-specific — the
+    * quantization confines any cross-engine flip to weights within
+    * one part in 10⁶ of a quantization boundary (the oracle-gated
+    * key uses τ = 0.5). Zero-weight and NULL domains drop (they have
+    * nothing to contribute). */
+  def mixtureTemperature(df: DataFrame, idCol: String, domainCol: String,
+      tau: Double = 0.5, weight: Column = lit(1L),
+      seed: String = "0"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val totals = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L).sortBy(_._1).toSeq
+    require(totals.nonEmpty, "mixtureTemperature: no positive-weight domains")
+    def powT(w: Long): Double =
+      if (tau == 1.0) w.toDouble
+      else if (tau == 0.5) math.sqrt(w.toDouble)
+      else math.pow(w.toDouble, tau)
+    val q = totals.map { case (d, w) => d -> math.floor(powT(w) * 1e6).toLong }
+    val qsum = q.map(_._2).sum
+    val shares = q.map { case (d, v) => d -> v.toDouble / qsum }
+    mixtureBy(df, idCol, domainCol, shares, weight, seed)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement: the `k` rows
     * with the largest priority `u^(1/w)` (Efraimidis & Spirakis 2006,
     * algorithm A-ES) — the one-pass answer to "give me 10k docs drawn

@@ -62,6 +62,20 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature-rescaled mixture (XLM-R/mT5 exponentiated domain
+    // sampling, tau = 0.5): target shares computed FROM the corpus as
+    // floor(sqrt(W_d)*1e6) integer quantization (sqrt is IEEE-correct
+    // on every engine, so the shares are exact-long ratios and the
+    // oracle restates the whole derivation bit-for-bit), then the
+    // standard mixture draw — low-resource sources up-weighted
+    // relatively, binding domain at fraction 1, nothing up-sampled.
+    "q_sample_mixture_temperature" -> { (s, d) =>
+      Sampling.mixtureTemperature(Tables(s, d, "documents")
+          .select("doc_id", "source"),
+        "doc_id", "source", tau = 0.5, seed = "79")
+        .orderBy("doc_id")
+    },
+
     // Token-weighted priority sample (Efraimidis-Spirakis A-ES): the
     // 20 docs with the largest u^(1/w) priorities, w = whitespace
     // token count — weighted sampling WITHOUT replacement in one
@@ -158,6 +172,28 @@ object SamplingQueries {
         |FROM documents d JOIN fr USING (lang)
         |WHERE f >= 1.0
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':78'), 1, 8)
+        |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_sample_mixture_temperature" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS w
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |q AS (
+        |  SELECT source,
+        |    CAST(floor(sqrt(CAST(w AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS qv, w
+        |  FROM cnt WHERE w > 0),
+        |qs AS (SELECT sum(qv) AS qsum FROM q),
+        |j AS (
+        |  SELECT source, CAST(qv AS DOUBLE) / qsum AS s,
+        |    CAST(w AS DOUBLE) AS n
+        |  FROM q, qs),
+        |fr AS (
+        |  SELECT source, s * (SELECT min(n / s) FROM j) / n AS f FROM j)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN fr USING (source)
+        |WHERE f >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':79'), 1, 8)
         |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
         |ORDER BY d.doc_id""".stripMargin,
     "q_sample_priority" ->

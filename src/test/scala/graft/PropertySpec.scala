@@ -216,6 +216,72 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixture: tau=1 keeps everything, tau<1 flattens toward uniform") {
+    import graft.operators.Sampling
+    // skewed corpus: a=800, b=200, c=50
+    val rows = (1L to 800L).map(i => (i, "a")) ++
+      (1001L to 1200L).map(i => (i, "b")) ++
+      (2001L to 2050L).map(i => (i, "c"))
+    val df = rows.toDF("id", "dom")
+    // tau=1: shares == realized distribution → every fraction is 1,
+    // nothing drops (exponentiated sampling degenerates to identity)
+    val all = Sampling.mixtureTemperature(df, "id", "dom", tau = 1.0)
+      .count()
+    assert(all == rows.size, s"tau=1 must keep the whole corpus: $all")
+    // tau=0.5: sqrt-flattened shares — the smallest domain binds and
+    // keeps everything; the big domains down-sample, and the realized
+    // ratio a:c contracts from 16:1 toward sqrt(16):1 = 4:1
+    val out = Sampling.mixtureTemperature(df, "id", "dom", tau = 0.5,
+        seed = "t")
+      .as[(Long, String)].collect()
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("c") == 50, "binding (smallest) domain kept whole")
+    assert(byDom("a") < 800, "dominant domain must down-sample")
+    val ratio = byDom("a").toDouble / byDom("c")
+    assert(ratio > 2.5 && ratio < 5.5,
+      s"a:c should contract toward sqrt(800/50) ≈ 4: got $ratio")
+    // the kept SET is partitioning-invariant (pure md5 draw)
+    val out2 = Sampling.mixtureTemperature(df.repartition(7), "id", "dom",
+        tau = 0.5, seed = "t")
+      .as[(Long, String)].collect()
+    assert(out2.toSet == out.toSet)
+  }
+
+  test("text chunks: layout arithmetic, overlap, boundary cases") {
+    import graft.operators.TextChunk
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),   // n < chunk -> 1 chunk of 10
+      (2L, words(64)),   // n == chunk -> exactly 1 chunk
+      (3L, words(65)),   // one token over -> 2 chunks (2nd from 48)
+      (4L, words(160)),  // 1 + ceil(96/48) = 3 chunks
+      (5L, "   "),       // zero tokens -> zero chunks
+      (6L, "a  b\tc"))   // whitespace runs collapse -> 3 tokens
+      .toDF("doc_id", "text")
+    val got = TextChunk.chunks(docs, chunkTokens = 64, overlapTokens = 16)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(!got.contains(5L), "empty doc must yield zero chunks")
+    assert(got(1L).map(t => (t._2, t._3)) == Seq((0, 10L)))
+    assert(got(2L).map(t => (t._2, t._3)) == Seq((0, 64L)))
+    assert(got(3L).map(t => (t._2, t._3)) == Seq((0, 64L), (1, 17L)),
+      s"65 tokens: second chunk covers 48..64 (17 tokens): ${got(3L)}")
+    assert(got(3L)(1)._4.split(" ").head == "w49",
+      "second chunk must start at token 49 (stride 48, 1-based)")
+    assert(got(4L).map(_._3) == Seq(64L, 64L, 64L),
+      s"160 tokens: chunks at 0/48/96 all full: ${got(4L)}")
+    // overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    val c0 = got(4L)(0)._4.split(" ")
+    val c1 = got(4L)(1)._4.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    assert(got(6L).map(t => (t._2, t._3)) == Seq((0, 3L)) &&
+      got(6L)(0)._4 == "a b c", "whitespace-normalized reconstruction")
+    intercept[IllegalArgumentException] {
+      TextChunk.chunks(docs, chunkTokens = 10, overlapTokens = 10)
+    }
+  }
+
   test("pack: string order column — exact global prefix sum, >1 bucket, no corpus-wide global window") {
     import graft.operators.Pack
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
