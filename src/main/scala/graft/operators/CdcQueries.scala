@@ -181,6 +181,24 @@ object CdcQueries {
         .orderBy("o_orderkey")
     },
 
+    // Distribution drift (PSI) between two snapshots: breaks from the
+    // OLD snapshot's exact deciles (quantile_cont parity, as
+    // q_quality_outliers), deterministic planted shift (every third
+    // order's price re-denominated +10%), Laplace-smoothed shares,
+    // psi_contrib rounded to 6 so ln() is engine-portable. The oracle
+    // restates breaks, bucketing, smoothing and the contribution
+    // formula bit-for-bit.
+    "q_quality_drift_psi" -> { (s, d) =>
+      import graft.quality.Drift
+      val li = Tables(s, d, "lineitem")
+      val oldSnap = li.select(col("l_extendedprice").as("v"))
+      val newSnap = li.select(
+        when(col("l_orderkey") % 3 === 0, col("l_extendedprice") * 1.1)
+          .otherwise(col("l_extendedprice")).as("v"))
+      Drift.psi(oldSnap, newSnap, "v", buckets = 10)
+        .orderBy("bucket")
+    },
+
     // Robust per-group outlier summary (Outliers.summary): Tukey
     // fences on events.value within event_type. Exact quartiles →
     // DuckDB quantile_cont parity (same linear interpolation as
@@ -378,6 +396,40 @@ object CdcQueries {
         |     (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate,
         |      n.o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_quality_drift_psi" ->
+      """WITH oldv AS (
+        |  SELECT l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |newv AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN l_extendedprice * 1.1
+        |         ELSE l_extendedprice END AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |br AS (
+        |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM oldv),
+        |oc AS (
+        |  SELECT len(list_filter(bs, b -> v > b)) AS bucket,
+        |    count(*) AS n_old
+        |  FROM oldv, br GROUP BY 1),
+        |nc AS (
+        |  SELECT len(list_filter(bs, b -> v > b)) AS bucket,
+        |    count(*) AS n_new
+        |  FROM newv, br GROUP BY 1),
+        |base AS (SELECT unnest(range(10)) AS bucket),
+        |j AS (
+        |  SELECT base.bucket, coalesce(oc.n_old, 0) AS n_old,
+        |    coalesce(nc.n_new, 0) AS n_new
+        |  FROM base LEFT JOIN oc USING (bucket)
+        |    LEFT JOIN nc USING (bucket)),
+        |t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM j)
+        |SELECT j.bucket, j.n_old, j.n_new,
+        |  round((CAST(n_new + 1 AS DOUBLE) / (t_new + 10)
+        |         - CAST(n_old + 1 AS DOUBLE) / (t_old + 10))
+        |    * ln((CAST(n_new + 1 AS DOUBLE) / (t_new + 10))
+        |         / (CAST(n_old + 1 AS DOUBLE) / (t_old + 10))), 6)
+        |    AS psi_contrib
+        |FROM j, t ORDER BY bucket""".stripMargin,
     "q_quality_outliers" ->
       """WITH f AS (
         |  SELECT event_type,

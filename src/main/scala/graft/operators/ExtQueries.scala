@@ -127,6 +127,34 @@ object ExtQueries {
         .limit(20)
     },
 
+    // Approximate heavy hitters (Misra-Gries, capacity 256): the
+    // bounded-memory single-pass counterpart of q_text_top_tokens for
+    // the domain-doesn't-fit regime. The gate pins the THEOREM as
+    // integer arithmetic — every exact-top-10 token heavier than
+    // n/(C+1) must be in the summary with
+    // est <= true <= est + n/(C+1) — because MG counter VALUES are
+    // merge-order-dependent (inherent) while the bound is not; a
+    // broken trim/merge flips a boolean -> red row.
+    "q_text_heavy_hitters" -> { (s, d) =>
+      val cap = 256
+      val toks = Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .localCheckpoint(true) // consumed 3x: total, exact top, sketch
+      val n = toks.count()
+      val exactTop = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(10)
+      val sk = HeavyHitters.summary(toks, "tok", cap)
+        .withColumnRenamed("item", "tok")
+      exactTop.join(sk, Seq("tok"), "left")
+        .select(col("tok"), col("n_exact"),
+          (!(col("n_exact") * (cap + 1) > lit(n)) ||
+            (col("est").isNotNull && col("est") <= col("n_exact") &&
+              (col("n_exact") - col("est")) * (cap + 1) <= lit(n)))
+            .as("ok"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    },
+
     // BM25 top-k retrieval: a fixed 5-probe query set (including one
     // query whose terms are partly absent from the corpus) against the
     // documents table; the oracle recomputes the full Okapi scoring in
@@ -1633,6 +1661,18 @@ object ExtQueries {
         |      FROM documents)
         |WHERE len(tok) > 0
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_text_heavy_hitters" ->
+      """WITH t2 AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |top AS (
+        |  SELECT tok, count(*) AS n_exact FROM t2 GROUP BY tok
+        |  ORDER BY n_exact DESC, tok LIMIT 10)
+        |SELECT tok, n_exact, true AS ok FROM top
+        |ORDER BY n_exact DESC, tok""".stripMargin,
     "q_join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer
         |           WHERE c_custkey < 2000)

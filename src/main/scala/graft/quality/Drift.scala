@@ -1,0 +1,81 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two snapshots of a numeric
+  * column — the Population Stability Index, the standard
+  * "did this feed change shape since yesterday" monitor a pipeline
+  * runs next to [[graft.cdc.Diff]] (Diff answers WHICH rows changed;
+  * PSI answers whether the DISTRIBUTION moved even when row counts
+  * look fine — a silently drifting upstream unit, a truncated feed, a
+  * re-denominated price column). Convention: PSI < 0.1 stable,
+  * 0.1–0.25 moderate shift, > 0.25 investigate.
+  *
+  * Method: bucket boundaries are the OLD snapshot's exact interpolated
+  * quantiles at i/buckets (so expected p_old ≈ 1/buckets per bucket by
+  * construction — the classic equal-population banding), both
+  * snapshots histogram into those FIXED breaks, shares are
+  * Laplace-smoothed ((n+1)/(total+buckets), so empty buckets
+  * contribute finitely instead of ±∞), and
+  * `psi_contrib = (p_new − p_old) · ln(p_new / p_old)` per bucket —
+  * `PSI = Σ contribs` ([[psiTotal]]).
+  *
+  * Scale shape: one exact-percentile aggregate over the old snapshot
+  * (ObjectHashAggregate — for a 100 TB snapshot swap in
+  * `approx_percentile` breaks; the declared key uses exact for
+  * DuckDB `quantile_cont` parity, the same equivalence
+  * `q_quality_outliers` pins), then two count-shaped histogram
+  * aggregates with the breaks as plan literals — map-side partials,
+  * one tiny shuffle each, nothing row-expanding. The old snapshot's
+  * lineage runs twice (breaks + histogram) — pass a materialized
+  * frame if it is expensive to recompute.
+  *
+  * Determinism: bucket counts are exact longs; shares are single
+  * correctly-rounded double ops in a fixed order; `psi_contrib`
+  * rounds to 6 decimals so the one non-correctly-rounded step (`ln`)
+  * is engine-portable — the oracle restates the whole derivation.
+  */
+object Drift {
+
+  /** Per-bucket drift rows `(bucket, n_old, n_new, psi_contrib)`,
+    * bucket 0..buckets−1 (every bucket present, empty ones at 0). */
+  def psi(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val row = oldSnap.where(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
+        .as("__b"))
+      .head()
+    require(!row.isNullAt(0), "old snapshot has no non-null values")
+    val breaks = row.getSeq[Double](0)
+    def bucketOf(c: Column): Column =
+      breaks.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(c > lit(b), 1).otherwise(0)
+      }
+    def hist(df: DataFrame, name: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .groupBy(bucketOf(col(valueCol).cast("double")).as("bucket"))
+        .agg(count(lit(1)).as(name))
+    val base = oldSnap.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = base
+      .join(hist(oldSnap, "n_old"), Seq("bucket"), "left")
+      .join(hist(newSnap, "n_new"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val pOld = (col("n_old") + 1).cast("double") / (col("__to") + buckets)
+    val pNew = (col("n_new") + 1).cast("double") / (col("__tn") + buckets)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_old"), col("n_new"),
+        round((pNew - pOld) * log(pNew / pOld), 6).as("psi_contrib"))
+  }
+
+  /** The scalar PSI (driver action): Σ psi_contrib. */
+  def psiTotal(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+      buckets: Int = 10): Double =
+    psi(oldSnap, newSnap, valueCol, buckets)
+      .agg(sum("psi_contrib")).head().getDouble(0)
+}

@@ -224,6 +224,32 @@ class QualitySpec extends AnyFunSuite {
     assert(Diff.snapshotDiff(o2, newSnap, Seq("k"), Seq("a")).isEmpty)
   }
 
+  test("Drift PSI: zero on identical, positive on shift, finite on empty buckets") {
+    import graft.quality.Drift
+    val old = (1 to 1000).map(_.toDouble).toDF("v")
+    // identical snapshots: every contrib is exactly 0.0
+    val same = Drift.psi(old, old, "v")
+      .select("psi_contrib").as[Double].collect()
+    assert(same.length == 10 && same.forall(_ == 0.0), same.toSeq.toString)
+    // hard right-shift: mass leaves the low buckets -> PSI well over
+    // the 0.25 "investigate" convention
+    val shifted = (1 to 1000).map(i => i.toDouble + 500).toDF("v")
+    val psiS = Drift.psiTotal(old, shifted, "v")
+    assert(psiS > 0.25, s"hard shift must flag: $psiS")
+    // mild shift scores lower than the hard one but still nonzero
+    val mild = (1 to 1000).map(i => i.toDouble + 30).toDF("v")
+    val psiM = Drift.psiTotal(old, mild, "v")
+    assert(psiM > 0.0 && psiM < psiS, s"mild $psiM vs hard $psiS")
+    // new values entirely above the old range: 9 empty new-side
+    // buckets, Laplace smoothing keeps every contrib finite
+    val disjoint = (5000 to 5100).map(_.toDouble).toDF("v")
+    val rows = Drift.psi(old, disjoint, "v")
+      .select("n_new", "psi_contrib").as[(Long, Double)].collect()
+    assert(rows.count(_._1 == 0L) == 9 &&
+      rows.forall(r => !r._2.isNaN && !r._2.isInfinite), rows.toSeq.toString)
+    assert(rows.map(_._1).sum == 101L, "every new row lands in a bucket")
+  }
+
   test("Diff: keys-only tables degrade to added/removed, never error") {
     import graft.cdc.Diff
     // no common non-key columns -> empty digest surface; `changed` is

@@ -62,4 +62,48 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 1500.0) <= 1500 * 0.05,
       s"overlapping-batch union must estimate the true 1500: $est")
   }
+
+  test("Misra-Gries: exact below capacity; bound + recall under skew") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HeavyHitters
+    // distinct items <= capacity: no trim ever fires -> exact counts
+    val small = (1 to 300).map(i => s"item${i % 20}").toDF("x")
+    val exactly = HeavyHitters.summary(small, "x", capacity = 32)
+      .as[(String, Long)].collect().toMap
+    assert(exactly == (0 until 20).map(i => s"item$i" -> 15L).toMap,
+      s"below capacity the summary IS the exact histogram: $exactly")
+
+    // Zipf-ish skew over a domain >> capacity: planted heavies must be
+    // present with the MG bound, regardless of partition layout
+    val cap = 16
+    val rows = (0 until 8).flatMap(h =>
+      Seq.fill(1000 - h * 50)(s"heavy$h")) ++
+      (0 until 4000).map(i => s"tail$i")
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("x").repartition(parts)
+      val sk = HeavyHitters.summary(df, "x", cap)
+        .as[(String, Long)].collect().toMap
+      assert(sk.size <= cap)
+      (0 until 8).foreach { h =>
+        val truth = 1000L - h * 50
+        assert(truth * (cap + 1) > n,
+          "fixture precondition: every heavy exceeds n/(cap+1)")
+        val est = sk.get(s"heavy$h")
+        assert(est.isDefined,
+          s"heavy$h (true $truth > n/${cap + 1}) missing at parts=$parts: $sk")
+        assert(est.get <= truth && (truth - est.get) * (cap + 1) <= n,
+          s"heavy$h bound violated at parts=$parts: est=${est.get} true=$truth")
+      }
+    }
+
+    // per-group variant: each group's heavies recovered independently
+    val grouped = Seq("a", "b").flatMap(g =>
+      Seq.fill(500)((g, s"$g-hot")) ++ (0 until 800).map(i => (g, s"$g-t$i")))
+      .toDF("g", "x")
+    val pg = HeavyHitters.summaryPerGroup(grouped, Seq("g"), "x", 16)
+      .as[(String, String, Long)].collect()
+    assert(pg.exists(r => r._1 == "a" && r._2 == "a-hot") &&
+      pg.exists(r => r._1 == "b" && r._2 == "b-hot"))
+  }
 }
