@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.Kernels
-import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, IncrementalDedup, Ivf, Layout, NaiveBayes, Pack, Pq, TextLm, TextSearch}
+import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, HeavyHitters, IncrementalDedup, Ivf, Layout, NaiveBayes, Pack, Pq, TextChunk, TextLm, TextSearch}
 import graft.streaming.DedupMicroBatch
 
 /** Synthetic scale-up harness — the measured evidence that the scale
@@ -228,6 +228,28 @@ object ScaleBench {
     val (tBpeT1, tBpeC1, nM1) = bpeAt(docs1)
     val (tBpeTF, tBpeCF, nMF) = bpeAt(docsF)
 
+    // ---- sliding-window chunking: map-only explode whose OUTPUT is
+    // corpus × (1 + overlap/stride) — the duplication factor is fixed
+    // by the parameters, so the leg is linear by construction and
+    // measures the explode+slice constant at full growth.
+    def chunkAt(docs: DataFrame) = timed(runs)(
+      consume(TextChunk.chunks(docs, chunkTokens = 64, overlapTokens = 16)))
+    val (tChk1, csChk1) = chunkAt(docs1)
+    val (tChkF, csChkF) = chunkAt(docsF)
+
+    // ---- Misra-Gries heavy hitters (capacity 256): single pass,
+    // C-bounded map-side partials. Content-token suffixing grows the
+    // DISTINCT token domain ~f× while the verbatim function words stay
+    // the heavies — exactly the domain-doesn't-fit regime the sketch
+    // exists for; cost must track corpus tokens, never distinct count.
+    def hhAt(docs: DataFrame) = timed(runs)(
+      consume(HeavyHitters.summary(
+        docs.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0),
+        "tok", capacity = 256)))
+    val (tHh1, csHh1) = hhAt(docs1)
+    val (tHhF, csHhF) = hhAt(docsF)
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -426,6 +448,10 @@ object ScaleBench {
       s""""bpe_train_1x":${f2(tBpeT1)},"bpe_train_fx":${f2(tBpeTF)},""" +
       s""""bpe_count_1x":${f2(tBpeC1)},"bpe_count_fx":${f2(tBpeCF)},""" +
       s""""bpe_count_xlin":${xlin(tBpeC1, tBpeCF)},"bpe_merges":[$nM1,$nMF],""" +
+      s""""chunk_1x":${f2(tChk1)},"chunk_fx":${f2(tChkF)},"chunk_xlin":${xlin(tChk1, tChkF)},""" +
+      s""""chunk_rows":[${csChk1._1},${csChkF._1}],""" +
+      s""""hh_1x":${f2(tHh1)},"hh_fx":${f2(tHhF)},"hh_xlin":${xlin(tHh1, tHhF)},""" +
+      s""""hh_rows":[${csHh1._1},${csHhF._1}],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
       s""""diff_1x":${f2(tDiff1)},"diff_fx":${f2(tDiffF)},"diff_xlin":${xlin(tDiff1, tDiffF)},""" +
       s""""diff_rows":[${csDiff1._1},${csDiffF._1}],""" +

@@ -199,6 +199,21 @@ object CdcQueries {
         .orderBy("bucket")
     },
 
+    // Categorical PSI: buckets = old snapshot's top-K categories +
+    // __other__ (a NEW category surfaces as __other__ growth instead
+    // of vanishing); planted shift relabels every 4th event to a type
+    // the old snapshot never saw.
+    "q_quality_drift_cat" -> { (s, d) =>
+      import graft.quality.Drift
+      val ev = Tables(s, d, "events")
+      val oldSnap = ev.select(col("event_type").as("c"))
+      val newSnap = ev.select(
+        when(col("event_id") % 4 === 0, lit("promo"))
+          .otherwise(col("event_type")).as("c"))
+      Drift.psiCategorical(oldSnap, newSnap, "c", topK = 5)
+        .orderBy("category")
+    },
+
     // Robust per-group outlier summary (Outliers.summary): Tukey
     // fences on events.value within event_type. Exact quartiles →
     // DuckDB quantile_cont parity (same linear interpolation as
@@ -430,6 +445,44 @@ object CdcQueries {
         |         / (CAST(n_old + 1 AS DOUBLE) / (t_old + 10))), 6)
         |    AS psi_contrib
         |FROM j, t ORDER BY bucket""".stripMargin,
+    "q_quality_drift_cat" ->
+      """WITH oldv AS (SELECT event_type AS c FROM events),
+        |newv AS (
+        |  SELECT CASE WHEN event_id % 4 = 0 THEN 'promo'
+        |         ELSE event_type END AS c
+        |  FROM events),
+        |top AS (
+        |  SELECT c FROM (
+        |    SELECT c, count(*) AS n FROM oldv
+        |    WHERE c IS NOT NULL AND c <> '__other__'
+        |    GROUP BY c ORDER BY n DESC, c LIMIT 5)),
+        |k AS (SELECT count(*) + 1 AS ncats FROM top),
+        |base AS (
+        |  SELECT c AS category FROM top
+        |  UNION ALL SELECT '__other__'),
+        |oc AS (
+        |  SELECT CASE WHEN c IS NULL OR c NOT IN (SELECT c FROM top)
+        |         THEN '__other__' ELSE c END AS category,
+        |    count(*) AS n_old
+        |  FROM oldv GROUP BY 1),
+        |nc AS (
+        |  SELECT CASE WHEN c IS NULL OR c NOT IN (SELECT c FROM top)
+        |         THEN '__other__' ELSE c END AS category,
+        |    count(*) AS n_new
+        |  FROM newv GROUP BY 1),
+        |j AS (
+        |  SELECT base.category, coalesce(oc.n_old, 0) AS n_old,
+        |    coalesce(nc.n_new, 0) AS n_new
+        |  FROM base LEFT JOIN oc USING (category)
+        |    LEFT JOIN nc USING (category)),
+        |t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM j)
+        |SELECT j.category, j.n_old, j.n_new,
+        |  round((CAST(n_new + 1 AS DOUBLE) / (t_new + k.ncats)
+        |         - CAST(n_old + 1 AS DOUBLE) / (t_old + k.ncats))
+        |    * ln((CAST(n_new + 1 AS DOUBLE) / (t_new + k.ncats))
+        |         / (CAST(n_old + 1 AS DOUBLE) / (t_old + k.ncats))), 6)
+        |    AS psi_contrib
+        |FROM j, t, k ORDER BY category""".stripMargin,
     "q_quality_outliers" ->
       """WITH f AS (
         |  SELECT event_type,

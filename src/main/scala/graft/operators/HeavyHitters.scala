@@ -43,11 +43,16 @@ object HeavyHitters {
 
     override def zero: Map[String, Long] = Map.empty
 
-    /** Subtract the (capacity+1)-th largest value, drop non-positive. */
+    /** Subtract the (capacity+1)-th largest value, drop non-positive.
+      * On the per-ROW path the buffer has exactly capacity+1 entries,
+      * so the (C+1)-th largest IS the minimum — O(C), no sort; only
+      * the (rare, per-merge) >C+1 case pays a selection sort. */
     private def trim(b: Map[String, Long]): Map[String, Long] =
       if (b.size <= capacity) b
       else {
-        val d = b.valuesIterator.toArray.sortBy(-_).apply(capacity)
+        val d =
+          if (b.size == capacity + 1) b.valuesIterator.min
+          else b.valuesIterator.toArray.sortBy(-_).apply(capacity)
         b.flatMap { case (k, v) =>
           if (v - d > 0L) Some(k -> (v - d)) else None
         }
@@ -79,8 +84,10 @@ object HeavyHitters {
   def summary(df: DataFrame, itemCol: String, capacity: Int,
       weight: Column = lit(1L)): DataFrame = {
     val agg = udaf(new MgAgg(capacity))
+    // NULL weights coalesce to 0 (skipped by the aggregator's w<=0
+    // guard) — a raw NULL would fail the primitive-Long input decode
     df.select(col(itemCol).cast("string").as("__i"),
-        weight.cast("long").as("__w"))
+        coalesce(weight.cast("long"), lit(0L)).as("__w"))
       .where(col("__i").isNotNull)
       .agg(agg(col("__i"), col("__w")).as("__mg"))
       .select(explode(col("__mg")).as(Seq("item", "est")))
@@ -94,7 +101,7 @@ object HeavyHitters {
     val agg = udaf(new MgAgg(capacity))
     df.select((groupCols.map(col) :+
         col(itemCol).cast("string").as("__i") :+
-        weight.cast("long").as("__w")): _*)
+        coalesce(weight.cast("long"), lit(0L)).as("__w")): _*)
       .where(col("__i").isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col("__i"), col("__w")).as("__mg"))

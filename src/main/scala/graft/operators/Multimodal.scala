@@ -306,8 +306,15 @@ object Multimodal {
     * `(id_a, id_b, hamming)`. Scale shape: the corpus is decoded
     * once map-side into 9-byte rows; the band join carries
     * (id, 64-bit hash) only — never pixels. */
-  def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val hashes = perceptualHashes(media).toDF().localCheckpoint(true)
+  def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    pairsFromHashes(perceptualHashes(media).toDF().localCheckpoint(true),
+      maxHamming)
+
+  /** Pair search over an already-materialized hashes frame — shared by
+    * [[phashDupPairs]] and [[phashDedup]] so the decode pass (the
+    * expensive part) runs exactly once per entry point. */
+  private def pairsFromHashes(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
     val pairs = Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming)
     def flags(s: String) = hashes.select(col("media_id").as(s"id_$s"),
       col("decoded").as(s"__dec_$s"))
@@ -324,9 +331,12 @@ object Multimodal {
     * id for unduplicated media. `media.select(...).join(...)` on
     * `canon_id === media_id` is then the deduped corpus. */
   def phashDedup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // hash once (the decode IS the cost); both the pair search and the
+    // id universe read the checkpointed 9-byte rows, never the payloads
+    val hashes = perceptualHashes(media).toDF().localCheckpoint(true)
     val reps = Dedup.clusters(
-      phashDupPairs(media, maxHamming).select("id_a", "id_b"))
-    media.select(col("media_id"))
+      pairsFromHashes(hashes, maxHamming).select("id_a", "id_b"))
+    hashes.select(col("media_id"))
       .join(reps.withColumnRenamed("doc_id", "media_id"), Seq("media_id"),
         "left")
       .select(col("media_id"),

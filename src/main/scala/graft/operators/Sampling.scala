@@ -146,13 +146,16 @@ object Sampling {
     * binding domain keeps fraction 1, [[mixtureBy]] semantics).
     * Target shares are computed FROM the corpus: one K-domain
     * aggregate (driver-held model state, like [[mixtureBy]]'s
-    * totals), then `q_d = floor(W_d^τ · 10⁶)` — integer quantization
-    * so the shares are ratios of exact longs and the whole
-    * downstream draw stays bit-reproducible cross-engine. τ = 0.5
+    * totals), then `q_d = floor((W_d / ΣW)^τ · 10⁹)` — NORMALIZED
+    * before quantizing so no Long ever saturates at any corpus size,
+    * and integer-quantized so the shares are ratios of exact longs
+    * and the whole downstream draw stays bit-reproducible
+    * cross-engine. τ = 1 short-circuits to the identity mix (corpus
+    * restricted to positive-weight domains, no draw). τ = 0.5
     * evaluates via `sqrt` (IEEE-correctly-rounded on every engine);
     * other τ use `pow`, whose last ulp is engine-specific — the
-    * quantization confines any cross-engine flip to weights within
-    * one part in 10⁶ of a quantization boundary (the oracle-gated
+    * quantization confines any cross-engine flip to shares within
+    * one part in 10⁹ of a quantization boundary (the oracle-gated
     * key uses τ = 0.5). Zero-weight and NULL domains drop (they have
     * nothing to contribute). */
   def mixtureTemperature(df: DataFrame, idCol: String, domainCol: String,
@@ -165,14 +168,34 @@ object Sampling {
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .filter(_._2 > 0L).sortBy(_._1).toSeq
     require(totals.nonEmpty, "mixtureTemperature: no positive-weight domains")
-    def powT(w: Long): Double =
-      if (tau == 1.0) w.toDouble
-      else if (tau == 0.5) math.sqrt(w.toDouble)
-      else math.pow(w.toDouble, tau)
-    val q = totals.map { case (d, w) => d -> math.floor(powT(w) * 1e6).toLong }
-    val qsum = q.map(_._2).sum
-    val shares = q.map { case (d, v) => d -> v.toDouble / qsum }
-    mixtureBy(df, idCol, domainCol, shares, weight, seed)
+    if (tau == 1.0) {
+      // exponent 1 is the identity mix: every positive-weight domain's
+      // keep fraction is exactly 1, so return the corpus restricted to
+      // those domains WITHOUT a draw — a derived-shares round trip
+      // could lose rows to double rounding at the f == 1.0 boundary.
+      val doms = totals.map(_._1)
+      df.where(col(domainCol).isNotNull &&
+        col(domainCol).cast("string").isin(doms: _*))
+    } else {
+      // Quantize NORMALIZED shares, not raw weights: p_d ∈ (0, 1], so
+      // floor(p^τ · 10⁹) ≤ 10⁹ never saturates a Long (raw token
+      // weights at 100 TB would overflow W·10⁶), and qsum ≤ K·10⁹.
+      // The weight total is an exact long sum (≫ any real corpus's
+      // token count before 2⁶³). Domains whose share quantizes to 0
+      // (p^τ < 10⁻⁹) drop — they were sub-ppb of the mix.
+      val wSum = totals.map(_._2).sum
+      def powT(p: Double): Double =
+        if (tau == 0.5) math.sqrt(p) else math.pow(p, tau)
+      val q = totals
+        .map { case (d, w) =>
+          d -> math.floor(powT(w.toDouble / wSum) * 1e9).toLong
+        }
+        .filter(_._2 > 0L)
+      require(q.nonEmpty, "mixtureTemperature: all shares quantized to 0")
+      val qsum = q.map(_._2).sum
+      val shares = q.map { case (d, v) => d -> v.toDouble / qsum }
+      mixtureBy(df, idCol, domainCol, shares, weight, seed)
+    }
   }
 
   /** Deterministic weighted sample WITHOUT replacement: the `k` rows

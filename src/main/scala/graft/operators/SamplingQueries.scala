@@ -180,14 +180,16 @@ object SamplingQueries {
         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
         |q AS (
         |  SELECT source,
-        |    CAST(floor(sqrt(CAST(w AS DOUBLE)) * 1000000.0) AS BIGINT)
-        |      AS qv, w
+        |    CAST(floor(sqrt(CAST(w AS DOUBLE)
+        |        / (SELECT sum(w) FROM cnt))
+        |      * 1000000000.0) AS BIGINT) AS qv, w
         |  FROM cnt WHERE w > 0),
-        |qs AS (SELECT sum(qv) AS qsum FROM q),
+        |q2 AS (SELECT * FROM q WHERE qv > 0),
+        |qs AS (SELECT sum(qv) AS qsum FROM q2),
         |j AS (
         |  SELECT source, CAST(qv AS DOUBLE) / qsum AS s,
         |    CAST(w AS DOUBLE) AS n
-        |  FROM q, qs),
+        |  FROM q2, qs),
         |fr AS (
         |  SELECT source, s * (SELECT min(n / s) FROM j) / n AS f FROM j)
         |SELECT d.doc_id, d.source

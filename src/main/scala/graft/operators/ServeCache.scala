@@ -31,13 +31,8 @@ final class ServeCache(capacity: Int, prefix: String) {
   private val roots = new java.util.LinkedHashMap[String, String](16, 0.75f, true)
 
   private def deleteRec(root: String): Unit = {
-    val dir = java.nio.file.Paths.get(root)
-    if (Files.exists(dir)) {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      finally walk.close()
-    }
+    ServeCache.liveRoots.remove(root)
+    ServeCache.deleteDir(root)
   }
 
   /** Root for `key`, building (into a fresh temp dir) on first
@@ -52,7 +47,7 @@ final class ServeCache(capacity: Int, prefix: String) {
     else {
       val dir = Files.createTempDirectory(prefix)
       val r = dir.toString
-      sys.addShutdownHook(deleteRec(r)) // JVM-exit backstop
+      ServeCache.track(r) // JVM-exit backstop — ONE hook, shared set
       try build(r)
       catch { case e: Throwable => deleteRec(r); throw e }
       roots.put(key, r)
@@ -74,4 +69,39 @@ final class ServeCache(capacity: Int, prefix: String) {
   }
 
   private[graft] def size: Int = synchronized(roots.size)
+}
+
+object ServeCache {
+
+  /** Roots awaiting JVM-exit cleanup. ONE shutdown hook iterates this
+    * set — registering a hook Thread per build would accumulate
+    * unboundedly in exactly the long-lived serving process the class
+    * targets (eviction deletes the dir but a per-dir hook would keep
+    * its Thread until exit). `deleteRec` removes evicted roots so the
+    * set tracks only live directories. */
+  private val liveRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val installHook: Unit = {
+    sys.addShutdownHook {
+      liveRoots.forEach(r => deleteDir(r))
+    }
+    ()
+  }
+
+  private def track(root: String): Unit = {
+    installHook
+    liveRoots.add(root)
+    ()
+  }
+
+  private def deleteDir(root: String): Unit = {
+    val dir = java.nio.file.Paths.get(root)
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
 }

@@ -78,4 +78,47 @@ object Drift {
       buckets: Int = 10): Double =
     psi(oldSnap, newSnap, valueCol, buckets)
       .agg(sum("psi_contrib")).head().getDouble(0)
+
+  /** [[psi]] for a CATEGORICAL column: buckets are the old snapshot's
+    * `topK` most frequent categories (ties by category — a bounded,
+    * deterministic driver collect, the Ivf-centroids pattern) plus one
+    * `__other__` catch-all, so a new category appearing in the new
+    * snapshot surfaces as `__other__` growth instead of being
+    * invisible. Same smoothing and contribution formula; rows are
+    * `(category, n_old, n_new, psi_contrib)`. NULL categories count
+    * into `__other__` (a feed that starts emitting NULLs is drift),
+    * and so does a category literally NAMED `__other__` — it is
+    * excluded from the top-K by construction so the catch-all bucket
+    * can never collide with (and double-count against) a real one. */
+  def psiCategorical(oldSnap: DataFrame, newSnap: DataFrame,
+      catCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val top = oldSnap
+      .groupBy(col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__c").isNotNull && col("__c") =!= "__other__")
+      .orderBy(col("__n").desc, col("__c"))
+      .limit(topK)
+      .select("__c").collect().map(_.getString(0)).toSeq
+    val nCats = top.size + 1 // + __other__
+    def catOf(c: Column): Column =
+      when(c.isNull || !c.isin(top: _*), lit("__other__"))
+        .otherwise(c.cast("string"))
+    def hist(df: DataFrame, name: String): DataFrame =
+      df.groupBy(catOf(col(catCol)).as("category"))
+        .agg(count(lit(1)).as(name))
+    val spark = oldSnap.sparkSession
+    import spark.implicits._
+    val base = (top :+ "__other__").toDF("category")
+    val joined = base
+      .join(hist(oldSnap, "n_old"), Seq("category"), "left")
+      .join(hist(newSnap, "n_new"), Seq("category"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val pOld = (col("n_old") + 1).cast("double") / (col("__to") + nCats)
+    val pNew = (col("n_new") + 1).cast("double") / (col("__tn") + nCats)
+    joined.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_old"), col("n_new"),
+        round((pNew - pOld) * log(pNew / pOld), 6).as("psi_contrib"))
+  }
 }

@@ -250,6 +250,33 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.map(_._1).sum == 101L, "every new row lands in a bucket")
   }
 
+  test("Drift categorical: new category lands in __other__, identical is zero") {
+    import graft.quality.Drift
+    val old = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(200)("c"))
+      .toDF("c")
+    val same = Drift.psiCategorical(old, old, "c", topK = 3)
+      .select("psi_contrib").as[Double].collect()
+    assert(same.length == 4 && same.forall(_ == 0.0), same.toSeq.toString)
+    // half of category a re-labels to a NEVER-SEEN category: it must
+    // surface as __other__ growth, not silently vanish
+    val renamed = (Seq.fill(250)("a") ++ Seq.fill(250)("zz") ++
+      Seq.fill(300)("b") ++ Seq.fill(200)("c")).toDF("c")
+    val rows = Drift.psiCategorical(old, renamed, "c", topK = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("__other__")._1 == 0L && rows("__other__")._2 == 250L,
+      s"unseen category must count as __other__: $rows")
+    assert(rows("__other__")._3 > 0.0 && rows("a")._3 > 0.0,
+      s"both the drained and the catch-all bucket contribute: $rows")
+    // NULLs are __other__ too (a feed going NULL is drift)
+    val withNulls = (Seq.fill(500)(Option("a")) ++ Seq.fill(500)(Option.empty[String]))
+      .toDF("c")
+    val n = Drift.psiCategorical(old, withNulls, "c", topK = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(n("__other__") == 500L)
+  }
+
   test("Diff: keys-only tables degrade to added/removed, never error") {
     import graft.cdc.Diff
     // no common non-key columns -> empty digest surface; `changed` is
