@@ -103,6 +103,11 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the status store retains per-execution plan state even with the
+      // UI off; a ~20-leg × runs harness accumulates enough of it to
+      // crowd the forced driver-union-find leg's 35M-tuple collect out
+      // of an 8g heap (measured r15: OOM with the default 1000)
+      .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("scalebench").toString
