@@ -184,17 +184,19 @@ object CdcQueries {
     // Distribution drift (PSI) between two snapshots: breaks from the
     // OLD snapshot's exact deciles (quantile_cont parity, as
     // q_quality_outliers), deterministic planted shift (every third
-    // order's price re-denominated +10%), Laplace-smoothed shares,
+    // event's value re-denominated +15%), Laplace-smoothed shares,
     // psi_contrib rounded to 6 so ln() is engine-portable. The oracle
     // restates breaks, bucketing, smoothing and the contribution
-    // formula bit-for-bit.
+    // formula bit-for-bit. Exact percentile's global-column form is a
+    // single-task merge by construction (the parity contract); the
+    // 100 TB path swaps approx_percentile breaks (Drift scaladoc).
     "q_quality_drift_psi" -> { (s, d) =>
       import graft.quality.Drift
-      val li = Tables(s, d, "lineitem")
-      val oldSnap = li.select(col("l_extendedprice").as("v"))
-      val newSnap = li.select(
-        when(col("l_orderkey") % 3 === 0, col("l_extendedprice") * 1.1)
-          .otherwise(col("l_extendedprice")).as("v"))
+      val ev = Tables(s, d, "events")
+      val oldSnap = ev.select(col("value").as("v"))
+      val newSnap = ev.select(
+        when(col("event_id") % 3 === 0, col("value") * 1.15)
+          .otherwise(col("value")).as("v"))
       Drift.psi(oldSnap, newSnap, "v", buckets = 10)
         .orderBy("bucket")
     },
@@ -413,12 +415,11 @@ object CdcQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q_quality_drift_psi" ->
       """WITH oldv AS (
-        |  SELECT l_extendedprice AS v FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL),
+        |  SELECT value AS v FROM events WHERE value IS NOT NULL),
         |newv AS (
-        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN l_extendedprice * 1.1
-        |         ELSE l_extendedprice END AS v
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN value * 1.15
+        |         ELSE value END AS v
+        |  FROM events WHERE value IS NOT NULL),
         |br AS (
         |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
         |    0.6, 0.7, 0.8, 0.9]) AS bs

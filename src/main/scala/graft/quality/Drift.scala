@@ -60,10 +60,15 @@ object Drift {
         .agg(count(lit(1)).as(name))
     val base = oldSnap.sparkSession.range(buckets)
       .select(col("id").cast("int").as("bucket"))
+    // the histogram frame is |buckets| rows but its LINEAGE is two
+    // full snapshot scans — pin it so the totals aggregate and the
+    // returned frame don't re-execute those scans (they would: both
+    // consume `joined`)
     val joined = base
       .join(hist(oldSnap, "n_old"), Seq("bucket"), "left")
       .join(hist(newSnap, "n_new"), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_old", "n_new"))
+      .localCheckpoint(true)
     val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
     val pOld = (col("n_old") + 1).cast("double") / (col("__to") + buckets)
     val pNew = (col("n_new") + 1).cast("double") / (col("__tn") + buckets)
@@ -114,6 +119,7 @@ object Drift {
       .join(hist(oldSnap, "n_old"), Seq("category"), "left")
       .join(hist(newSnap, "n_new"), Seq("category"), "left")
       .na.fill(0L, Seq("n_old", "n_new"))
+      .localCheckpoint(true) // see psi: K rows, snapshot-scan lineage
     val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
     val pOld = (col("n_old") + 1).cast("double") / (col("__to") + nCats)
     val pNew = (col("n_new") + 1).cast("double") / (col("__tn") + nCats)
