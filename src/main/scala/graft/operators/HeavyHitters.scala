@@ -94,6 +94,18 @@ object HeavyHitters {
       .orderBy(col("est").desc, col("item"))
   }
 
+  /** Merge previously-computed summaries — the incremental/rollup
+    * form ([[DistinctSketch]]'s lifecycle, for frequencies): persist
+    * one C-row [[summary]] per ingest batch, then roll up by
+    * re-aggregating their `(item, est)` rows through the same MG trim
+    * with `est` as the weight. Mergeable-summaries guarantee (Agarwal
+    * et al., PODS'12): the result is a valid capacity-C summary of
+    * the CONCATENATED input — presence above n_total/(C+1), same
+    * additive bound — so history is never rescanned and any rollup
+    * costs O(batches · C) rows. */
+  def merge(summaries: DataFrame, capacity: Int): DataFrame =
+    summary(summaries, "item", capacity, weight = col("est"))
+
   /** [[summary]] per group: `(groupCols*, item, est)`. */
   def summaryPerGroup(df: DataFrame, groupCols: Seq[String],
       itemCol: String, capacity: Int,

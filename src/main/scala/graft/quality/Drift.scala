@@ -49,7 +49,39 @@ object Drift {
         .as("__b"))
       .head()
     require(!row.isNullAt(0), "old snapshot has no non-null values")
-    val breaks = row.getSeq[Double](0)
+    withBreaks(oldSnap, newSnap, valueCol, buckets, row.getSeq[Double](0))
+  }
+
+  /** The scalar PSI (driver action): Σ psi_contrib. */
+  def psiTotal(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+      buckets: Int = 10): Double =
+    psi(oldSnap, newSnap, valueCol, buckets)
+      .agg(sum("psi_contrib")).head().getDouble(0)
+
+  /** [[psi]] with GK-sketch breaks — the 100 TB path (the
+    * [[Outliers.flagApprox]] relationship): `approx_percentile` is a
+    * mergeable bounded-memory sketch with map-side partials, so the
+    * break computation never funnels the column through one task the
+    * way exact interpolated percentile must. A value within ε·n ranks
+    * of a break (ε ≈ 1/accuracy) may land one bucket over relative to
+    * [[psi]] — spec-tested against the exact bucketing, not
+    * oracle-pinnable (engine-specific sketch). */
+  def psiApprox(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
+      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val row = oldSnap.where(col(valueCol).isNotNull)
+      .agg(expr(s"approx_percentile($valueCol, " +
+        s"array(${ps.mkString(", ")}), $accuracy)").as("__b"))
+      .head()
+    require(!row.isNullAt(0), "old snapshot has no non-null values")
+    withBreaks(oldSnap, newSnap, valueCol, buckets, row.getSeq[Double](0))
+  }
+
+  /** Histogram + smoothing + contribution over given breaks — the
+    * shared tail of [[psi]] and [[psiApprox]]. */
+  private def withBreaks(oldSnap: DataFrame, newSnap: DataFrame,
+      valueCol: String, buckets: Int, breaks: Seq[Double]): DataFrame = {
     def bucketOf(c: Column): Column =
       breaks.foldLeft(lit(0)) { (acc, b) =>
         acc + when(c > lit(b), 1).otherwise(0)
@@ -60,10 +92,7 @@ object Drift {
         .agg(count(lit(1)).as(name))
     val base = oldSnap.sparkSession.range(buckets)
       .select(col("id").cast("int").as("bucket"))
-    // the histogram frame is |buckets| rows but its LINEAGE is two
-    // full snapshot scans — pin it so the totals aggregate and the
-    // returned frame don't re-execute those scans (they would: both
-    // consume `joined`)
+    // K rows, snapshot-scan lineage: pin so totals + output read once
     val joined = base
       .join(hist(oldSnap, "n_old"), Seq("bucket"), "left")
       .join(hist(newSnap, "n_new"), Seq("bucket"), "left")
@@ -77,12 +106,6 @@ object Drift {
         col("n_old"), col("n_new"),
         round((pNew - pOld) * log(pNew / pOld), 6).as("psi_contrib"))
   }
-
-  /** The scalar PSI (driver action): Σ psi_contrib. */
-  def psiTotal(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
-      buckets: Int = 10): Double =
-    psi(oldSnap, newSnap, valueCol, buckets)
-      .agg(sum("psi_contrib")).head().getDouble(0)
 
   /** [[psi]] for a CATEGORICAL column: buckets are the old snapshot's
     * `topK` most frequent categories (ties by category — a bounded,

@@ -250,6 +250,19 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.map(_._1).sum == 101L, "every new row lands in a bucket")
   }
 
+  test("Drift PSI approx path agrees with exact on a small frame") {
+    import graft.quality.Drift
+    val old = (1 to 2000).map(_.toDouble).toDF("v")
+    val shifted = (1 to 2000).map(i => i.toDouble + 300).toDF("v")
+    val exact = Drift.psi(old, shifted, "v")
+      .collect().map(_.toSeq).toSeq
+    // at accuracy 10000 on 2000 rows the GK sketch returns exact
+    // quantiles, so the whole frame matches bucket for bucket
+    val approx = Drift.psiApprox(old, shifted, "v")
+      .collect().map(_.toSeq).toSeq
+    assert(approx == exact && exact.nonEmpty)
+  }
+
   test("Drift categorical: new category lands in __other__, identical is zero") {
     import graft.quality.Drift
     val old = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(200)("c"))

@@ -97,6 +97,25 @@ class SketchSpec extends AnyFunSuite {
       }
     }
 
+    // incremental rollup: per-batch summaries merged through the same
+    // trim keep the mergeable-summaries bound against the TOTAL stream
+    val batched = (0 until 4).map { b =>
+      HeavyHitters.summary(
+        rows.zipWithIndex.filter(_._2 % 4 == b).map(_._1).toDF("x"),
+        "x", cap)
+    }
+    val merged = HeavyHitters.merge(
+      batched.reduce(_ unionByName _), cap)
+      .as[(String, Long)].collect().toMap
+    assert(merged.size <= cap)
+    (0 until 8).foreach { h =>
+      val truth = 1000L - h * 50
+      val est = merged.get(s"heavy$h")
+      assert(est.isDefined, s"heavy$h missing after batch merge: $merged")
+      assert(est.get <= truth && (truth - est.get) * (cap + 1) <= n,
+        s"heavy$h merge bound violated: est=${est.get} true=$truth n=$n")
+    }
+
     // per-group variant: each group's heavies recovered independently
     val grouped = Seq("a", "b").flatMap(g =>
       Seq.fill(500)((g, s"$g-hot")) ++ (0 until 800).map(i => (g, s"$g-t$i")))
