@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AggQueries, CdcQueries, CoreQueries, ExtQueries, SamplingQueries, SchemaQueries, ShapeQueries, StreamQueries}
+import graft.operators.{AggQueries, CdcQueries, CoreQueries, ExtQueries, FeatureQueries, SamplingQueries, SchemaQueries, ShapeQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,7 +38,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AggQueries.queries ++ CdcQueries.queries ++
       SchemaQueries.queries ++ ExtQueries.queries ++ StreamQueries.queries ++
-      ShapeQueries.queries ++ SamplingQueries.queries
+      ShapeQueries.queries ++ SamplingQueries.queries ++
+      FeatureQueries.queries
 
   /** Verify-only quality gates (approx-sketch ε-gates, near-dup
     * recall/subset gates, ANN optimality/recall gates). Same-named keys
@@ -64,5 +65,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ AggQueries.oracle ++ CdcQueries.oracle ++
       SchemaQueries.oracle ++ ExtQueries.oracle ++ StreamQueries.oracle ++
-      ShapeQueries.oracle ++ SamplingQueries.oracle
+      ShapeQueries.oracle ++ SamplingQueries.oracle ++
+      FeatureQueries.oracle
 }

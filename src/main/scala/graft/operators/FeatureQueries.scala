@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Feature-engineering + corpus-analytics keys (extension scope,
+  * repo:BASELINE.json): the pre-training "know your corpus / build
+  * your features" operators a 100 TB pipeline runs before and after
+  * curation — composition reports, per-group normalization,
+  * equi-depth binning, per-class embedding centroids, and link-graph
+  * centrality ([[Graph.pagerank]]).
+  *
+  * Every key here is pure arithmetic over exact inputs, so each has
+  * a full DuckDB oracle (rounded where float summation order
+  * differs across engines).
+  */
+object FeatureQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Corpus composition report: docs/chars/tokens by lang × source
+    // with corpus fractions — the first table every training-mixture
+    // design doc contains. One shuffle to the group, O(|groups|)
+    // window for the fractions.
+    "q_corpus_stats" -> { (s, d) =>
+      val g = Tables(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+      g.withColumn("doc_frac",
+          round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 6))
+        .withColumn("token_frac",
+          round(col("n_tokens") / sum("n_tokens").over(Window.partitionBy()),
+            6))
+        .orderBy("lang", "source")
+    },
+
+    // Per-group feature scaling: z-score (mean/stddev) and robust
+    // (median/IQR) normalization of a metric column. GroupBy-stats +
+    // broadcast join back — the 100 TB shape (the stats side is
+    // |groups| rows; no per-row window state).
+    "q_feature_scale" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val stats = ev.groupBy("event_type").agg(
+        avg("value").as("mu"),
+        stddev_samp("value").as("sigma"),
+        expr("percentile(value, 0.5D)").as("med"),
+        (expr("percentile(value, 0.75D)") -
+          expr("percentile(value, 0.25D)")).as("iqr"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mu")) /
+            when(col("sigma") =!= 0.0, col("sigma")), 6).as("z"),
+          round((col("value") - col("med")) /
+            when(col("iqr") =!= 0.0, col("iqr")), 6).as("robust"))
+        .orderBy("event_id")
+    },
+
+    // Equi-depth binning: decile bucket of `value` within each
+    // event_type (stratification / winsorization prep). Tie-broken
+    // by event_id so the total order — and thus the bucket of every
+    // row — is deterministic and engine-independent.
+    "q_feature_bucketize" -> { (s, d) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc_nulls_first, col("event_id"))
+      Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(10).over(w).cast("long").as("bucket"))
+        .orderBy("event_id")
+    },
+
+    // Per-label embedding centroid (mean pooling), exploded to
+    // (label, pos, centroid) rows: the SemDeDup / cluster-balancing
+    // primitive. posexplode + two-level groupBy — never collects a
+    // vector list; scales to any corpus × dim.
+    "q_embed_centroids" -> { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg("v"), 6).as("centroid"))
+        .orderBy("label", "pos")
+    },
+
+    // Link-graph centrality: damped PageRank over a deterministic
+    // lineitem-derived edge list (order-bucket → part-bucket; the
+    // distinct prime moduli guarantee dangling nodes exist, so the
+    // redistribution path is exercised). 5 unrolled iterations in
+    // the oracle.
+    "q_graph_pagerank" -> { (s, d) =>
+      val edges = Tables(s, d, "lineitem").select(
+        (col("l_orderkey") % 997).as("src"),
+        (col("l_partkey") % 1009).as("dst"))
+      Graph.pagerank(edges, iters = 5, damping = 0.85)
+        .select(col("node"), round(col("pr"), 7).as("pr"))
+        .orderBy("node")
+    })
+
+  /** Unrolled K-iteration PageRank restatement (same arithmetic
+    * shape as [[Graph.pagerank]]: (1-d)/n + d*(contrib + dm/n)). */
+  private def pagerankOracle(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 1009 AS dst
+        |  FROM lineitem),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |  FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM edges)),
+         |r$i AS (SELECT nd.node,
+         |    (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.contrib, 0)
+         |      + (SELECT dm FROM d$i)/(SELECT n FROM nn)) AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr/dg.deg) AS contrib
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg dg ON e.src = dg.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n") +
+      s"\nSELECT node, round(pr, 7) AS pr FROM r$iters ORDER BY node"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_chars, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_frac,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS token_frac
+        |FROM g ORDER BY lang, source""".stripMargin,
+    "q_feature_scale" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s.mu) / nullif(s.sigma, 0), 6) AS z,
+        |  round((e.value - s.med) / nullif(s.iqr, 0), 6) AS robust
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q_feature_bucketize" ->
+      """SELECT event_id, event_type, value,
+        |  ntile(10) OVER (PARTITION BY event_type
+        |    ORDER BY value ASC NULLS FIRST, event_id) AS bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_embed_centroids" ->
+      """SELECT label, CAST(pos - 1 AS INT) AS pos,
+        |  round(avg(v), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_graph_pagerank" -> pagerankOracle(5))
+}
