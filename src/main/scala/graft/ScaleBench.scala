@@ -434,6 +434,17 @@ object ScaleBench {
     require(csDistF == csUfF,
       s"CC paths diverge at f-scale ($nEdgesF edges): dist=$csDistF uf=$csUfF")
 
+    // ---- PageRank over the SAME dedup-graph fixtures (cliques +
+    // chain + star): per-iteration cost = one edges⋈ranks join + one
+    // partial-aggregated groupBy(dst); the star hub is the hot-dst
+    // stress (map-side combine must absorb it — no salting needed for
+    // a commutative sum). f× = disjoint copies ⇒ linear is the null.
+    def prAt(edges: DataFrame) = timed(runs)(consume(
+      graft.operators.Graph.pagerank(edges, iters = 3,
+        srcCol = "id_a", dstCol = "id_b")))
+    val (tPr1, _) = prAt(e1)
+    val (tPrF, _) = prAt(eF)
+
     def f2(d: Double) = f"$d%.2f"
     def xlin(t1: Double, tF: Double) = f2(tF / (t1 * factor))
     println(
@@ -471,7 +482,9 @@ object ScaleBench {
       s""""cc_edges":[$nEdges1,$nEdgesF],""" +
       s""""cc_uf_1x":${f2(tUf1)},"cc_dist_1x":${f2(tDist1)},""" +
       s""""cc_dist_fx":${f2(tDistF)},"cc_uf_fx":${f2(tUfF)},""" +
-      s""""cc_dist_xlin":${xlin(tDist1, tDistF)}}""")
+      s""""cc_dist_xlin":${xlin(tDist1, tDistF)},""" +
+      s""""pagerank_1x":${f2(tPr1)},"pagerank_fx":${f2(tPrF)},""" +
+      s""""pagerank_xlin":${xlin(tPr1, tPrF)}}""")
     spark.stop()
   }
 }

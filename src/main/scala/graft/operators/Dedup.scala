@@ -194,6 +194,48 @@ object Dedup {
       .drop("__lines", "__ded")
   }
 
+  /** Cross-document boilerplate removal (CCNet-style, Wenzek et al.
+    * 2020): strip every NONBLANK line whose corpus document-frequency
+    * reaches `minDf` (cookie banners, nav menus, per-site footers),
+    * preserving line order and blank lines. Returns one row per input
+    * doc with `textCol` rewritten plus `n_lines` / `n_dropped`.
+    *
+    * Scale shape: one posexplode scan (checkpointed — the df
+    * aggregate and the flag join both consume it), one
+    * partial-aggregated groupBy(line) for df, one join of the lines
+    * against the boilerplate SUBSET (df ≥ minDf — tiny next to the
+    * distinct-line universe; AQE broadcasts it when it fits), one
+    * groupBy(doc) reassembly. The df count is countDistinct(doc) so a
+    * doc repeating its own footer doesn't promote it to boilerplate.
+    * Docs whose every line is stripped come back with empty text (the
+    * doc row itself always survives). */
+  def boilerplate(docs: DataFrame, minDf: Long, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1))
+        .as(Seq("__pos", "__line")))
+      .localCheckpoint(true)
+    val boiler = lines
+      .where(trim(col("__line")) =!= "")
+      .groupBy("__line")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__line"), lit(true).as("__boiler"))
+    val flagged = lines
+      .join(boiler, Seq("__line"), "left")
+      .withColumn("__drop",
+        coalesce(col("__boiler"), lit(false)) && trim(col("__line")) =!= "")
+    val rebuilt = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("long").as("n_lines"),
+      sum(col("__drop").cast("long")).as("n_dropped"),
+      array_join(transform(
+        array_sort(collect_list(when(!col("__drop"),
+          struct(col("__pos"), col("__line"))))),
+        x => x.getField("__line")), "\n").as(textCol))
+    docs.drop(textCol).join(rebuilt, Seq(idCol), "left")
+  }
+
   def spanFlags(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", spanWords: Int = 10): DataFrame = {
     val spans = spanRows(docs, textCol, idCol, spanWords)

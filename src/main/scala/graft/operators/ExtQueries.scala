@@ -353,6 +353,47 @@ object ExtQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Cross-document boilerplate removal (CCNet-style): planted
+    // per-source header/footer lines (df ≈ docs-per-source ≫ 30)
+    // must strip; body lines keep their order. Exact df truth —
+    // full DuckDB restatement.
+    "q_text_boilerplate" -> { (s, d) =>
+      val planted = Tables(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("NOTICE "), col("source"), lit("\n"), col("text"),
+          lit("\nCOPYRIGHT "), col("source")).as("text"))
+      Dedup.boilerplate(planted, minDf = 30L)
+        .select("doc_id", "n_lines", "n_dropped", "text")
+        .orderBy("doc_id")
+    },
+
+    // Code-vs-prose detection (StarCoder/Pile-style routing
+    // heuristic): symbol density + indented-line and
+    // statement-terminator line fractions, one map-only pass of
+    // codegen'd regex built-ins. Pure integer-ratio arithmetic with
+    // the expression tree mirrored in the oracle, so the boolean cut
+    // is engine-exact.
+    "q_text_code_detect" -> { (s, d) =>
+      val t = col("text")
+      val nLines = size(split(t, "\n", -1)).cast("double")
+      val symFrac = size(regexp_extract_all(t,
+        lit("[{}()\\[\\];=<>]"), lit(0))).cast("double") /
+        greatest(length(t).cast("double"), lit(1.0))
+      val indentFrac = size(regexp_extract_all(t,
+        lit("(?m)^(?: {2,}|\\t)"), lit(0))).cast("double") / nLines
+      val eolFrac = size(regexp_extract_all(t,
+        lit("(?m)[;{}][ \\t]*$"), lit(0))).cast("double") / nLines
+      val score = symFrac + lit(0.5) * indentFrac + lit(0.5) * eolFrac
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        symFrac.as("sym_frac"),
+        indentFrac.as("indent_frac"),
+        eolFrac.as("eol_frac"),
+        score.as("code_score"),
+        (score > lit(0.05)).as("is_code"))
+        .orderBy("doc_id")
+    },
+
     // Distribution-anchored quality cut: keep the best 20% by score,
     // threshold from ONE mergeable approx_percentile pass (no global
     // sort, no single-partition funnel). The gate override pins
@@ -1568,6 +1609,50 @@ object ExtQueries {
         |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
         |    least(chunk_idx * 48 + 64, n)), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    'NOTICE ' || source || chr(10) || text || chr(10) ||
+        |      'COPYRIGHT ' || source AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM d2),
+        |b AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df
+        |    FROM l WHERE trim(line) <> '' GROUP BY line)
+        |  WHERE df >= 30),
+        |f AS (
+        |  SELECT l.doc_id, l.pos, l.line,
+        |    (b.line IS NOT NULL AND trim(l.line) <> '') AS is_boiler
+        |  FROM l LEFT JOIN b ON l.line = b.line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+        |    chr(10) ORDER BY pos), '') AS text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_code_detect" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]'))
+        |      AS DOUBLE) /
+        |      greatest(CAST(len(text) AS DOUBLE), 1.0) AS sym_frac,
+        |    CAST(len(regexp_extract_all(text, '(?m)^(?: {2,}|\t)'))
+        |      AS DOUBLE) /
+        |      CAST(len(string_split(text, chr(10))) AS DOUBLE)
+        |      AS indent_frac,
+        |    CAST(len(regexp_extract_all(text, '(?m)[;{}][ \t]*$'))
+        |      AS DOUBLE) /
+        |      CAST(len(string_split(text, chr(10))) AS DOUBLE) AS eol_frac
+        |  FROM documents)
+        |SELECT doc_id, sym_frac, indent_frac, eol_frac,
+        |  sym_frac + 0.5 * indent_frac + 0.5 * eol_frac AS code_score,
+        |  sym_frac + 0.5 * indent_frac + 0.5 * eol_frac > 0.05 AS is_code
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_curate_url_filter" ->
       """WITH m AS (
         |  SELECT doc_id,
