@@ -208,7 +208,10 @@ object Dedup {
     * groupBy(doc) reassembly. The df count is countDistinct(doc) so a
     * doc repeating its own footer doesn't promote it to boilerplate.
     * Docs whose every line is stripped come back with empty text (the
-    * doc row itself always survives). */
+    * doc row itself always survives). A NULL-`textCol` doc also
+    * survives: its text stays NULL (nothing to strip) and its
+    * `n_lines` / `n_dropped` report 0 — split(NULL) yields no
+    * exploded rows, so the counts are coalesced after the join. */
   def boilerplate(docs: DataFrame, minDf: Long, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
@@ -234,6 +237,8 @@ object Dedup {
           struct(col("__pos"), col("__line"))))),
         x => x.getField("__line")), "\n").as(textCol))
     docs.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
   }
 
   def spanFlags(docs: DataFrame, textCol: String = "text",

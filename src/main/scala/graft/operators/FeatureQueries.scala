@@ -25,8 +25,11 @@ object FeatureQueries {
   val queries: Map[String, Q] = Map(
     // Corpus composition report: docs/chars/tokens by lang × source
     // with corpus fractions — the first table every training-mixture
-    // design doc contains. One shuffle to the group, O(|groups|)
-    // window for the fractions.
+    // design doc contains. One shuffle to the group; fractions via a
+    // broadcast 1-row totals crossJoin (the [[graft.quality.Drift]]
+    // idiom) instead of an empty-partition window, so no
+    // single-partition exchange appears even when |groups| grows.
+    // The group frame is pinned so totals + output read it once.
     "q_corpus_stats" -> { (s, d) =>
       val g = Tables(s, d, "documents")
         .groupBy("lang", "source")
@@ -34,11 +37,13 @@ object FeatureQueries {
           sum(length(col("text")).cast("long")).as("n_chars"),
           sum(TextFunctions.tokenCount(col("text")).cast("long"))
             .as("n_tokens"))
-      g.withColumn("doc_frac",
-          round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 6))
-        .withColumn("token_frac",
-          round(col("n_tokens") / sum("n_tokens").over(Window.partitionBy()),
-            6))
+        .localCheckpoint(true)
+      val tot = g.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+          col("n_tokens"),
+          round(col("n_docs") / col("__td"), 6).as("doc_frac"),
+          round(col("n_tokens") / col("__tt"), 6).as("token_frac"))
         .orderBy("lang", "source")
     },
 

@@ -125,9 +125,14 @@ object Funnel {
       s"bucketSec ($bSec) must cover windowSec ($windowSec): a chain " +
         "may span one full window past its anchor's bucket")
     val bUs = bSec * 1000000L
+    // Floor-div in pure Long arithmetic: (us - pmod(us, b)) is the
+    // largest multiple of b that is <= us (pmod is non-negative), and
+    // `div` on an exact multiple is exact — so bucketing never rounds,
+    // even past |us| = 2^53 micros (~year 2255) where the double path
+    // could push an end-of-bucket event into the next bucket.
     val p = participating(events, conds, userCol, tsCol)
       .withColumn("__bkt",
-        floor(col("__us").cast("double") / bUs).cast("long"))
+        expr(s"(__us - pmod(__us, ${bUs}L)) div ${bUs}L"))
     val overlap = p
       .withColumn("__bkt", col("__bkt") - 1)
       .withColumn("__b", col("__b").bitwiseAND(lit(~1L)))

@@ -64,11 +64,12 @@ object SamplingQueries {
 
     // Temperature-rescaled mixture (XLM-R/mT5 exponentiated domain
     // sampling, tau = 0.5): target shares computed FROM the corpus as
-    // floor(sqrt(W_d)*1e6) integer quantization (sqrt is IEEE-correct
-    // on every engine, so the shares are exact-long ratios and the
-    // oracle restates the whole derivation bit-for-bit), then the
-    // standard mixture draw — low-resource sources up-weighted
-    // relatively, binding domain at fraction 1, nothing up-sampled.
+    // floor((W_d/ΣW)^tau * 1e9) — NORMALIZED shares quantized to
+    // integers (sqrt of a [0,1] ratio is IEEE-correct on every
+    // engine, never saturates a Long, and the oracle restates the
+    // whole derivation bit-for-bit), then the standard mixture draw —
+    // low-resource sources up-weighted relatively, binding domain at
+    // fraction 1, nothing up-sampled.
     "q_sample_mixture_temperature" -> { (s, d) =>
       Sampling.mixtureTemperature(Tables(s, d, "documents")
           .select("doc_id", "source"),

@@ -55,6 +55,12 @@ final class ServeCache(capacity: Int, prefix: String) {
         val it = roots.entrySet().iterator()
         val eldest = it.next()
         it.remove()
+        // Visible eviction: an undersized deployment whose held lazy
+        // plan later hits FileNotFoundException can tie it back here.
+        ServeCache.log.warn(
+          s"ServeCache($prefix) over capacity $capacity: evicting LRU " +
+            s"root ${eldest.getValue} (key ${eldest.getKey}); any " +
+            "still-lazy plan over it will fail at execution")
         deleteRec(eldest.getValue)
       }
       r
@@ -72,6 +78,8 @@ final class ServeCache(capacity: Int, prefix: String) {
 }
 
 object ServeCache {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ServeCache])
 
   /** Roots awaiting JVM-exit cleanup. ONE shutdown hook iterates this
     * set — registering a hook Thread per build would accumulate

@@ -64,6 +64,22 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(b(1L) == ("a\n\nx", 0L))
   }
 
+  test("NULL-text docs survive with NULL text and zero counts") {
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, s"$header\nalpha"),
+        org.apache.spark.sql.Row(2L, s"$header\nbeta"),
+        org.apache.spark.sql.Row(3L, null))),
+      fixture.schema)
+    val out = Dedup.boilerplate(withNull, minDf = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))     // the doc row survives
+    assert(out(3L) == (null, 0L, 0L))         // NULL through, counts 0
+    assert(out(1L) == ("alpha", 2L, 1L))      // others unaffected
+  }
+
   test("code detection separates planted code from prose") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.operators.ExtQueries.queries("q_text_code_detect")

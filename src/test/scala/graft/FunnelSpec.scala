@@ -173,6 +173,40 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketing is exact past 2^53 micros (double rounding regime)") {
+    // Year-9999 timestamps: unix micros ~2.53e17, where a double has
+    // ulp 32 us — casting __us to double rounds boundary-1 events
+    // into the next bucket. The integer floor-div bucket must keep
+    // levelsBucketed row-identical to levels with chains planted AT
+    // bucket boundaries +-1 micro.
+    val baseSec = 253402300000L // 9999-12-31 territory
+    val winSec = 10L            // bUs = 1e7; boundary-straddling below
+    def tsMicro(sec: Long, micro: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(sec * 1000L)
+      t.setNanos((micro * 1000L).toInt)
+      t
+    }
+    // u1: anchor one micro before a bucket boundary, chain completing
+    // exactly at window end (the rounding-sensitive placement); u2: a
+    // clean in-bucket chain; u3: expiry one micro past the window.
+    val rows = Seq(
+      (1L, tsMicro(baseSec + 9, 999999L), 0),
+      (1L, tsMicro(baseSec + 12, 0L), 1),
+      (1L, tsMicro(baseSec + 19, 999999L), 2),
+      (2L, tsMicro(baseSec + 20, 0L), 0),
+      (2L, tsMicro(baseSec + 21, 1L), 1),
+      (3L, tsMicro(baseSec + 30, 0L), 0),
+      (3L, tsMicro(baseSec + 40, 1L), 1))
+    val df = rows.toDF("user_id", "ts", "step")
+    val conds = (0 until 3).map(i => col("step") === i)
+    val plain = Funnel.levels(df, conds, winSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = Funnel.levelsBucketed(df, conds, winSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"plain $plain")
+    assert(bucketed == plain, s"bucketed $bucketed vs plain $plain")
+  }
+
   test("levelsAuto: probe dispatches on the hottest user, results identical") {
     // u1 is a planted bot: many participating events; u2 is normal.
     val events = (0 until 400).map(i => (1L, i.toLong * 3, i % 3)) ++
