@@ -342,6 +342,27 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Centrality-weighted URL curation (RefinedWeb §3.1 spirit):
+    // Graph.pagerank composed with UrlCurate — each page carries a
+    // deterministic outlink to one of 7 hub domains (doc_id % 7), so
+    // the domain graph has 7 high-in-degree hubs and 13 periphery
+    // domains; hubs earn caps above baseCap, periphery decays to the
+    // floor. The oracle restates the WHOLE derivation — edge list,
+    // 5 unrolled pagerank iterations, the integer cap quantization
+    // and the exact md5 draw ranking — so the kept set is pinned.
+    "q_curate_url_rank" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("cdn.")),
+          col("source"), lit("-site.org/page/"), col("doc_id")).as("url"),
+        concat(lit("https://www.src"), col("doc_id") % 7,
+          lit("-site.org/ref")).as("out_url"))
+      UrlCurate.rankWeightedCap(docs, "url", "out_url", "doc_id",
+        baseCap = 10, maxCap = 40, iters = 5, seed = "url")
+        .orderBy("doc_id")
+    },
+
     // Sliding-window chunking (the embedding-pipeline preprocessing
     // step: context-budget windows with overlap, LangChain-standard
     // layout — see TextChunk scaladoc). Map-only explode, no shuffle;
@@ -763,6 +784,54 @@ object ExtQueries {
     Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"))
 
   val gateQueries: Map[String, Q] = Map(
+    // Incremental heavy-hitter ROLLUP, end to end through persistence
+    // — the [[HeavyHitters.merge]] lifecycle as a driver row (the
+    // q_agg_hll_incremental pattern, for frequencies): the corpus
+    // arrives as three ingest batches; each batch persists ONE
+    // capacity-C summary (C rows) into an AppendStore, and the rollup
+    // re-aggregates the persisted (item, est) rows through the same
+    // MG trim — history is never rescanned; any rollup costs
+    // O(batches × C) rows. The gate pins the mergeable-summaries
+    // theorem (Agarwal et al., PODS'12) against the CONCATENATED
+    // truth as integer arithmetic: every exact-top-10 token heavier
+    // than n/(C+1) must be present with est <= true <= est + n/(C+1),
+    // where n is the TOTAL weight across all batches. Gate-only
+    // (never benched) BY DESIGN: the three blocking store round-trips
+    // are scheduling overhead in local mode; the data-proportional
+    // work (tokenize + MG pass) is benched under q_text_heavy_hitters.
+    // The temp store lands under java.io.tmpdir (per-call scratch,
+    // OS-reaped — the returned frame reads it lazily, so no eager
+    // delete).
+    "q_text_heavy_hitters_rollup" -> { (s, d) =>
+      import graft.cdc.AppendStore
+      val cap = 256
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .localCheckpoint(true) // consumed by 3 batch passes + truth legs
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hh_rollup").toString
+      val store = new AppendStore(s, root)
+      Seq(0L, 1L, 2L).foreach { b =>
+        store.write(
+          HeavyHitters.summary(toks.where(col("doc_id") % 3 === b),
+            "tok", cap), b)
+      }
+      val sk = HeavyHitters.merge(store.read().get, cap)
+        .withColumnRenamed("item", "tok")
+      val n = toks.count()
+      val exactTop = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(10)
+      exactTop.join(sk, Seq("tok"), "left")
+        .select(col("tok"), col("n_exact"),
+          (!(col("n_exact") * (cap + 1) > lit(n)) ||
+            (col("est").isNotNull && col("est") <= col("n_exact") &&
+              (col("n_exact") - col("est")) * (cap + 1) <= lit(n)))
+            .as("ok"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    },
+
     // Top-fraction quality cut gate. The approx threshold value is
     // engine-specific (quantile sketch), so the pair set is not
     // restatable; the scale-independent invariants are: (1) n_total
@@ -1464,7 +1533,59 @@ object ExtQueries {
       |  round(logpost, 4) AS logpost
       |FROM r ORDER BY doc_id, rank""".stripMargin
 
+  /** Full restatement of `q_curate_url_rank`: planted domain graph,
+    * `iters` unrolled pagerank CTEs (the [[FeatureQueries]] pattern,
+    * over domain-string nodes), the integer cap quantization and the
+    * md5 draw ranking — one query, zero tolerance. */
+  private def urlRankOracle(iters: Int): String = {
+    val base =
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    lower(CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END
+        |      || source || '-site.org') AS host,
+        |    source || '-site.org' AS domain,
+        |    'src' || CAST(doc_id % 7 AS VARCHAR) || '-site.org' AS odomain
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT domain AS src, odomain AS dst FROM pages),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |  FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM edges)),
+         |r$i AS (SELECT nd.node,
+         |    (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.contrib, 0)
+         |      + (SELECT dm FROM d$i)/(SELECT n FROM nn)) AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr/dg.deg) AS contrib
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg dg ON e.src = dg.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }
+    val tail =
+      s"""caps AS (
+         |  SELECT node AS domain,
+         |    greatest(1, least(40,
+         |      (CAST(round(round(pr, 7) * 1e7, 0) AS BIGINT) * 10 *
+         |        (SELECT CAST(count(*) AS BIGINT) FROM nodes)) // 10000000))
+         |      AS cap
+         |  FROM r$iters),
+         |ranked AS (
+         |  SELECT doc_id, host, domain,
+         |    row_number() OVER (PARTITION BY domain ORDER BY
+         |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'),
+         |        1, 8) AS BIGINT) DESC, doc_id DESC) AS rn
+         |  FROM pages)
+         |SELECT r.doc_id, r.host, r.domain, CAST(c.cap AS BIGINT) AS cap
+         |FROM ranked r JOIN caps c USING (domain)
+         |WHERE rn <= c.cap ORDER BY r.doc_id""".stripMargin
+    (base +: iterCtes :+ tail).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_curate_url_rank" -> urlRankOracle(5),
     "q_search_bm25" -> Bm25OracleSql,
     "q_search_bm25_indexed" -> Bm25OracleSql,
     "q_search_hybrid_rrf" -> HybridRrfOracleSql,
@@ -1747,6 +1868,18 @@ object ExtQueries {
         |WHERE len(tok) > 0
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q_text_heavy_hitters" ->
+      """WITH t2 AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |top AS (
+        |  SELECT tok, count(*) AS n_exact FROM t2 GROUP BY tok
+        |  ORDER BY n_exact DESC, tok LIMIT 10)
+        |SELECT tok, n_exact, true AS ok FROM top
+        |ORDER BY n_exact DESC, tok""".stripMargin,
+    "q_text_heavy_hitters_rollup" ->
       """WITH t2 AS (
         |  SELECT tok FROM (
         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))

@@ -35,6 +35,9 @@ object Graph {
 
   /** Damped PageRank with uniform teleport and dangling-mass
     * redistribution. Returns (node, pr); Σpr = 1 up to float error.
+    * Node identity is the src/dst columns' own type (long ids, domain
+    * strings, …) — every step is joins and aggregates, nothing
+    * numeric touches the key.
     *
     * @param edges  frame holding one row per directed edge; duplicate
     *               edges are collapsed (standard simple-graph form)
@@ -45,8 +48,7 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .repartition(col("src"))

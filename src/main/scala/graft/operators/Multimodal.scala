@@ -276,12 +276,107 @@ object Multimodal {
     Hashing.splitmix64(h + payload.length)
   }
 
-  final case class MediaHash(media_id: Long, phash: Long, decoded: Boolean)
+  /** Decode a WAV/AIFF/AU PCM payload to MONO samples in [-1, 1]
+    * (channels averaged per frame) — the sample stream [[aHash64]]
+    * fingerprints. Handles signed 16-bit (either endianness) and
+    * 8-bit (signed or unsigned — WAV's 8-bit convention is unsigned).
+    * None when javax.sound rejects the bytes. */
+  private[operators] def monoSamples(payload: Array[Byte])
+      : Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val bps = math.max(1, fmt.getSampleSizeInBits / 8)
+        val ch = math.max(1, fmt.getChannels)
+        val unsigned8 = bps == 1 && fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val nFrames = bytes.length / (bps * ch)
+        if (nFrames == 0) None
+        else {
+          val mono = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0f
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * bps
+              acc +=
+                (if (bps >= 2) {
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (bytes(o + bps - 1), bytes(o))
+                    else (bytes(o), bytes(o + 1))
+                  ((hi << 8) | (lo & 0xFF)) / 32768f
+                } else if (unsigned8) ((bytes(o) & 0xFF) - 128) / 128f
+                else bytes(o) / 128f)
+              c += 1
+            }
+            mono(f) = acc / ch
+            f += 1
+          }
+          Some(mono)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 64-bit perceptual audio hash — the [[dHash64]] twin for sound:
+    * the energy-difference fingerprint of Haitsma & Kalker 2002 ("A
+    * Highly Robust Audio Fingerprinting System"), reduced to the same
+    * 8×9 comparison grid dHash uses. The clip is cut into 8 segments
+    * × 9 time bins (72 equal frame spans); bit `y*8+x` is set ⇔ the
+    * RMS energy of bin x+1 exceeds bin x within segment y. Because it
+    * compares ENERGY ENVELOPE, two re-encodings of the same recording
+    * (WAV vs AIFF container, 16-bit vs 8-bit quantization) hash within
+    * a few bits while byte hashing sees unrelated blobs — the property
+    * [[phashDupPairs]] dedups on, now for the audio modality. Bins are
+    * frame-proportional, so the hash is also sample-rate-invariant.
+    * None when the bytes are not decodable audio or carry fewer than
+    * 72 frames (too short to fingerprint). */
+  def aHash64(payload: Array[Byte]): Option[Long] =
+    monoSamples(payload).flatMap { s =>
+      val n = s.length
+      if (n < 72) None
+      else {
+        val rms = new Array[Double](72)
+        var b = 0
+        while (b < 72) {
+          val from = (b.toLong * n / 72).toInt
+          val until = ((b + 1).toLong * n / 72).toInt
+          var acc = 0.0
+          var i = from
+          while (i < until) { acc += s(i).toDouble * s(i); i += 1 }
+          rms(b) = math.sqrt(acc / math.max(1, until - from))
+          b += 1
+        }
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (rms(y * 9 + x) < rms(y * 9 + x + 1))
+              bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(bits)
+      }
+    }
+
+  final case class MediaHash(media_id: Long, phash: Long, modality: String)
 
   /** Per-payload perceptual hash with the deterministic fallback:
-    * decodable images get [[dHash64]] (`decoded = true`); everything
-    * else gets [[contentHash64]] (`decoded = false`). Same sniff-first
-    * dispatch and mapPartitions batch shape as [[extractFeatures]]. */
+    * decodable images get [[dHash64]] (`modality = "image"`),
+    * decodable audio gets [[aHash64]] (`modality = "audio"`),
+    * everything else [[contentHash64]] (`modality = "bytes"`). The
+    * modality tag keeps the three hash families in DISJOINT match
+    * spaces — an image hash and an audio hash that happen to land
+    * within the Hamming radius are not duplicates of each other.
+    * Same sniff-first dispatch and mapPartitions batch shape as
+    * [[extractFeatures]]. */
   def perceptualHashes(media: DataFrame): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -289,23 +384,26 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          (if (looksLikeImage(payload)) dHash64(payload) else None) match {
-            case Some(h) => MediaHash(id, h, decoded = true)
-            case None => MediaHash(id, contentHash64(payload), decoded = false)
+          (if (looksLikeImage(payload)) dHash64(payload).map(("image", _))
+           else if (looksLikeAudio(payload)) aHash64(payload).map(("audio", _))
+           else None) match {
+            case Some((m, h)) => MediaHash(id, h, m)
+            case None => MediaHash(id, contentHash64(payload), "bytes")
           }
         }
       }
   }
 
-  /** Image-level near-dup pairs: [[perceptualHashes]] → banded
-    * Hamming join ([[Dedup.hammingPairs64]] — recall 1 at the radius
-    * by pigeonhole, one hash per payload through the shuffle). Decoded
-    * pairs match at `hamming ≤ maxHamming`; stub-hashed payloads only
-    * at hamming 0 (content-hash equality = byte-identical), and the
-    * two hash families never cross-match. Returns
-    * `(id_a, id_b, hamming)`. Scale shape: the corpus is decoded
-    * once map-side into 9-byte rows; the band join carries
-    * (id, 64-bit hash) only — never pixels. */
+  /** Perceptual near-dup pairs across modalities:
+    * [[perceptualHashes]] → banded Hamming join
+    * ([[Dedup.hammingPairs64]] — recall 1 at the radius by pigeonhole,
+    * one hash per payload through the shuffle). Image pairs and audio
+    * pairs match at `hamming ≤ maxHamming` within their own modality;
+    * stub-hashed payloads only at hamming 0 (content-hash equality =
+    * byte-identical); the three hash families never cross-match.
+    * Returns `(id_a, id_b, hamming)`. Scale shape: the corpus is
+    * decoded once map-side into compact (id, hash, modality) rows;
+    * the band join never carries pixels or samples. */
   def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
     pairsFromHashes(perceptualHashes(media).toDF().localCheckpoint(true),
       maxHamming)
@@ -317,10 +415,10 @@ object Multimodal {
       maxHamming: Int): DataFrame = {
     val pairs = Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming)
     def flags(s: String) = hashes.select(col("media_id").as(s"id_$s"),
-      col("decoded").as(s"__dec_$s"))
+      col("modality").as(s"__mod_$s"))
     pairs.join(flags("a"), Seq("id_a")).join(flags("b"), Seq("id_b"))
-      .where(col("__dec_a") === col("__dec_b") &&
-        (col("__dec_a") || col("hamming") === 0))
+      .where(col("__mod_a") === col("__mod_b") &&
+        (col("__mod_a") =!= "bytes" || col("hamming") === 0))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
@@ -396,6 +494,83 @@ object Multimodal {
       case other =>
         throw new IllegalArgumentException(s"format must be png|jpg: $other")
     }
+    bos.toByteArray
+  }
+
+  /** Deterministic 0.72 s test clip whose [[aHash64]] equals `bits`
+    * BY CONSTRUCTION — the audio twin of [[cellPatternImage]]: 8
+    * segments × 9 bins of a 1 kHz sine (80 samples/bin at 8 kHz = 10
+    * full periods, so bin RMS is exactly amplitude/√2 regardless of
+    * phase), each segment an amplitude walk `a(x+1) = a(x) ± 0.04`
+    * directed by the target bit from a 0.5 reset — every neighbor
+    * comparison decisive by a 0.028-RMS margin, ~25× the worst-case
+    * 8-bit quantization noise, so the SAME bits encoded as WAV-16,
+    * AIFF-16 (big-endian container) or lossy WAV-8 must dedup while
+    * different bits must not. `format` ∈ wav16 | wav8 | aiff16. */
+  def toneEnvelopeAudio(bits: Long, format: String): Array[Byte] = {
+    val perBin = 80
+    val samples = new Array[Float](72 * perBin)
+    var idx = 0
+    var y = 0
+    while (y < 8) {
+      var a = 0.5f
+      var x = 0
+      while (x < 9) {
+        var i = 0
+        while (i < perBin) {
+          samples(idx) =
+            (a * math.sin(2.0 * math.Pi * idx / 8.0)).toFloat // 1 kHz @ 8 kHz
+          idx += 1
+          i += 1
+        }
+        if (x < 8)
+          a += (if ((bits >> (y * 8 + x) & 1L) != 0L) 0.04f else -0.04f)
+        x += 1
+      }
+      y += 1
+    }
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    val (fmt, fileType, pcm) = format match {
+      case "wav16" =>
+        val b = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          val v = math.round(samples(i) * 32767f).toShort
+          b(i * 2) = (v & 0xFF).toByte          // little-endian
+          b(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        (new AudioFormat(8000f, 16, 1, true, false),
+          AudioFileFormat.Type.WAVE, b)
+      case "aiff16" =>
+        val b = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          val v = math.round(samples(i) * 32767f).toShort
+          b(i * 2) = ((v >> 8) & 0xFF).toByte   // big-endian
+          b(i * 2 + 1) = (v & 0xFF).toByte
+          i += 1
+        }
+        (new AudioFormat(8000f, 16, 1, true, true),
+          AudioFileFormat.Type.AIFF, b)
+      case "wav8" =>
+        val b = new Array[Byte](samples.length)
+        var i = 0
+        while (i < samples.length) {
+          b(i) = (math.round(samples(i) * 127f) + 128).toByte // unsigned
+          i += 1
+        }
+        (new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1,
+          8000f, false), AudioFileFormat.Type.WAVE, b)
+      case other => throw new IllegalArgumentException(
+        s"format must be wav16|wav8|aiff16: $other")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      pcm.length / fmt.getFrameSize)
+    try javax.sound.sampled.AudioSystem.write(in, fileType, bos)
+    finally in.close()
     bos.toByteArray
   }
 

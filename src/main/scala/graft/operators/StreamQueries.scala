@@ -123,6 +123,38 @@ object StreamQueries {
           }
         }.toDF("media_id", "payload")
       Multimodal.phashDedup(media).orderBy("media_id")
+    },
+
+    // Audio perceptual dedup, end to end through the REAL javax.sound
+    // codecs — the [[q_multimodal_phash]] shape for the audio
+    // modality: per base doc, the SAME deterministic clip encoded as
+    // WAV-16, as AIFF-16 (different container + endianness) and as
+    // lossy 8-bit WAV (different samples — quantized) must all
+    // collapse; a DISTINCT clip must not; byte-identical undecodable
+    // payloads exercise the content-hash fallback. Oracle = the
+    // planted truth as pure id arithmetic; an aHash, band-join, or
+    // modality-fence regression breaks the match. Clip synthesis is
+    // executor-side (mapPartitions batch shape, no driver bytes).
+    "q_multimodal_ahash" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .where(col("doc_id") % 100 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { dd =>
+            val bits = graft.functions.Hashing.splitmix64(dd)
+            val alt = graft.functions.Hashing.splitmix64(dd ^ 0x9E3779B9L)
+            val garbage = s"undecodable-audio-$dd".getBytes("UTF-8")
+            Iterator(
+              (dd * 10, Multimodal.toneEnvelopeAudio(bits, "wav16")),
+              (dd * 10 + 1, Multimodal.toneEnvelopeAudio(bits, "aiff16")),
+              (dd * 10 + 2, Multimodal.toneEnvelopeAudio(bits, "wav8")),
+              (dd * 10 + 3, Multimodal.toneEnvelopeAudio(alt, "wav16")),
+              (dd * 10 + 4, garbage),
+              (dd * 10 + 5, garbage.clone()))
+          }
+        }.toDF("media_id", "payload")
+      Multimodal.phashDedup(media).orderBy("media_id")
     }
   )
 
@@ -373,6 +405,17 @@ object StreamQueries {
       """SELECT (doc_id * 10 + s.i) AS media_id,
         |  CASE WHEN s.i = 1 THEN doc_id * 10
         |       WHEN s.i = 4 THEN doc_id * 10 + 3
+        |       ELSE doc_id * 10 + s.i END AS canon_id
+        |FROM documents
+        |CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) AS s(i)
+        |WHERE doc_id % 100 = 0
+        |ORDER BY media_id""".stripMargin,
+    // +0/+1/+2 = one clip re-encoded thrice -> canon +0; +3 distinct;
+    // +4/+5 byte-identical garbage -> canon +4
+    "q_multimodal_ahash" ->
+      """SELECT (doc_id * 10 + s.i) AS media_id,
+        |  CASE WHEN s.i IN (1, 2) THEN doc_id * 10
+        |       WHEN s.i = 5 THEN doc_id * 10 + 4
         |       ELSE doc_id * 10 + s.i END AS canon_id
         |FROM documents
         |CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) AS s(i)

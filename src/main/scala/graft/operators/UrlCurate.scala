@@ -76,4 +76,64 @@ object UrlCurate {
       .select(col("payload").as(idCol))
     allowed.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** Centrality-weighted per-domain cap (RefinedWeb §3.1 spirit:
+    * weight a domain's contribution by its link-graph standing instead
+    * of a uniform cap): build the domain→domain link graph from each
+    * page's outlink, rank it with [[Graph.pagerank]] (domain STRINGS
+    * as nodes), and cap each registrable domain at
+    * `clamp(baseCap · pr_d · |domains|, 1, maxCap)` — `pr_d · n` is
+    * relative centrality (1 = average domain), so an average domain
+    * keeps `baseCap` docs, hubs keep proportionally more, periphery
+    * decays to the floor of 1. Keeps per domain are the top-cap rows
+    * of the same A-ES uniform draw as [[filter]].
+    *
+    * Exactness: pr is quantized to `prQ = round(round(pr,7)·1e7)` (the
+    * 7-decimal rounding the pagerank gate pins engine-equal; the outer
+    * round absorbs the ·1e7 float wobble), and the cap is then PURE
+    * INTEGER arithmetic `(prQ · baseCap · n) div 1e7` — so the KEPT
+    * SET is exactly restatable, never one-off at a floor boundary.
+    *
+    * Scale shape: the edge list is domain-level (distinct'd — orders
+    * of magnitude smaller than the page corpus), pagerank's iterations
+    * are bounded by [[Graph.pagerank]]'s resident-edge layout, the cap
+    * table is |domains| rows broadcast back, and the per-domain draw
+    * ships ≤ maxCap rows per input partition ([[TopKPerKey]]) with the
+    * variable cap applied as a rank filter on that bounded set.
+    * Returns survivors as `(idCol, host, domain, cap)`. */
+  def rankWeightedCap(docs: DataFrame, urlCol: String, outUrlCol: String,
+      idCol: String, baseCap: Int, maxCap: Int, iters: Int = 5,
+      damping: Double = 0.85, seed: String = "url"): DataFrame = {
+    require(baseCap > 0 && maxCap >= baseCap,
+      s"need 0 < baseCap <= maxCap, got ($baseCap, $maxCap)")
+    val pages = docs
+      .select(col(idCol), host(col(urlCol)).as("host"),
+        host(col(outUrlCol)).as("__oh"))
+      .where(col("host").isNotNull)
+      .withColumn("domain", registrableDomain(col("host")))
+      .withColumn("__od", registrableDomain(col("__oh")))
+      .localCheckpoint(true) // consumed by edges, the draw and the join
+    val edges = pages.where(col("__od").isNotNull)
+      .select(col("domain").as("src"), col("__od").as("dst"))
+    val pr = Graph.pagerank(edges, iters, damping)
+    val nD = pr.agg(count(lit(1)).as("__n"))
+    val caps = pr.crossJoin(broadcast(nD))
+      .select(col("node").as("domain"),
+        greatest(lit(1L), least(lit(maxCap.toLong),
+          expr(s"(CAST(round(round(pr, 7) * 1e7, 0) AS BIGINT) * " +
+            s"${baseCap}L * __n) div 10000000")))
+          .as("cap"))
+    val drawn = pages.withColumn("__u",
+      conv(Sampling.hashDraw(col(idCol), seed), 16, 10).cast("long")
+        .cast("double"))
+    // a domain absent from the link graph (no parseable outlink on any
+    // of its pages) has no rank signal — it keeps the neutral baseCap
+    val kept = TopKPerKey(drawn, "domain", "__u", idCol, maxCap)
+      .join(broadcast(caps), col("key") === caps("domain"), "left")
+      .withColumn("cap", coalesce(col("cap"), lit(baseCap.toLong)))
+      .where(col("rank") <= col("cap"))
+      .select(col("payload").as(idCol), col("cap"))
+    pages.select(col(idCol), col("host"), col("domain"))
+      .join(kept, Seq(idCol))
+  }
 }

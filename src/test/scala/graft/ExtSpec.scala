@@ -854,6 +854,37 @@ class ExtSpec extends AnyFunSuite {
     assert(kept2 == kept.map(_._1).toSet)
   }
 
+  test("url rank-weighted cap: hubs keep more, periphery floors at 1") {
+    import graft.operators.UrlCurate
+    // star graph: every page links to hub.com; hub pages link to
+    // spoke1.net. 30 docs: 10 on hub.com, 10 each on spoke1/spoke2.
+    val docs = (1L to 30L).map { i =>
+      val (dom, out) =
+        if (i <= 10) ("hub.com", "spoke1.net")
+        else if (i <= 20) ("spoke1.net", "hub.com")
+        else ("spoke2.net", "hub.com")
+      (i, s"https://www.$dom/p/$i", s"https://www.$out/ref")
+    }.toDF("doc_id", "url", "out_url")
+    val kept = UrlCurate.rankWeightedCap(docs, "url", "out_url", "doc_id",
+      baseCap = 4, maxCap = 8, iters = 5)
+      .select("doc_id", "domain", "cap")
+      .as[(Long, String, Long)].collect()
+    val capBy = kept.groupBy(_._2).view
+      .mapValues(rs => (rs.head._3, rs.size)).toMap
+    // hub.com gets 2/3 of in-links -> pr far above 1/n -> cap > baseCap
+    assert(capBy("hub.com")._1 > 4L, s"hub must out-cap baseCap: $capBy")
+    // spoke2 has NO in-links (teleport-only pr) -> floors at 1
+    assert(capBy("spoke2.net") == ((1L, 1)), s"periphery floors: $capBy")
+    // keeps never exceed the domain's cap
+    assert(kept.groupBy(_._2).forall { case (d, rs) =>
+      rs.size <= capBy(d)._1 }, s"cap must bound keeps: $capBy")
+    // partitioning-blind kept set (same draw + same graph)
+    val kept2 = UrlCurate.rankWeightedCap(docs.repartition(7), "url",
+      "out_url", "doc_id", baseCap = 4, maxCap = 8, iters = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept.map(_._1).toSet)
+  }
+
   test("IVF persisted index: search-from-persisted == search-from-fresh") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = Ivf.build(e, nlist = 8, iters = 2)

@@ -881,6 +881,43 @@ class StreamSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 6L), s"canon map: $canon")
   }
 
+  test("multimodal ahash: aHash-by-construction, re-encode dedup, modality fence") {
+    // toneEnvelopeAudio is built so its aHash IS the requested bits
+    val bitsA = 0x5A3C96E1D4B27F08L
+    val bitsB = bitsA ^ 0x0FF0F00FF00FF0F0L // hamming 32 from A
+    val wavA = Multimodal.toneEnvelopeAudio(bitsA, "wav16")
+    assert(Multimodal.aHash64(wavA).contains(bitsA),
+      "WAV-16 round-trip must reproduce the constructed aHash exactly")
+    // container re-encode (AIFF big-endian) and lossy 8-bit re-encode
+    // of the SAME clip stay within the dedup radius
+    val aiffA = Multimodal.toneEnvelopeAudio(bitsA, "aiff16")
+    val wav8A = Multimodal.toneEnvelopeAudio(bitsA, "wav8")
+    assert(Multimodal.aHash64(aiffA).contains(bitsA),
+      "AIFF re-encode of the same samples must hash identically")
+    val h8 = Multimodal.aHash64(wav8A).getOrElse(fail("wav8 must decode"))
+    assert(java.lang.Long.bitCount(h8 ^ bitsA) <= 4,
+      s"8-bit re-encode drifted ${java.lang.Long.bitCount(h8 ^ bitsA)} bits")
+    assert(!java.util.Arrays.equals(wavA, aiffA),
+      "the two encodings must differ at the byte level (that's the point)")
+
+    // planted corpus: (1,2,3) = same clip re-encoded; 4 = distinct clip;
+    // 7 = an IMAGE constructed to the SAME bits (modality fence: a
+    // matching hash across modalities must never pair)
+    val media = Seq(
+      (1L, wavA), (2L, aiffA), (3L, wav8A),
+      (4L, Multimodal.toneEnvelopeAudio(bitsB, "wav16")),
+      (7L, Multimodal.cellPatternImage(bitsA, "png")))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.phashDupPairs(media)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"re-encoded clip pairs only — no cross-modality match: $pairs")
+    val canon = Multimodal.phashDedup(media)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 7L -> 7L),
+      s"canon map: $canon")
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
