@@ -6,8 +6,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
-import graft.functions.Kernels
-import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, HeavyHitters, IncrementalDedup, Ivf, Layout, NaiveBayes, Pack, Pq, TextChunk, TextLm, TextSearch}
+import graft.functions.{Hashing, Kernels}
+import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, Funnel, HeavyHitters, IncrementalDedup, Ivf, Layout, Multimodal, NaiveBayes, Pack, Pq, TextChunk, TextLm, TextSearch, UrlCurate}
+import graft.quality.Drift
 import graft.streaming.DedupMicroBatch
 
 /** Synthetic scale-up harness — the measured evidence that the scale
@@ -148,12 +149,12 @@ object ScaleBench {
         (col("event_id") * factor + col("__copy")).as("event_id"),
         timestamp_seconds(unix_timestamp(col("ts")) +
           pmod(xxhash64(col("event_id"), col("__copy")), lit(3600L))).as("ts"),
-        col("user_id"), col("value"))
+        col("user_id"), col("event_type"), col("value"))
 
     val rawDocs = Tables(spark, sfDir, "documents")
     val rawEmbs = Tables(spark, sfDir, "embeddings")
     val rawEvents = Tables(spark, sfDir, "events")
-      .select("event_id", "ts", "user_id", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value")
 
     rawDocs.select("doc_id", "text", "lang", "source").repartition(32)
       .write.parquet(s"$dir/docs_1")
@@ -255,6 +256,55 @@ object ScaleBench {
     val (tHh1, csHh1) = hhAt(docs1)
     val (tHhF, csHhF) = hhAt(docsF)
 
+    // ---- URL curation under a planted hot domain: HALF the corpus
+    // lands on one CDN domain (the adversarial crawl shape the
+    // per-domain cap exists for), the rest spreads over ~997 domains.
+    // TopKPerKey ships <= cap rows per input partition for the hot
+    // key, so the reduce side never sees the hot domain's full row
+    // set — linear is the null.
+    def urlAt(docs: DataFrame) = {
+      val withUrl = docs.select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(xxhash64(col("doc_id")), lit(2)) === 0,
+            lit("www.hotcdn.com"))
+            .otherwise(concat(lit("www.site"),
+              pmod(xxhash64(col("doc_id"), lit(7L)), lit(997))
+                .cast("string"), lit(".org"))),
+          lit("/p/"), col("doc_id")).as("url"))
+      timed(runs)(consume(UrlCurate.filter(withUrl, "url", "doc_id",
+        blocklist = Seq("site13.org"), perDomainCap = 50)))
+    }
+    val (tUrl1, csUrl1) = urlAt(docs1)
+    val (tUrlF, csUrlF) = urlAt(docsF)
+
+    // ---- perceptual-hash image dedup: decode throughput at corpus
+    // growth. Fixture (untimed): per 10th doc a PNG + a JPEG re-encode
+    // of the SAME deterministic image, synthesized executor-side. The
+    // timed region is the full phashDedup — one decode pass into
+    // 9-byte rows, banded Hamming join, CC — where ImageIO decode
+    // dominates; each payload decodes exactly once by construction.
+    def mediaFixture(docs: DataFrame, out: String): Unit = {
+      import spark.implicits._
+      docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { dd =>
+            val bits = Hashing.splitmix64(dd)
+            Iterator(
+              (dd * 2, Multimodal.cellPatternImage(bits, "png")),
+              (dd * 2 + 1,
+                Multimodal.cellPatternImage(bits, "jpg", quality = 0.7f)))
+          }
+        }.toDF("media_id", "payload")
+        .repartition(32).write.parquet(out)
+    }
+    mediaFixture(docs1, s"$dir/media_1")
+    mediaFixture(docsF, s"$dir/media_f")
+    def phashAt(tag: String) = timed(runs)(consume(
+      Multimodal.phashDedup(spark.read.parquet(s"$dir/media_$tag"))))
+    val (tPh1, csPh1) = phashAt("1")
+    val (tPhF, csPhF) = phashAt("f")
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -294,7 +344,11 @@ object ScaleBench {
     // layout-write path whose cost must track the corpus, not the
     // dimension count.
     def zorderAt(tag: String) = {
+      // original 4-column projection: event_type joined the fixture in
+      // r16 (funnel leg) and must not widen THIS leg's historical
+      // workload — zorder rows are compared across rounds
       val ev = spark.read.parquet(s"$dir/events_$tag")
+        .select("event_id", "ts", "user_id", "value")
       timed(runs)(consume(
         Layout.zorder(ev, Seq("user_id", "value"), numPartitions = 32)))
     }
@@ -314,6 +368,51 @@ object ScaleBench {
     }
     val (tAsof1, csAsof1) = asofAt("1")
     val (tAsofF, csAsofF) = asofAt("f")
+
+    // ---- PSI distribution drift, exact vs approx breaks: new
+    // snapshot rescales 1/5 of values by 1.2 (real drift at every
+    // scale). The exact leg's interpolated percentile funnels the
+    // column through one task (its documented cost); psiApprox's
+    // GK sketch keeps map-side partials — the f× gap between the
+    // two legs is the reason psiApprox exists.
+    def psiAt(tag: String) = {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+      val old = ev.select(col("value"))
+      val nw = ev.select((col("value") *
+        when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(1.2))
+          .otherwise(lit(1.0))).as("value"))
+      val (tEx, _) = timed(runs)(consume(Drift.psi(old, nw, "value")))
+      val (tAp, _) = timed(runs)(consume(Drift.psiApprox(old, nw, "value")))
+      (tEx, tAp)
+    }
+    val (tPsiE1, tPsiA1) = psiAt("1")
+    val (tPsiEF, tPsiAF) = psiAt("f")
+
+    // ---- funnel under a planted bot user, auto-dispatch engaged at
+    // BOTH scales (20k·f participating events on user -1, far past
+    // the 5k hotUserEvents threshold): the bot's event DENSITY is
+    // held constant (1 event/sec, range grows f×), so per-bucket
+    // greedy work is constant and bucket count grows f× — linear is
+    // the null for the dispatchably-bucketed path, while the plain
+    // per-user path would be quadratic in f (unrunnable at f=100).
+    def funnelAt(tag: String, f: Long) = {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+        .select("user_id", "ts", "event_type")
+      val botN = 20000L * f
+      val bot = spark.range(botN).select(
+        lit(-1L).as("user_id"),
+        timestamp_seconds(lit(946684800L) + col("id")).as("ts"),
+        element_at(
+          lit(Array("view", "click", "purchase")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("event_type"))
+      val evs = ev.unionByName(bot)
+      timed(runs)(consume(Funnel.levelsAuto(evs,
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSec = 3600L)))
+    }
+    val (tFun1, csFun1) = funnelAt("1", 1L)
+    val (tFunF, csFunF) = funnelAt("f", factor.toLong)
 
     // ---- IVF build + serve; fixed 10-query set at both scales so
     // serve cost isolates corpus growth (queries×f would measure f²)
@@ -468,6 +567,14 @@ object ScaleBench {
       s""""chunk_rows":[${csChk1._1},${csChkF._1}],""" +
       s""""hh_1x":${f2(tHh1)},"hh_fx":${f2(tHhF)},"hh_xlin":${xlin(tHh1, tHhF)},""" +
       s""""hh_rows":[${csHh1._1},${csHhF._1}],""" +
+      s""""url_1x":${f2(tUrl1)},"url_fx":${f2(tUrlF)},"url_xlin":${xlin(tUrl1, tUrlF)},""" +
+      s""""url_rows":[${csUrl1._1},${csUrlF._1}],""" +
+      s""""phash_1x":${f2(tPh1)},"phash_fx":${f2(tPhF)},"phash_xlin":${xlin(tPh1, tPhF)},""" +
+      s""""phash_rows":[${csPh1._1},${csPhF._1}],""" +
+      s""""psi_exact_1x":${f2(tPsiE1)},"psi_exact_fx":${f2(tPsiEF)},"psi_exact_xlin":${xlin(tPsiE1, tPsiEF)},""" +
+      s""""psi_approx_1x":${f2(tPsiA1)},"psi_approx_fx":${f2(tPsiAF)},"psi_approx_xlin":${xlin(tPsiA1, tPsiAF)},""" +
+      s""""funnel_1x":${f2(tFun1)},"funnel_fx":${f2(tFunF)},"funnel_xlin":${xlin(tFun1, tFunF)},""" +
+      s""""funnel_rows":[${csFun1._1},${csFunF._1}],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
       s""""diff_1x":${f2(tDiff1)},"diff_fx":${f2(tDiffF)},"diff_xlin":${xlin(tDiff1, tDiffF)},""" +
       s""""diff_rows":[${csDiff1._1},${csDiffF._1}],""" +

@@ -1552,18 +1552,7 @@ object ExtQueries {
         |  FROM edges GROUP BY src),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
-    val iterCtes = (1 to iters).map { i =>
-      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r${i - 1}
-         |  WHERE node NOT IN (SELECT src FROM edges)),
-         |r$i AS (SELECT nd.node,
-         |    (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.contrib, 0)
-         |      + (SELECT dm FROM d$i)/(SELECT n FROM nn)) AS pr
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS node, sum(r.pr/dg.deg) AS contrib
-         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
-         |    JOIN deg dg ON e.src = dg.src
-         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
-    }
+    val iterCtes = Graph.oracleIterCtes(iters)
     val tail =
       s"""caps AS (
          |  SELECT node AS domain,

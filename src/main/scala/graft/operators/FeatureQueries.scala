@@ -108,7 +108,9 @@ object FeatureQueries {
     })
 
   /** Unrolled K-iteration PageRank restatement (same arithmetic
-    * shape as [[Graph.pagerank]]: (1-d)/n + d*(contrib + dm/n)). */
+    * shape as [[Graph.pagerank]]: (1-d)/n + d*(contrib + dm/n));
+    * the per-iteration CTEs come from the shared
+    * [[Graph.oracleIterCtes]] generator. */
   private def pagerankOracle(iters: Int): String = {
     val base =
       """WITH edges AS (
@@ -119,19 +121,7 @@ object FeatureQueries {
         |  FROM edges GROUP BY src),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
-    val iterCtes = (1 to iters).map { i =>
-      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r${i - 1}
-         |  WHERE node NOT IN (SELECT src FROM edges)),
-         |r$i AS (SELECT nd.node,
-         |    (1.0 - 0.85)/(SELECT n FROM nn) + 0.85*(COALESCE(c.contrib, 0)
-         |      + (SELECT dm FROM d$i)/(SELECT n FROM nn)) AS pr
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS node, sum(r.pr/dg.deg) AS contrib
-         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
-         |    JOIN deg dg ON e.src = dg.src
-         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
-    }
-    (base +: iterCtes).mkString(",\n") +
+    (base +: Graph.oracleIterCtes(iters)).mkString(",\n") +
       s"\nSELECT node, round(pr, 7) AS pr FROM r$iters ORDER BY node"
   }
 

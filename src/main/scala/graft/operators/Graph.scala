@@ -91,4 +91,27 @@ object Graph {
     }
     ranks
   }
+
+  /** DuckDB restatement of one [[pagerank]] iteration — the d$i/r$i
+    * dangling-mass + contribution CTE pair for iterations 1..iters,
+    * shared by every pagerank-backed oracle (FeatureQueries'
+    * `q_graph_pagerank`, ExtQueries' `q_curate_url_rank`) so the
+    * arithmetic is pinned in ONE place: a change to the iteration
+    * formula is a one-site oracle edit, never a silent divergence
+    * between two hand-rolled SQL generators. Callers supply the base
+    * CTEs `edges(src, dst)`, `nodes(node)`, `deg(src, deg)`, `nn(n)`
+    * and `r0(node, pr)`. */
+  def oracleIterCtes(iters: Int, damping: Double = 0.85): Seq[String] =
+    (1 to iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(pr), 0) AS dm FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM edges)),
+         |r$i AS (SELECT nd.node,
+         |    (1.0 - $damping)/(SELECT n FROM nn) + $damping*(COALESCE(c.contrib, 0)
+         |      + (SELECT dm FROM d$i)/(SELECT n FROM nn)) AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr/dg.deg) AS contrib
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg dg ON e.src = dg.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }
 }

@@ -79,10 +79,37 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Per-sample linear-PCM decoder for the formats this module
+    * handles: signed 16-bit (either endianness) and 8-bit (signed, or
+    * WAV's unsigned convention). None for anything else — a 24/32-bit,
+    * float or companded (ULAW/ALAW) stream read through 16-bit math
+    * decodes as STRUCTURED NOISE, and fingerprinting noise is strictly
+    * worse than the byte-hash fallback the callers degrade to. The one
+    * place the sample arithmetic lives — [[decodeAudio]] and
+    * [[monoSamples]] share it. */
+  private def pcmSampleReader(fmt: javax.sound.sampled.AudioFormat)
+      : Option[(Array[Byte], Int) => Float] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val enc = fmt.getEncoding
+    val bits = fmt.getSampleSizeInBits
+    if (enc == Encoding.PCM_SIGNED && bits == 16) {
+      if (fmt.isBigEndian)
+        Some((b, o) => ((b(o) << 8) | (b(o + 1) & 0xFF)) / 32768f)
+      else
+        Some((b, o) => ((b(o + 1) << 8) | (b(o) & 0xFF)) / 32768f)
+    } else if (enc == Encoding.PCM_UNSIGNED && bits == 8)
+      Some((b, o) => ((b(o) & 0xFF) - 128) / 128f)
+    else if (enc == Encoding.PCM_SIGNED && bits == 8)
+      Some((b, o) => b(o) / 128f)
+    else None
+  }
+
   /** REAL audio decode via javax.sound.sampled (WAV/AIFF PCM). Feature
     * = RMS energy over 8 equal time bins; returns (channels,
     * frames-per-channel, feature). None if the bytes are not a
-    * supported audio stream. */
+    * supported audio stream or not a [[pcmSampleReader]]-decodable
+    * sample format (those fall through to the stub rather than
+    * mis-decode). */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -90,34 +117,30 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload)))
       try {
         val fmt = in.getFormat
-        val bytes = in.readAllBytes()
-        val bps = math.max(1, fmt.getSampleSizeInBits / 8)
-        val n = bytes.length / bps
-        if (n == 0) None
-        else {
-          val feat = new Array[Float](8)
-          val counts = new Array[Int](8)
-          var i = 0
-          while (i < n) {
-            val v =
-              if (bps >= 2) {
-                val (lo, hi) =
-                  if (fmt.isBigEndian) (bytes(i * bps + bps - 1), bytes(i * bps))
-                  else (bytes(i * bps), bytes(i * bps + 1))
-                ((hi << 8) | (lo & 0xFF)) / 32768f
-              } else ((bytes(i) & 0xFF) - 128) / 128f
-            val b = math.min(7, (i.toLong * 8 / n).toInt)
-            feat(b) += v * v
-            counts(b) += 1
-            i += 1
+        pcmSampleReader(fmt).flatMap { read =>
+          val bytes = in.readAllBytes()
+          val bps = math.max(1, fmt.getSampleSizeInBits / 8)
+          val n = bytes.length / bps
+          if (n == 0) None
+          else {
+            val feat = new Array[Float](8)
+            val counts = new Array[Int](8)
+            var i = 0
+            while (i < n) {
+              val v = read(bytes, i * bps)
+              val b = math.min(7, (i.toLong * 8 / n).toInt)
+              feat(b) += v * v
+              counts(b) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < 8) {
+              if (counts(j) > 0) feat(j) = math.sqrt(feat(j) / counts(j)).toFloat
+              j += 1
+            }
+            val ch = math.max(1, fmt.getChannels)
+            Some((ch, n / ch, feat))
           }
-          var j = 0
-          while (j < 8) {
-            if (counts(j) > 0) feat(j) = math.sqrt(feat(j) / counts(j)).toFloat
-            j += 1
-          }
-          val ch = math.max(1, fmt.getChannels)
-          Some((ch, n / ch, feat))
         }
       } finally in.close()
     } catch { case _: Exception => None }
@@ -278,9 +301,11 @@ object Multimodal {
 
   /** Decode a WAV/AIFF/AU PCM payload to MONO samples in [-1, 1]
     * (channels averaged per frame) — the sample stream [[aHash64]]
-    * fingerprints. Handles signed 16-bit (either endianness) and
-    * 8-bit (signed or unsigned — WAV's 8-bit convention is unsigned).
-    * None when javax.sound rejects the bytes. */
+    * fingerprints. Sample formats are [[pcmSampleReader]]'s (16-bit
+    * signed either endianness, 8-bit signed/unsigned); anything else —
+    * and anything javax.sound rejects — is None, so the caller falls
+    * back to the byte-hash family instead of fingerprinting a
+    * mis-decoded stream. */
   private[operators] def monoSamples(payload: Array[Byte])
       : Option[Array[Float]] =
     try {
@@ -289,35 +314,27 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload)))
       try {
         val fmt = in.getFormat
-        val bytes = in.readAllBytes()
-        val bps = math.max(1, fmt.getSampleSizeInBits / 8)
-        val ch = math.max(1, fmt.getChannels)
-        val unsigned8 = bps == 1 && fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-        val nFrames = bytes.length / (bps * ch)
-        if (nFrames == 0) None
-        else {
-          val mono = new Array[Float](nFrames)
-          var f = 0
-          while (f < nFrames) {
-            var acc = 0f
-            var c = 0
-            while (c < ch) {
-              val o = (f * ch + c) * bps
-              acc +=
-                (if (bps >= 2) {
-                  val (lo, hi) =
-                    if (fmt.isBigEndian) (bytes(o + bps - 1), bytes(o))
-                    else (bytes(o), bytes(o + 1))
-                  ((hi << 8) | (lo & 0xFF)) / 32768f
-                } else if (unsigned8) ((bytes(o) & 0xFF) - 128) / 128f
-                else bytes(o) / 128f)
-              c += 1
+        pcmSampleReader(fmt).flatMap { read =>
+          val bytes = in.readAllBytes()
+          val bps = math.max(1, fmt.getSampleSizeInBits / 8)
+          val ch = math.max(1, fmt.getChannels)
+          val nFrames = bytes.length / (bps * ch)
+          if (nFrames == 0) None
+          else {
+            val mono = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0f
+              var c = 0
+              while (c < ch) {
+                acc += read(bytes, (f * ch + c) * bps)
+                c += 1
+              }
+              mono(f) = acc / ch
+              f += 1
             }
-            mono(f) = acc / ch
-            f += 1
+            Some(mono)
           }
-          Some(mono)
         }
       } finally in.close()
     } catch { case _: Exception => None }

@@ -53,7 +53,25 @@ EOF
 echo "== wrote BENCH_r${round}.json =="
 
 echo "== sbt test (live tripwire armed by fresh bench_out.json) =="
-sbt -batch test
+sbt -batch test 2>&1 | tee /tmp/round_close_test.log
+grep -q "All tests passed." /tmp/round_close_test.log \
+  || { echo "round_close: sbt test not green" >&2; exit 1; }
+
+# Regenerate the prose test/suite counts from the run record instead of
+# hand-maintaining them (VERDICT r15 "What's wrong" #3: three rounds of
+# drift). The sed anchors are the stable phrases around the numbers.
+# `|| true`: under set -e a missing summary line must take the skip
+# branch below, not abort a green close
+ncases=$(grep -o 'Tests: succeeded [0-9]*' /tmp/round_close_test.log \
+  | tail -1 | grep -o '[0-9]*' || true)
+nsuites=$(grep -o 'Suites: completed [0-9]*' /tmp/round_close_test.log \
+  | tail -1 | grep -o '[0-9]*' || true)
+if [ -n "$ncases" ] && [ -n "$nsuites" ]; then
+  sed -i "s/# [0-9]* ScalaTest cases/# $ncases ScalaTest cases/" README.md
+  sed -i "s/[0-9]* ScalaTest cases; scale design/$ncases ScalaTest cases ($nsuites suites); scale design/" SURVEY.md
+  sed -i "s/[0-9]* ScalaTest cases ([0-9]* suites); scale design/$ncases ScalaTest cases ($nsuites suites); scale design/" SURVEY.md
+  echo "== prose counts regenerated: $ncases cases / $nsuites suites =="
+fi
 
 # Commit the WHOLE tested tree, not just the artifact: sbt test ran on
 # the working tree, so an artifact-only commit could ship untested code
