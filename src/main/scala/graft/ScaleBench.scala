@@ -305,6 +305,53 @@ object ScaleBench {
     val (tPh1, csPh1) = phashAt("1")
     val (tPhF, csPhF) = phashAt("f")
 
+    // ---- audio perceptual dedup (the r16 modality): same shape as
+    // the phash leg — per 10th doc a WAV-16 + an AIFF-16 re-encode of
+    // the SAME deterministic clip (0.72 s, 11.5 KB each), synthesized
+    // executor-side untimed; timed region = full phashDedup (decode →
+    // aHash → banded Hamming → CC), javax.sound decode dominating.
+    def audioFixture(docs: DataFrame, out: String): Unit = {
+      import spark.implicits._
+      docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { dd =>
+            val bits = Hashing.splitmix64(dd)
+            Iterator(
+              (dd * 2, Multimodal.toneEnvelopeAudio(bits, "wav16")),
+              (dd * 2 + 1, Multimodal.toneEnvelopeAudio(bits, "aiff16")))
+          }
+        }.toDF("media_id", "payload")
+        .repartition(32).write.parquet(out)
+    }
+    audioFixture(docs1, s"$dir/audio_1")
+    audioFixture(docsF, s"$dir/audio_f")
+    def ahashAt(tag: String) = timed(runs)(consume(
+      Multimodal.phashDedup(spark.read.parquet(s"$dir/audio_$tag"))))
+    val (tAh1, csAh1) = ahashAt("1")
+    val (tAhF, csAhF) = ahashAt("f")
+
+    // ---- centrality-weighted URL curation (r16 compose): outlinks
+    // route to 7 hub domains, page domains spread over ~997 + the
+    // hubs. The DOMAIN graph is cardinality-bound (~1k nodes at every
+    // corpus size), so the pagerank side is ~constant and the f× terms
+    // are the map-side URL parse and the bounded per-domain draw —
+    // the leg proves the compose inherits TopKPerKey's hot-key story,
+    // not pagerank's iteration constant.
+    def urlRankAt(docs: DataFrame) = {
+      val withUrl = docs.select(col("doc_id"),
+        concat(lit("https://www.site"),
+          pmod(xxhash64(col("doc_id"), lit(7L)), lit(997)).cast("string"),
+          lit(".org/p/"), col("doc_id")).as("url"),
+        concat(lit("https://www.hub"),
+          pmod(xxhash64(col("doc_id")), lit(7)).cast("string"),
+          lit(".org/ref")).as("out_url"))
+      timed(runs)(consume(UrlCurate.rankWeightedCap(withUrl, "url",
+        "out_url", "doc_id", baseCap = 20, maxCap = 200)))
+    }
+    val (tUr1, csUr1) = urlRankAt(docs1)
+    val (tUrF, csUrF) = urlRankAt(docsF)
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -571,6 +618,10 @@ object ScaleBench {
       s""""url_rows":[${csUrl1._1},${csUrlF._1}],""" +
       s""""phash_1x":${f2(tPh1)},"phash_fx":${f2(tPhF)},"phash_xlin":${xlin(tPh1, tPhF)},""" +
       s""""phash_rows":[${csPh1._1},${csPhF._1}],""" +
+      s""""ahash_1x":${f2(tAh1)},"ahash_fx":${f2(tAhF)},"ahash_xlin":${xlin(tAh1, tAhF)},""" +
+      s""""ahash_rows":[${csAh1._1},${csAhF._1}],""" +
+      s""""urlrank_1x":${f2(tUr1)},"urlrank_fx":${f2(tUrF)},"urlrank_xlin":${xlin(tUr1, tUrF)},""" +
+      s""""urlrank_rows":[${csUr1._1},${csUrF._1}],""" +
       s""""psi_exact_1x":${f2(tPsiE1)},"psi_exact_fx":${f2(tPsiEF)},"psi_exact_xlin":${xlin(tPsiE1, tPsiEF)},""" +
       s""""psi_approx_1x":${f2(tPsiA1)},"psi_approx_fx":${f2(tPsiAF)},"psi_approx_xlin":${xlin(tPsiA1, tPsiAF)},""" +
       s""""funnel_1x":${f2(tFun1)},"funnel_fx":${f2(tFunF)},"funnel_xlin":${xlin(tFun1, tFunF)},""" +

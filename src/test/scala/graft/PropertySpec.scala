@@ -545,4 +545,24 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("aHash64 round-trips arbitrary bits through every encoder") {
+    import graft.operators.Multimodal
+    // The planted-clip generator + decoder must agree for ANY 64-bit
+    // pattern, not just the hand fixtures: 16-bit paths exactly;
+    // the lossy 8-bit path within the documented 4-bit radius.
+    forAll(Gen.long) { bits =>
+      assert(Multimodal.aHash64(
+        Multimodal.toneEnvelopeAudio(bits, "wav16")).contains(bits),
+        f"wav16 round-trip failed for bits=$bits%016x")
+      assert(Multimodal.aHash64(
+        Multimodal.toneEnvelopeAudio(bits, "aiff16")).contains(bits),
+        f"aiff16 round-trip failed for bits=$bits%016x")
+      val h8 = Multimodal.aHash64(Multimodal.toneEnvelopeAudio(bits, "wav8"))
+        .getOrElse(fail(f"wav8 must decode for bits=$bits%016x"))
+      assert(java.lang.Long.bitCount(h8 ^ bits) <= 4,
+        f"wav8 drifted ${java.lang.Long.bitCount(h8 ^ bits)} bits " +
+          f"for bits=$bits%016x")
+    }
+  }
 }
