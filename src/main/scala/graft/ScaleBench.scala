@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.{Hashing, Kernels}
-import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, Funnel, HeavyHitters, IncrementalDedup, Ivf, Layout, Multimodal, NaiveBayes, Pack, Pq, TextChunk, TextLm, TextSearch, UrlCurate}
+import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, Funnel, HeavyHitters, IncrementalDedup, Ivf, Layout, Multimodal, NaiveBayes, Pack, Pq, Sampling, TextChunk, TextLm, TextSearch, UrlCurate}
 import graft.quality.Drift
 import graft.streaming.DedupMicroBatch
 
@@ -352,6 +352,36 @@ object ScaleBench {
     val (tUr1, csUr1) = urlRankAt(docs1)
     val (tUrF, csUrF) = urlRankAt(docsF)
 
+    // ---- token-budget draw (r16 compose): epochPlan quotas executed
+    // by the per-domain descending-md5 draw. HALF the corpus planted
+    // on one hot domain (the per-domain-window serialization stress
+    // the draw-prefix bucketing exists for), the rest over ~997; the
+    // budget scales with the corpus (1/5 of its tokens, computed
+    // untimed) so the draw's selectivity is constant across factors.
+    // Timed region = plan (K-domain agg + BigInt driver arithmetic)
+    // + two-pass prefix-sum draw.
+    def bdrawAt(docs: DataFrame) = {
+      val w = graft.functions.TextFunctions.tokenCount(col("text"))
+      val dd = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("d"),
+            pmod(xxhash64(col("doc_id")), lit(997)).cast("string")))
+          .as("dom"),
+        col("text"))
+      val total = dd.agg(coalesce(sum(w.cast("long")), lit(0L)))
+        .head().getLong(0)
+      timed(runs)(consume {
+        val plan = Sampling.epochPlan(dd, "dom", w,
+          budgetTokens = math.max(1L, total / 5), tau = 0.5,
+          maxEpochsMilli = 1000L)
+        val quotas = plan.select("domain", "final_tokens").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq
+        Sampling.budgetDraw(dd, "doc_id", "dom", w, quotas, seed = "sb")
+      })
+    }
+    val (tBd1, csBd1) = bdrawAt(docs1)
+    val (tBdF, csBdF) = bdrawAt(docsF)
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -626,6 +656,8 @@ object ScaleBench {
       s""""psi_approx_1x":${f2(tPsiA1)},"psi_approx_fx":${f2(tPsiAF)},"psi_approx_xlin":${xlin(tPsiA1, tPsiAF)},""" +
       s""""funnel_1x":${f2(tFun1)},"funnel_fx":${f2(tFunF)},"funnel_xlin":${xlin(tFun1, tFunF)},""" +
       s""""funnel_rows":[${csFun1._1},${csFunF._1}],""" +
+      s""""bdraw_1x":${f2(tBd1)},"bdraw_fx":${f2(tBdF)},"bdraw_xlin":${xlin(tBd1, tBdF)},""" +
+      s""""bdraw_rows":[${csBd1._1},${csBdF._1}],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
       s""""diff_1x":${f2(tDiff1)},"diff_fx":${f2(tDiffF)},"diff_xlin":${xlin(tDiff1, tDiffF)},""" +
       s""""diff_rows":[${csDiff1._1},${csDiffF._1}],""" +

@@ -179,6 +179,42 @@ object Curate {
       .select(col(idCol), col("quality"), col("__thr").as("threshold"))
   }
 
+  /** Quality-threshold yield curve — the tuning table behind the
+    * `minQuality` knob: for each threshold `i/buckets` (i = 0..buckets)
+    * the number of docs and the number of tokens that survive
+    * `quality >= i/buckets`. Thresholds are emitted as the INTEGER
+    * numerator `thr_num` (denominator = `buckets`), so the output
+    * carries no float column and the oracle comparison is exact; the
+    * per-doc bucket `floor(quality·buckets)` is computed from the same
+    * quality double both engines already hash-match on (the curate
+    * keys emit it raw), so the bucketing itself is cross-engine exact
+    * too.
+    *
+    * Scale: map-only score + a `sequence(0, bucket)` explode (≤
+    * buckets+1 rows per doc) into ONE partially-aggregated groupBy —
+    * the shuffle carries ≤ (buckets+1) rows per map task, not the
+    * corpus. No windows, no driver state; the cumulative "≥ threshold"
+    * sums fall out of the explode (a doc in bucket b clears every
+    * threshold ≤ b) instead of a single-partition running-total frame.
+    * NULL-text docs are excluded EXPLICITLY: `least` skips NULL
+    * arguments (in Spark and DuckDB alike), so an unguarded NULL
+    * quality would silently clamp to the TOP bucket and count a
+    * scoreless doc at every threshold. */
+  def thresholdSweep(docs: DataFrame, buckets: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val bucket = least(floor(TextFunctions.qualityScore(col(textCol))
+        * buckets), lit(buckets)).cast("int")
+    docs
+      .where(col(textCol).isNotNull)
+      .select(bucket.as("__b"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__ntok"))
+      .select(explode(sequence(lit(0), col("__b"))).as("thr_num"),
+        col("__ntok"))
+      .groupBy(col("thr_num"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("__ntok")).as("tokens_kept"))
+  }
+
   def corpusSpanDedup(docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en"), jaccard: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id",

@@ -311,6 +311,18 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-threshold yield curve: docs and tokens surviving
+    // `quality >= i/20` for every i = 0..20 — the tuning table behind
+    // the curation minQuality knob. Integer threshold numerators and
+    // long counts only (no float column in the output); the per-doc
+    // bucket derives from the same quality double the curate keys
+    // already hash-match raw, and the cumulative sums fall out of a
+    // map-side sequence-explode (no single-partition running-total
+    // window). The oracle restates score, bucket and explode exactly.
+    "q_curate_threshold_sweep" -> { (s, d) =>
+      Curate.thresholdSweep(Tables(s, d, "documents")).orderBy("thr_num")
+    },
+
     // Curation funnel report: per-stage survivor counts (raw →
     // lang/quality → exact-unique → near-dup representatives) over
     // EXACTLY the stage frames q_curate_corpus ships (shared funnel).
@@ -1700,6 +1712,48 @@ object ExtQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_corpus" -> curateOracle(gopher = false),
     "q_curate_corpus_gopher" -> curateOracle(gopher = true),
+    // Quality + token count + bucket + threshold-explode restated
+    // exactly; same quality CTEs as q_text_quality (which hash-matches
+    // the raw double), integer thresholds/counts in the output.
+    "q_curate_threshold_sweep" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\\s+') AS toks,
+        |    len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks, x -> x IN ($stopEn))) AS DOUBLE) AS nsw,
+        |    CAST(np AS DOUBLE) AS npunct,
+        |    CAST(len(text) AS DOUBLE) AS nchar,
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |      / len(toks) AS mtl
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    (least(ntok / 64.0, 1.0)
+        |     + least(nsw / ntok * 4.0, 1.0)
+        |     + greatest(0.0, 1.0 - npunct / greatest(nchar, 1.0) * 4.0)
+        |     + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0
+        |    AS quality
+        |  FROM s),
+        |nt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+        |      END AS ntok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT least(CAST(floor(q.quality * 20) AS INTEGER), 20) AS bk,
+        |    nt.ntok
+        |  FROM q JOIN nt USING (doc_id)),
+        |e AS (
+        |  SELECT CAST(unnest(range(0, bk + 1)) AS INTEGER) AS thr_num, ntok
+        |  FROM b)
+        |SELECT thr_num, count(*) AS n_kept,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens_kept
+        |FROM e GROUP BY thr_num ORDER BY thr_num""".stripMargin,
     "q_text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,

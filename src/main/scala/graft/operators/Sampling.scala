@@ -283,4 +283,133 @@ object Sampling {
     }
     df.where(keep)
   }
+
+  /** Token-budget epoch planner — the static data plan a training run
+    * starts from (LLaMA-/Chinchilla-style): given per-domain token
+    * totals `W_d`, a total token budget `B`, a sampling temperature
+    * `τ` and a per-domain repetition cap, emit the per-domain plan
+    * table: target tokens `floor(B·q_d/Σq)` (the same normalized
+    * `q_d = floor((W_d/ΣW)^τ·10⁹)` quantization as
+    * [[mixtureTemperature]]), capped at `maxEpochsMilli/1000` passes
+    * over the domain's data ("don't repeat any domain more than E
+    * epochs" — Muennighoff 2023's data-constrained regime), plus the
+    * realized epoch count in exact milli-epochs. All arithmetic after
+    * the one float step (the `^τ` on a normalized share, IEEE-exact
+    * for τ = 0.5) is BigInt — `B·q_d` at a 10¹³-token budget overflows
+    * a Long, so the products run in arbitrary precision and only the
+    * (≤ B) results are emitted as longs.
+    *
+    * Scale: ONE K-domain aggregate collect (the [[mixtureBy]]
+    * driver-held-model-state pattern), O(K) driver arithmetic, a
+    * K-row output — the corpus is scanned once, counts only.
+    *
+    * Output: (domain, w_tokens, share_q9, target_tokens, final_tokens,
+    * epochs_milli, capped), one row per positive-weight domain. */
+  def epochPlan(df: DataFrame, domainCol: String, weight: Column,
+      budgetTokens: Long, tau: Double = 0.5,
+      maxEpochsMilli: Long = 1000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    require(maxEpochsMilli > 0,
+      s"maxEpochsMilli must be positive: $maxEpochsMilli")
+    val totals = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L).sortBy(_._1).toSeq
+    require(totals.nonEmpty, "epochPlan: no positive-weight domains")
+    val wSum = totals.map(_._2).sum
+    def powT(p: Double): Double =
+      if (tau == 1.0) p
+      else if (tau == 0.5) math.sqrt(p)
+      else math.pow(p, tau)
+    val q = totals
+      .map { case (d, w) =>
+        (d, w, math.floor(powT(w.toDouble / wSum) * 1e9).toLong)
+      }
+      .filter(_._3 > 0L)
+    require(q.nonEmpty, "epochPlan: all shares quantized to 0")
+    val qsum = q.map(_._3).sum
+    val rows = q.map { case (d, w, qv) =>
+      val target = (BigInt(budgetTokens) * qv / qsum).toLong
+      val capTok = BigInt(w) * maxEpochsMilli / 1000L
+      val capped = BigInt(target) > capTok
+      val fin = if (capped) capTok.toLong else target
+      val epochs = (BigInt(fin) * 1000L / w).toLong
+      (d, w, qv, target, fin, epochs, capped)
+    }
+    df.sparkSession.createDataFrame(rows).toDF("domain", "w_tokens",
+      "share_q9", "target_tokens", "final_tokens", "epochs_milli", "capped")
+  }
+
+  /** Execute a per-domain token quota ([[epochPlan]]'s other half):
+    * within each domain, rank docs by the deterministic [[hashDraw]]
+    * priority (descending, ties by id descending — the A-ES draw
+    * order [[TopKPerKey]] uses) and keep docs while the EXCLUSIVE
+    * running token sum is below the domain's quota — so the first doc
+    * of a non-zero quota always ships (first-fit may overshoot by at
+    * most one doc; a training pipeline wants the quota filled, not
+    * undershot). The kept SET is a pure function of (ids, weights,
+    * quotas, seed): engine-, run- and partitioning-invariant.
+    *
+    * Scale: the per-domain running sum is the [[Pack]] two-pass
+    * distributed prefix sum, NOT a per-domain window — a hot domain
+    * (half the corpus in one domain is normal on the web) would
+    * serialize through one task. The bucket key is the draw's first
+    * two hex chars: monotone in the draw order WITHIN every domain by
+    * construction, so pass 1 windows sort only inside (domain, 1/256
+    * of the draw space) slices, and pass 2's per-(domain, bucket)
+    * totals collect is bounded at 256·|domains| rows of driver-held
+    * model state. Rows with NULL/unlisted domains or NULL weight
+    * drop (nothing to account); zero-weight rows are free and kept
+    * whenever their prefix is inside the quota. */
+  def budgetDraw(df: DataFrame, idCol: String, domainCol: String,
+      weight: Column, quotas: Seq[(String, Long)],
+      seed: String = "0"): DataFrame = {
+    val qPos = quotas.filter(_._2 > 0L)
+    require(quotas.nonEmpty, "budgetDraw: no quotas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Pin ONE materialization of the narrow projection (the Pack
+    // pattern): both the totals collect and the final plan read it, so
+    // the token-count pass runs once and a nondeterministic upstream
+    // cannot make the two passes disagree.
+    val narrow0 = df
+      .where(col(domainCol).isin(qPos.map(_._1): _*))
+      .select(col(idCol), col(domainCol).cast("string").as("__dom"),
+        weight.cast("long").as("__w"),
+        hashDraw(col(idCol), seed).as("__draw"))
+      .withColumn("__bkt", substring(col("__draw"), 1, 2))
+    val narrow =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        narrow0.checkpoint(true)
+      else narrow0.localCheckpoint(true)
+    // pass 1: prefix sums inside (domain, draw-prefix) slices
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dom", "__bkt")
+      .orderBy(col("__draw").desc, col(idCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val inBucket = narrow.withColumn("__cum_in", sum(col("__w")).over(wIn))
+    // pass 2: per-(domain, bucket) totals → driver running offsets in
+    // DESCENDING bucket order (the draw ranks descending) → broadcast
+    val totals = narrow.groupBy("__dom", "__bkt")
+      .agg(coalesce(sum("__w"), lit(0L)).as("__tot"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (d, bs) =>
+        var acc = 0L
+        bs.sortBy(_._2)(Ordering[String].reverse).map { case (_, b, tot) =>
+          val off = acc; acc += tot; (d, b, off)
+        }
+      }
+    val offsets = spark.createDataset(totals.toIndexedSeq)
+      .toDF("__dom", "__bkt", "__off")
+    val quotaDf = spark.createDataset(qPos.toIndexedSeq)
+      .toDF("__dom", "__quota")
+    inBucket.join(broadcast(offsets), Seq("__dom", "__bkt"))
+      .join(broadcast(quotaDf), Seq("__dom"))
+      .where(col("__cum_in") + col("__off") - col("__w") < col("__quota"))
+      .select(col(idCol), col("__dom").as("domain"),
+        col("__w").as("n_tokens"))
+  }
 }

@@ -77,6 +77,41 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Token-budget epoch planner (LLaMA/Chinchilla-style data plan):
+    // per-source token totals -> temperature-quantized shares (the
+    // mixtureTemperature floor((W/ΣW)^0.5 * 1e9) derivation) ->
+    // target tokens floor(B*q/Σq) -> capped at 2.5 epochs over the
+    // domain's own data (Muennighoff 2023 data-constrained regime),
+    // with realized milli-epochs. One K-domain aggregate, BigInt
+    // driver arithmetic (B*q overflows a Long at real budgets), K-row
+    // output; the oracle restates the whole integer derivation in
+    // HUGEINT.
+    "q_sample_epoch_plan" -> { (s, d) =>
+      Sampling.epochPlan(Tables(s, d, "documents")
+          .select("doc_id", "source", "text"),
+        "source", graft.functions.TextFunctions.tokenCount(col("text")),
+        budgetTokens = 1000000L, tau = 0.5, maxEpochsMilli = 2500L)
+        .orderBy("domain")
+    },
+
+    // The plan EXECUTED: epochPlan quotas (20k-token budget, 1-epoch
+    // cap, tau=0.5) drawn per domain by descending md5 priority with
+    // the Pack-style two-pass prefix sum (no per-domain window — a
+    // hot domain would serialize through one task). First-fit: a
+    // domain's first doc always ships; the kept SET is pinned by the
+    // oracle, which restates the whole plan derivation AND the
+    // exclusive-prefix draw.
+    "q_sample_budget_draw" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "text")
+      val w = graft.functions.TextFunctions.tokenCount(col("text"))
+      val plan = Sampling.epochPlan(docs, "source", w,
+        budgetTokens = 20000L, tau = 0.5, maxEpochsMilli = 1000L)
+      val quotas = plan.select("domain", "final_tokens").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      Sampling.budgetDraw(docs, "doc_id", "source", w, quotas, seed = "bd")
+        .orderBy("doc_id")
+    },
+
     // Token-weighted priority sample (Efraimidis-Spirakis A-ES): the
     // 20 docs with the largest u^(1/w) priorities, w = whitespace
     // token count — weighted sampling WITHOUT replacement in one
@@ -199,6 +234,88 @@ object SamplingQueries {
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':79'), 1, 8)
         |      < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
         |ORDER BY d.doc_id""".stripMargin,
+    // Epoch plan: the full integer derivation — token totals, the
+    // mixtureTemperature share quantization, HUGEINT budget products
+    // (BIGINT would overflow at real budgets; Spark-side mirrors with
+    // BigInt), the 2.5-epoch cap and realized milli-epochs.
+    "q_sample_epoch_plan" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      END AS ntok
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (
+        |  SELECT source, CAST(sum(ntok) AS BIGINT) AS w
+        |  FROM tok GROUP BY source HAVING sum(ntok) > 0),
+        |q AS (
+        |  SELECT source, w,
+        |    CAST(floor(sqrt(CAST(w AS DOUBLE) / (SELECT sum(w) FROM cnt))
+        |      * 1000000000.0) AS BIGINT) AS qv
+        |  FROM cnt),
+        |q2 AS (SELECT * FROM q WHERE qv > 0),
+        |qs AS (SELECT sum(qv) AS qsum FROM q2),
+        |p AS (
+        |  SELECT source, w, qv,
+        |    CAST((CAST(1000000 AS HUGEINT) * qv) // qsum AS BIGINT)
+        |      AS target,
+        |    (CAST(w AS HUGEINT) * 2500) // 1000 AS captok
+        |  FROM q2, qs)
+        |SELECT source AS domain, w AS w_tokens, qv AS share_q9,
+        |  target AS target_tokens,
+        |  CAST(CASE WHEN target > captok THEN captok ELSE target END
+        |    AS BIGINT) AS final_tokens,
+        |  CAST((CAST(CASE WHEN target > captok THEN captok ELSE target END
+        |      AS HUGEINT) * 1000) // w AS BIGINT) AS epochs_milli,
+        |  target > captok AS capped
+        |FROM p ORDER BY domain""".stripMargin,
+    // Budget draw: the epoch-plan derivation (20k budget, 1-epoch cap)
+    // feeding the per-domain descending-md5 draw; keep while the
+    // EXCLUSIVE prefix token sum is under the quota. The window here
+    // is the truth restatement — the engine side must reproduce it
+    // with the distributed two-pass prefix sum.
+    "q_sample_budget_draw" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      END AS ntok
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (
+        |  SELECT source, CAST(sum(ntok) AS BIGINT) AS w
+        |  FROM tok GROUP BY source HAVING sum(ntok) > 0),
+        |q AS (
+        |  SELECT source, w,
+        |    CAST(floor(sqrt(CAST(w AS DOUBLE) / (SELECT sum(w) FROM cnt))
+        |      * 1000000000.0) AS BIGINT) AS qv
+        |  FROM cnt),
+        |q2 AS (SELECT * FROM q WHERE qv > 0),
+        |qs AS (SELECT sum(qv) AS qsum FROM q2),
+        |p AS (
+        |  SELECT source, w,
+        |    CAST((CAST(20000 AS HUGEINT) * qv) // qsum AS BIGINT)
+        |      AS target,
+        |    (CAST(w AS HUGEINT) * 1000) // 1000 AS captok
+        |  FROM q2, qs),
+        |fin AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN target > captok THEN captok ELSE target END
+        |      AS BIGINT) AS quota
+        |  FROM p),
+        |dr AS (
+        |  SELECT doc_id, source, ntok,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':bd'), 1, 8) AS draw
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, source, ntok,
+        |    sum(ntok) OVER (PARTITION BY source
+        |      ORDER BY draw DESC, doc_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+        |      AS pre
+        |  FROM dr)
+        |SELECT c.doc_id, c.source AS domain, c.ntok AS n_tokens
+        |FROM c JOIN fin ON c.source = fin.source
+        |WHERE c.pre < fin.quota ORDER BY c.doc_id""".stripMargin,
     "q_sample_priority" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -247,6 +247,128 @@ class PropertySpec extends AnyFunSuite {
     assert(out2.toSet == out.toSet)
   }
 
+  test("epoch plan: budget conservation, cap semantics, exact integer arithmetic") {
+    import graft.operators.Sampling
+    // skewed weights: a=800, b=200, c=50 tokens (one row per token unit
+    // would be wasteful — carry the weight as a column instead)
+    val df = Seq(("a", 800L), ("b", 200L), ("c", 50L), ("z", 0L))
+      .toDF("dom", "w")
+    def planOf(budget: Long, maxMilli: Long) =
+      Sampling.epochPlan(df, "dom", col("w"), budget,
+          tau = 0.5, maxEpochsMilli = maxMilli)
+        .as[(String, Long, Long, Long, Long, Long, Boolean)]
+        .collect().sortBy(_._1)
+    // mirror of the arithmetic, independently in BigInt
+    val w = Map("a" -> 800L, "b" -> 200L, "c" -> 50L)
+    val q = w.toSeq.sortBy(_._1).map { case (d, v) =>
+      d -> math.floor(math.sqrt(v.toDouble / 1050L) * 1e9).toLong
+    }
+    val qsum = q.map(_._2).sum
+    for ((budget, maxMilli) <- Seq((500L, 2000L), (5000L, 2000L),
+        (1000000L, 2500L))) {
+      val plan = planOf(budget, maxMilli)
+      assert(plan.map(_._1).toSeq == Seq("a", "b", "c"),
+        "zero-weight domain must drop; rows sorted by domain")
+      plan.foreach { case (d, wt, sq, target, fin, epochs, capped) =>
+        assert(wt == w(d))
+        assert(sq == q.toMap.apply(d))
+        val expTarget = (BigInt(budget) * sq / qsum).toLong
+        assert(target == expTarget, s"$d target")
+        val cap = (BigInt(wt) * maxMilli / 1000L).toLong
+        assert(capped == (target > cap), s"$d capped flag")
+        assert(fin == math.min(target, cap), s"$d final")
+        assert(epochs == (BigInt(fin) * 1000L / wt).toLong, s"$d epochs")
+        assert(epochs <= maxMilli, s"$d epoch cap respected")
+      }
+      assert(plan.map(_._5).sum <= budget,
+        "final tokens never exceed the budget")
+    }
+    // a budget far beyond maxEpochs * corpus caps EVERY domain
+    assert(planOf(1000000L, 2500L).forall(_._7),
+      "huge budget must cap all domains")
+    // a tiny budget caps none
+    assert(planOf(500L, 2000L).forall(!_._7),
+      "small budget must cap none")
+  }
+
+  test("budget draw: matches window truth, first-fit, partitioning-invariant") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // 3 domains: a hot (60 docs), b small (8), c tiny (2); weights vary
+    val rows = (1L to 60L).map(i => (i, "a", 10L + i % 7)) ++
+      (101L to 108L).map(i => (i, "b", 25L)) ++
+      (201L to 202L).map(i => (i, "c", 40L))
+    val df = rows.toDF("id", "dom", "w")
+    val quotas = Seq("a" -> 200L, "b" -> 60L, "c" -> 10L, "zz" -> 50L)
+    val got = Sampling.budgetDraw(df, "id", "dom", col("w"), quotas,
+        seed = "bd")
+      .as[(Long, String, Long)].collect().toSet
+    // truth: the per-domain window the operator must reproduce
+    val wTruth = Window.partitionBy("dom")
+      .orderBy(Sampling.hashDraw(col("id"), "bd").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("pre", sum(col("w")).over(wTruth) - col("w"))
+      .join(quotas.toDF("dom", "q"), Seq("dom"))
+      .where(col("pre") < col("q"))
+      .select(col("id"), col("dom"), col("w"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect, "two-pass prefix sum must equal the window truth")
+    // first-fit: c's quota (10) < any c doc (40 tokens) → exactly one ships
+    assert(got.count(_._2 == "c") == 1, "first doc of a non-zero quota ships")
+    // quota accounting: kept-minus-first stays under quota per domain
+    for ((dq, cap) <- Seq("a" -> 200L, "b" -> 60L)) {
+      val kept = got.filter(_._2 == dq).map(_._3).sum
+      val maxDoc = rows.filter(_._2 == dq).map(_._3).max
+      assert(kept < cap + maxDoc, s"$dq overshoot bounded by one doc")
+    }
+    // unlisted domain in quotas ships nothing (no 'zz' rows exist;
+    // and no doc of an absent domain appears)
+    assert(got.map(_._2).subsetOf(Set("a", "b", "c")))
+    // partitioning-invariance of the SET
+    val got2 = Sampling.budgetDraw(df.repartition(7), "id", "dom",
+        col("w"), quotas, seed = "bd")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got2 == got)
+    // zero quota ships nothing
+    val none = Sampling.budgetDraw(df, "id", "dom", col("w"),
+        Seq("c" -> 0L), seed = "bd").count()
+    assert(none == 0L)
+  }
+
+  test("threshold sweep: cumulative counts match per-doc buckets, NULL text drops") {
+    import graft.operators.Curate
+    import graft.functions.TextFunctions
+    val texts = Seq(
+      1L -> "the cat sat on the mat and it was a fine day for all of us",
+      2L -> "x$%^ &*() !!! ??? ###",
+      3L -> ("the quick brown fox jumps over the lazy dog and keeps " +
+        "running through the field with a steady pace for a while"),
+      4L -> null,
+      5L -> "short")
+    val df = texts.toDF("doc_id", "text")
+    val got = Curate.thresholdSweep(df)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // independent expectation: per-doc (bucket, ntok) via the same
+    // public functions, cumulated in Scala
+    val perDoc = df.where(col("text").isNotNull)
+      .select(
+        least(floor(TextFunctions.qualityScore(col("text")) * 20), lit(20))
+          .cast("int"),
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[(Int, Long)].collect()
+    val expect = (0 to 20).map { i =>
+      val kept = perDoc.filter(_._1 >= i)
+      (i, kept.length.toLong, kept.map(_._2).sum)
+    }.filter(_._2 > 0)
+    assert(got.toSeq == expect,
+      s"sweep mismatch: got ${got.toSeq} expect $expect")
+    // structure: thr 0 covers every non-null doc; counts non-increasing
+    assert(got.head._1 == 0 && got.head._2 == 4)
+    assert(got.sliding(2).forall(p => p.length < 2 ||
+      (p(0)._2 >= p(1)._2 && p(0)._3 >= p(1)._3)),
+      "kept counts must be non-increasing in the threshold")
+  }
+
   test("text chunks: layout arithmetic, overlap, boundary cases") {
     import graft.operators.TextChunk
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
