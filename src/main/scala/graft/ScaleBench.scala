@@ -382,6 +382,23 @@ object ScaleBench {
     val (tBd1, csBd1) = bdrawAt(docs1)
     val (tBdF, csBdF) = bdrawAt(docsF)
 
+    // ---- mixture shards (r16): per-domain draw rank dealt mod 64,
+    // over the SAME hot-domain shape as bdraw (half the corpus on one
+    // domain) — the rank runs through the shared drawRunningSum
+    // bucketed two-pass prefix, so the hot domain must not serialize
+    // through one window task; output rows = input rows (map-scale).
+    def shardsAt(docs: DataFrame) = {
+      val dd = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("d"),
+            pmod(xxhash64(col("doc_id")), lit(997)).cast("string")))
+          .as("dom"))
+      timed(runs)(consume(Layout.mixtureShards(dd, "doc_id", "dom",
+        nShards = 64, seed = "ss")))
+    }
+    val (tSh1, csSh1) = shardsAt(docs1)
+    val (tShF, csShF) = shardsAt(docsF)
+
     // ---- sequence packing (two-pass distributed prefix sum);
     // bucketSize 1024 so BOTH scales exercise multi-bucket offsets
     def packAt(docs: DataFrame) = timed(runs)(
@@ -658,6 +675,8 @@ object ScaleBench {
       s""""funnel_rows":[${csFun1._1},${csFunF._1}],""" +
       s""""bdraw_1x":${f2(tBd1)},"bdraw_fx":${f2(tBdF)},"bdraw_xlin":${xlin(tBd1, tBdF)},""" +
       s""""bdraw_rows":[${csBd1._1},${csBdF._1}],""" +
+      s""""shards_1x":${f2(tSh1)},"shards_fx":${f2(tShF)},"shards_xlin":${xlin(tSh1, tShF)},""" +
+      s""""shards_rows":[${csSh1._1},${csShF._1}],""" +
       s""""pack_1x":${f2(tPack1)},"pack_fx":${f2(tPackF)},"pack_xlin":${xlin(tPack1, tPackF)},""" +
       s""""diff_1x":${f2(tDiff1)},"diff_fx":${f2(tDiffF)},"diff_xlin":${xlin(tDiff1, tDiffF)},""" +
       s""""diff_rows":[${csDiff1._1},${csDiffF._1}],""" +

@@ -189,6 +189,19 @@ object CoreQueries {
         .orderBy("z", "l_orderkey", "l_linenumber")
     },
 
+    // O2-ext — mixture-preserving shard layout: docs ranked per domain
+    // by the md5 draw and dealt round-robin, so every shard (and any
+    // prefix of shards) carries the global domain mixture ±1 doc; the
+    // oracle restates rank-mod-N via a per-domain row_number (a window
+    // DuckDB can afford at oracle scale; the operator itself uses the
+    // bucketed two-pass prefix, never a per-domain window).
+    "q_layout_shards" -> { (s, d) =>
+      Layout.mixtureShards(
+          Tables(s, d, "documents").select("doc_id", "source"),
+          "doc_id", "source", nShards = 8, seed = "sh")
+        .orderBy("doc_id")
+    },
+
     // F1 — concat full-name (reference: dim_users.sql:8).
     "q_fn_concat" -> { (s, d) =>
       Tables(s, d, "customer")
@@ -372,6 +385,13 @@ object CoreQueries {
         |  count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
     "q_layout_zorder" -> ZorderOracleSql,
+    "q_layout_shards" ->
+      """SELECT doc_id, source AS domain,
+        |  CAST((row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':sh'),
+        |        1, 8) DESC, doc_id DESC) - 1) % 8 AS BIGINT) AS shard
+        |FROM documents WHERE source IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_fn_concat" ->
       """SELECT c_custkey, c_name || ' ' || c_mktsegment AS full_name
         |FROM customer ORDER BY c_custkey""".stripMargin,

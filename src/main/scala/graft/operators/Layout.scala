@@ -121,4 +121,36 @@ object Layout {
     stats.where(box.map { case (c, (lo, hi)) =>
       col(s"mx_$c") >= lo && col(s"mn_$c") <= hi
     }.reduce(_ && _)).count()
+
+  /** Mixture-preserving shard assignment — every output shard carries
+    * the GLOBAL domain mixture (±1 doc per domain), so a training
+    * reader consuming shards sequentially (or any subset of them) sees
+    * the planned data mix from the first shard on, instead of whatever
+    * domain the writer happened to finish last (the reason webdataset/
+    * Megatron-style loaders want interleaved shards, not per-domain
+    * files). Docs are ranked WITHIN each domain by the deterministic
+    * md5 draw (desc, ties id desc — the [[Sampling.hashDraw]] order
+    * every sampler here uses) and dealt round-robin:
+    * `shard = (rank − 1) mod nShards`. The assignment is a pure
+    * function of (ids, domains, nShards, seed) — engine-, run- and
+    * partitioning-invariant, so a re-run or a second engine lays out
+    * identical shards.
+    *
+    * Scale: the per-domain rank is [[Sampling.drawRunningSum]] with
+    * `__w = 1` — the bucketed two-pass prefix, NOT a per-domain
+    * window, so a hot domain never serializes through one task. Rows
+    * with a NULL domain drop (no mixture to preserve). Compose with
+    * `df.repartition(col("shard"))` + [[graft.cdc.TableStore]] to
+    * materialize one file per shard. */
+  def mixtureShards(df: DataFrame, idCol: String, domainCol: String,
+      nShards: Int, seed: String = "0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    val narrow = df
+      .where(col(domainCol).isNotNull)
+      .select(col(idCol), col(domainCol).cast("string").as("__dom"),
+        lit(1L).as("__w"), Sampling.hashDraw(col(idCol), seed).as("__draw"))
+    Sampling.drawRunningSum(narrow, idCol)
+      .select(col(idCol), col("__dom").as("domain"),
+        ((col("__cum") - 1L) % nShards).cast("long").as("shard"))
+  }
 }

@@ -370,16 +370,43 @@ object Sampling {
     require(quotas.nonEmpty, "budgetDraw: no quotas")
     val spark = df.sparkSession
     import spark.implicits._
-    // Pin ONE materialization of the narrow projection (the Pack
-    // pattern): both the totals collect and the final plan read it, so
-    // the token-count pass runs once and a nondeterministic upstream
-    // cannot make the two passes disagree.
-    val narrow0 = df
+    val narrow = df
       .where(col(domainCol).isin(qPos.map(_._1): _*))
       .select(col(idCol), col(domainCol).cast("string").as("__dom"),
         weight.cast("long").as("__w"),
         hashDraw(col(idCol), seed).as("__draw"))
-      .withColumn("__bkt", substring(col("__draw"), 1, 2))
+    val quotaDf = spark.createDataset(qPos.toIndexedSeq)
+      .toDF("__dom", "__quota")
+    drawRunningSum(narrow, idCol)
+      .join(broadcast(quotaDf), Seq("__dom"))
+      .where(col("__cum") - col("__w") < col("__quota"))
+      .select(col(idCol), col("__dom").as("domain"),
+        col("__w").as("n_tokens"))
+  }
+
+  /** Distributed draw-order running sum — the [[Pack]]-style two-pass
+    * prefix shared by [[budgetDraw]] (token quotas) and
+    * [[Layout.mixtureShards]] (round-robin ranks, `__w = 1`). Input
+    * must carry (`idCol`, `__dom`, `__w`, `__draw`); the output adds
+    * `__cum`, the INCLUSIVE running `__w` sum within each `__dom` in
+    * (draw desc, id desc) order — a pure function of the input set,
+    * partitioning- and run-invariant.
+    *
+    * Scale: NOT a per-domain window — a hot domain (half the corpus in
+    * one domain is normal on the web) would serialize through one
+    * task. The bucket key is the draw's first two hex chars: monotone
+    * in the draw order WITHIN every domain by construction, so pass 1
+    * windows sort only inside (domain, 1/256 of the draw space) slices,
+    * and pass 2's per-(domain, bucket) totals collect is bounded at
+    * 256·|domains| rows of driver-held model state. The narrow
+    * projection is pinned to ONE materialization (checkpoint), so both
+    * passes read the same bytes and a nondeterministic upstream cannot
+    * make them disagree. */
+  private[operators] def drawRunningSum(narrowIn: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = narrowIn.sparkSession
+    import spark.implicits._
+    val narrow0 = narrowIn.withColumn("__bkt", substring(col("__draw"), 1, 2))
     val narrow =
       if (spark.sparkContext.getCheckpointDir.isDefined)
         narrow0.checkpoint(true)
@@ -404,12 +431,34 @@ object Sampling {
       }
     val offsets = spark.createDataset(totals.toIndexedSeq)
       .toDF("__dom", "__bkt", "__off")
-    val quotaDf = spark.createDataset(qPos.toIndexedSeq)
-      .toDF("__dom", "__quota")
     inBucket.join(broadcast(offsets), Seq("__dom", "__bkt"))
-      .join(broadcast(quotaDf), Seq("__dom"))
-      .where(col("__cum_in") + col("__off") - col("__w") < col("__quota"))
-      .select(col(idCol), col("__dom").as("domain"),
-        col("__w").as("n_tokens"))
+      .withColumn("__cum", col("__cum_in") + col("__off"))
+      .drop("__cum_in", "__off", "__bkt")
+  }
+
+  /** Leakage-safe split — train/eval assignment at near-duplicate
+    * CLUSTER granularity, so near-duplicate documents never straddle a
+    * split boundary (the eval-contamination failure mode of per-doc
+    * splitting: a doc's near-clone in train leaks its eval answer —
+    * the GPT-3 §4 / Dodge 2021 C4 contamination concern, applied to
+    * the split itself). `clusters` is a (doc → canonical member)
+    * assignment, e.g. [[Dedup.clusters]] over any near-dup pair
+    * source; docs absent from it are singletons. Every doc draws with
+    * its cluster canon's id, so a whole cluster lands on one side —
+    * the draw unit is emitted as `unit_id` for auditability.
+    *
+    * Scale: one shuffle join against the cluster table (≪ corpus —
+    * only docs that HAVE a near-dup; AQE broadcasts it when small),
+    * then the map-only [[splitLabel]] md5 draw on the unit id. */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], seed: String = "0",
+      clusterIdCol: String = "doc_id", clusterCol: String = "cluster_id",
+      labelCol: String = "split"): DataFrame = {
+    val cl = clusters.select(col(clusterIdCol).as("__ls_id"),
+      col(clusterCol).as("__ls_cl"))
+    df.join(cl, col(idCol) === col("__ls_id"), "left")
+      .withColumn("unit_id", coalesce(col("__ls_cl"), col(idCol)))
+      .drop("__ls_id", "__ls_cl")
+      .withColumn(labelCol, splitLabel(col("unit_id"), weights, seed))
   }
 }

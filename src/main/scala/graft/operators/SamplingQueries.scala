@@ -25,6 +25,23 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe split: near-dup clusters (the q_dedup_clusters
+    // composition) are assigned train/eval as a UNIT — every member
+    // draws with its cluster canon's id, so a doc and its near-clone
+    // can never straddle the split boundary. unit_id in the output
+    // makes the draw auditable; the oracle restates the whole chain
+    // (shingle → Jaccard pairs → recursive-CTE components → canon →
+    // md5 draw on the canon).
+    "q_sample_split_leakage" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, blockCols = Seq("lang"),
+        threshold = 0.1, maxShingleDf = Dedup.DefaultMaxShingleDf)
+      Sampling.leakageSafeSplit(docs.select("doc_id"),
+          Dedup.clusters(pairs), "doc_id",
+          Seq("train" -> 0.9, "eval" -> 0.1), seed = "ls")
+        .orderBy("doc_id")
+    },
+
     // Per-language stratified sample: 50% en, 25% de, 10% of the rest.
     "q_sample_stratified" -> { (s, d) =>
       Sampling.stratifiedSample(
@@ -166,6 +183,42 @@ object SamplingQueries {
         |        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS h
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The q_dedup_clusters recursive-CTE restatement, left-joined back
+    // to documents: absent docs are singletons drawing with their own
+    // id; thresholdHex(0.9) = e6666666 (train below, eval above).
+    "q_sample_split_leakage" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) <= 3
+        |      THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(0, len(string_split_regex(trim(text), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))
+        |    END AS grams
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(a.grams || b.grams)) >= 0.1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cl AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  coalesce(c.cluster_id, d.doc_id) AS unit_id,
+        |  CASE WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+        |      AS VARCHAR) || ':ls'), 1, 8) < 'e6666666'
+        |    THEN 'train' ELSE 'eval' END AS split
+        |FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang
         |FROM (SELECT doc_id, lang,

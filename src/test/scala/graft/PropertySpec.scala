@@ -335,6 +335,73 @@ class PropertySpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("mixture shards: window truth, per-shard mixture ±1, partitioning-invariant") {
+    import graft.operators.{Layout, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    // hot domain (60), small (8), tiny (3), plus a NULL-domain row
+    val rows = (1L to 60L).map(i => (i, Option("a"))) ++
+      (101L to 108L).map(i => (i, Option("b"))) ++
+      (201L to 203L).map(i => (i, Option("c"))) :+ (900L, Option.empty[String])
+    val df = rows.toDF("id", "dom")
+    val n = 4
+    val got = Layout.mixtureShards(df, "id", "dom", n, seed = "ms")
+      .as[(Long, String, Long)].collect().toSet
+    // truth: per-domain row_number in draw order, dealt mod n
+    val w = Window.partitionBy("dom")
+      .orderBy(Sampling.hashDraw(col("id"), "ms").desc, col("id").desc)
+    val expect = df.where(col("dom").isNotNull)
+      .withColumn("shard", (row_number().over(w) - 1) % n)
+      .select(col("id"), col("dom"), col("shard").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect, "two-pass rank must equal the window truth")
+    // NULL domain dropped
+    assert(!got.exists(_._1 == 900L))
+    // mixture: within each domain, per-shard counts differ by ≤ 1
+    for (d <- Seq("a", "b", "c")) {
+      val perShard = (0 until n).map(s =>
+        got.count(t => t._2 == d && t._3 == s))
+      assert(perShard.max - perShard.min <= 1,
+        s"domain $d uneven across shards: $perShard")
+    }
+    // partitioning-invariance of the assignment
+    val got2 = Layout.mixtureShards(df.repartition(7), "id", "dom", n,
+        seed = "ms").as[(Long, String, Long)].collect().toSet
+    assert(got2 == got)
+    // nShards = 1 puts everything in shard 0
+    assert(Layout.mixtureShards(df, "id", "dom", 1, seed = "ms")
+      .where(col("shard") =!= 0L).count() == 0L)
+  }
+
+  test("leakage-safe split: clusters move as a unit, singletons = plain split") {
+    import graft.operators.Sampling
+    // clusters: {1,2,3} canon 1, {10,11} canon 10; 20..29 singletons
+    val docs = ((1L to 3L) ++ (10L to 11L) ++ (20L to 29L)).toDF("id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "cluster_id")
+    val weights = Seq("train" -> 0.7, "eval" -> 0.3)
+    val out = Sampling.leakageSafeSplit(docs, clusters, "id", weights,
+        seed = "lk")
+      .as[(Long, Long, String)].collect()
+    // every cluster lands on ONE side, drawn by its canon's id
+    for ((canon, members) <- Seq(1L -> Seq(1L, 2L, 3L),
+        10L -> Seq(10L, 11L))) {
+      val labels = out.filter(r => members.contains(r._1))
+      assert(labels.forall(_._2 == canon), "unit_id must be the canon")
+      assert(labels.map(_._3).distinct.length == 1,
+        s"cluster $canon straddles the split")
+    }
+    // singletons draw with their own id — identical to the plain split
+    val plain = Sampling.split(docs.where(col("id") >= 20L), "id",
+        weights, seed = "lk")
+      .as[(Long, String)].collect().toMap
+    out.filter(_._1 >= 20L).foreach { r =>
+      assert(r._2 == r._1 && r._3 == plain(r._1),
+        "singleton must match per-doc split")
+    }
+    // both labels actually occur over the singleton range (seed sanity)
+    assert(out.filter(_._1 >= 20L).map(_._3).distinct.length == 2)
+  }
+
   test("threshold sweep: cumulative counts match per-doc buckets, NULL text drops") {
     import graft.operators.Curate
     import graft.functions.TextFunctions
