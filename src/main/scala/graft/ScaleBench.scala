@@ -277,6 +277,41 @@ object ScaleBench {
     val (tUrl1, csUrl1) = urlAt(docs1)
     val (tUrlF, csUrlF) = urlAt(docsF)
 
+    // ---- HTML→text extraction: the WET-stage map-only chain over a
+    // synthesized page wrap (the q_text_html_extract template shape).
+    // Linear in corpus bytes is the null hypothesis — the Java∩RE2
+    // dialect (no backrefs) precludes backtracking blowups, so any
+    // super-linearity here would be a template/engine regression.
+    def htmlAt(docs: DataFrame) = {
+      val page = docs.select(col("doc_id"), concat(
+        lit("<html><head><style>p { color: red; }</style>" +
+          "<script>if (1 < 2) { var x = \"&amp;\"; }</script></head>" +
+          "<body><!-- nav --><h1>T&amp;tle</h1><p>"),
+        col("text"),
+        lit("</p><p>&quot;q&quot;&nbsp;t</p></body></html>")).as("h"))
+      timed(runs)(consume(page.select(col("doc_id"),
+        graft.functions.TextFunctions.htmlExtract(col("h")).as("x"))))
+    }
+    val (tHtml1, csHtml1) = htmlAt(docs1)
+    val (tHtmlF, csHtmlF) = htmlAt(docsF)
+
+    // ---- URL canonicalization dedup over the same ~997-domain spread
+    // (messy casing, default port, tracking params, sibling paths via
+    // doc_id div 2 so pairs collapse): canonical grouping shuffles on
+    // the CANONICAL STRING, whose groups are <= 2 rows by construction
+    // — the leg proves the map-side canon chain + a well-spread
+    // group-min, with no hot key anywhere.
+    def canonAt(docs: DataFrame) = {
+      val withUrl = docs.select(col("doc_id"),
+        concat(lit("HTTP://Site"),
+          pmod(xxhash64(col("doc_id"), lit(7L)), lit(997)).cast("string"),
+          lit(".ORG:80/p/"), expr("doc_id div 2"),
+          lit("?utm_source=x&b=2&a=1#f")).as("url"))
+      timed(runs)(consume(UrlCurate.canonicalDedup(withUrl, "url", "doc_id")))
+    }
+    val (tCan1, csCan1) = canonAt(docs1)
+    val (tCanF, csCanF) = canonAt(docsF)
+
     // ---- perceptual-hash image dedup: decode throughput at corpus
     // growth. Fixture (untimed): per 10th doc a PNG + a JPEG re-encode
     // of the SAME deterministic image, synthesized executor-side. The
@@ -663,6 +698,10 @@ object ScaleBench {
       s""""hh_rows":[${csHh1._1},${csHhF._1}],""" +
       s""""url_1x":${f2(tUrl1)},"url_fx":${f2(tUrlF)},"url_xlin":${xlin(tUrl1, tUrlF)},""" +
       s""""url_rows":[${csUrl1._1},${csUrlF._1}],""" +
+      s""""html_1x":${f2(tHtml1)},"html_fx":${f2(tHtmlF)},"html_xlin":${xlin(tHtml1, tHtmlF)},""" +
+      s""""html_rows":[${csHtml1._1},${csHtmlF._1}],""" +
+      s""""canon_1x":${f2(tCan1)},"canon_fx":${f2(tCanF)},"canon_xlin":${xlin(tCan1, tCanF)},""" +
+      s""""canon_rows":[${csCan1._1},${csCanF._1}],""" +
       s""""phash_1x":${f2(tPh1)},"phash_fx":${f2(tPhF)},"phash_xlin":${xlin(tPh1, tPhF)},""" +
       s""""phash_rows":[${csPh1._1},${csPhF._1}],""" +
       s""""ahash_1x":${f2(tAh1)},"ahash_fx":${f2(tAhF)},"ahash_xlin":${xlin(tAh1, tAhF)},""" +

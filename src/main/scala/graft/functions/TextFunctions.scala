@@ -159,4 +159,40 @@ object TextFunctions {
     when(length(text) <= n, array(text)).otherwise(
       transform(sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n))))
+
+  /** The HTML entities [[htmlExtract]] decodes, applied in order —
+    * `&amp;` LAST, so `&amp;lt;` single-decodes to the literal text
+    * `&lt;` (the correct one-level decode) instead of `<`. */
+  private val htmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction (the WET-file stage of a crawl pipeline:
+    * CommonCrawl ships exactly this transform as its WET extracts).
+    * Order matters and is part of the contract:
+    *   1. strip comments `<!-- -->` (dot-all — comments span lines);
+    *   2. strip `<script>`/`<style>` BLOCKS including content
+    *      (case-insensitive + dot-all; script bodies may contain bare
+    *      `<` that would otherwise corrupt step 3);
+    *   3. replace every remaining tag `<[^>]*>` with a space (space,
+    *      not empty — `a</p><p>b` must not fuse into `ab`);
+    *   4. decode the common entities (after tag-strip, so text-level
+    *      `&lt;b&gt;` becomes literal `<b>` TEXT and is not re-stripped);
+    *   5. collapse whitespace runs and trim.
+    * Chained native regexp/replace — codegen'd, map-only, zero
+    * shuffles; the regexes live in the Java∩RE2 common dialect so the
+    * DuckDB oracle replays the identical chain (`q_text_html_extract`).
+    * This is a text-extraction heuristic, not an HTML5 parser — no
+    * entity table beyond the common six, no CDATA; a production
+    * pipeline swaps in a real parser behind the same column contract. */
+  def htmlExtract(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -85,6 +85,31 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // HTML → text extraction (the WET-file stage of a crawl pipeline).
+    // The fixture is plain text, so each doc is wrapped in a
+    // deterministic page template that plants every hazard the kernel
+    // must survive: a <style> block, a <script> body containing a BARE
+    // `<` (script-strip must precede tag-strip), a comment, and
+    // entities BOTH inside markup (&amp; in a heading — decodes to &)
+    // and as text-level escapes (&lt;b&gt; — must decode to literal
+    // "<b>" AFTER tag-strip, not get re-stripped). The oracle replays
+    // the identical replace chain, so the order of operations itself
+    // is pinned, not just the end state.
+    "q_text_html_extract" -> { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script>if (1 < 2) { var x = \"&amp;\"; }</script></head>"),
+        lit("<body><!-- nav\nboilerplate --><h1>Heading &amp; more</h1><p>"),
+        col("text"),
+        lit("</p><p>&quot;quoted&quot; &lt;b&gt;&nbsp;tail</p></body></html>"))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.htmlExtract(html).as("extracted"))
+        .withColumn("n_chars", length(col("extracted")))
+        .orderBy("doc_id")
+    },
+
     // PII redaction (emails, URLs, IPv4, phone-shaped digit groups) —
     // the corpus-hygiene pass; patterns live in the Java∩RE2 common
     // dialect so the oracle replaces identical spans.
@@ -351,6 +376,34 @@ object ExtQueries {
       UrlCurate.filter(docs, "url", "doc_id",
         blocklist = Seq("src13-site.org", "cdn.src7-site.org"),
         perDomainCap = 15, seed = "url")
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + canonical-form dedup (the crawl-frontier
+    // normalization): three deterministic messy variants per doc —
+    // uppercase scheme/host + default port + tracking params + fragment
+    // (mod 0), clean-but-unsorted params (mod 1), http:80 + gclid
+    // (mod 2) — where variants 0 and 1 derive host AND path from
+    // doc_id div 2, so every (6m, 6m+1) sibling pair collapses to one
+    // canonical form and the dedup's rep/is_dup columns are exercised,
+    // not just the string transform. Oracle restates the full chain:
+    // part extraction, port strip, param filter + sort, group-min rep.
+    "q_curate_url_canon" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit("HTTPS://WWW.S"), expr("(doc_id div 2) % 50"),
+          lit("-Site.ORG:443/A/"), expr("doc_id div 2"),
+          lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("https://www.s"), expr("(doc_id div 2) % 50"),
+          lit("-site.org/A/"), expr("doc_id div 2"),
+          lit("?b=2&a=1")))
+        .otherwise(concat(
+          lit("http://CDN."), col("source"),
+          lit("-site.org:80/A/"), col("doc_id"),
+          lit("/?gclid=xyz"))).as("url"))
+      UrlCurate.canonicalDedup(docs, "url", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -1659,6 +1712,36 @@ object ExtQueries {
         |  FROM documents)
         |SELECT doc_id, clean, clean <> text AS changed
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Replays htmlExtract's exact chain: comment/script/style strip,
+    // tag→space, entity decode (&amp; last), whitespace collapse.
+    "q_text_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css">p { color: red; }</style>' ||
+        |    '<script>if (1 < 2) { var x = "&amp;"; }</script></head>' ||
+        |    '<body><!-- nav' || chr(10) ||
+        |    'boilerplate --><h1>Heading &amp; more</h1><p>' || text ||
+        |    '</p><p>&quot;quoted&quot; &lt;b&gt;&nbsp;tail</p></body></html>'
+        |      AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, extracted, len(extracted) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, len(text) AS n_chars,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -1846,6 +1929,55 @@ object ExtQueries {
         |  FROM allowed)
         |SELECT doc_id, host, domain FROM ranked
         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+    // Restates canonicalize's whole chain (part extraction, default-
+    // port strip, tracking-param filter + sort) and the group-min rep.
+    "q_curate_url_canon" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'HTTPS://WWW.S' || ((doc_id // 2) % 50) || '-Site.ORG:443/A/' ||
+        |        (doc_id // 2) || '?utm_source=feed&b=2&a=1#frag'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      'https://www.s' || ((doc_id // 2) % 50) || '-site.org/A/' ||
+        |        (doc_id // 2) || '?b=2&a=1'
+        |    ELSE
+        |      'http://CDN.' || source || '-site.org:80/A/' || doc_id ||
+        |        '/?gclid=xyz'
+        |    END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM m),
+        |q AS (
+        |  -- coalesce: DuckDB's array_to_string of an EMPTY list is
+        |  -- NULL where Spark's array_join is '' — variant 2 drops all
+        |  -- of its params, so without it the whole concat nulls out
+        |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT starts_with(x, 'fbclid')
+        |        AND NOT starts_with(x, 'gclid'))), '&'), '') AS sq
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canon_url
+        |  FROM q)
+        |SELECT doc_id, canon_url,
+        |  min(doc_id) OVER (PARTITION BY canon_url) AS rep_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_curate_report" -> curateOracle(gopher = false,
       """SELECT * FROM (
         |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Declared keys for the deterministic sampling/splitting/packing
   * operators — all fully SQL-expressible, so the DuckDB oracles restate
@@ -161,6 +162,54 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // Topic-balanced sampling (cluster-balance curation, the SemDeDup /
+    // DataComp "don't let one topic cluster dominate" step): every
+    // vector is assigned to its NEAREST per-label centroid by cosine —
+    // the label only SEEDS the centroids; assignment is label-agnostic,
+    // so a vector sitting closer to another class's mean moves there —
+    // then each topic is capped at 30 via the uniform md5 draw.
+    // Scale shape: centroids are K×dim rows built by the posexplode
+    // partial-agg (never collects a vector), broadcast as K arrays;
+    // scoring is a map-side crossJoin (K small by construction);
+    // argmax is a partial-aggregating max_by over the K rows per
+    // vector (never a per-vector window sort); the per-topic cap goes
+    // through TopKPerKey's bounded-buffer aggregate — topics are FEW
+    // by construction, so a row_number window would serialize each
+    // topic into one task at corpus scale. The oracle restates
+    // centroids, the fold-ordered cosine arithmetic, the argmax
+    // tie-break, and the exact draw ranking — kept SET pinned.
+    "q_sample_topic_balance" -> { (s, d) =>
+      val embs = Tables(s, d, "embeddings")
+      val cent = embs
+        .select(col("label").as("topic"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("topic", "pos").agg(round(avg("v"), 6).as("cv"))
+        .groupBy("topic")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+      val scored = embs
+        .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("__e"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("topic"),
+          round(VectorFunctions.cosine(col("__e"), col("cvec")), 6).as("cos_sim"))
+      val assigned = scored
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("topic"), col("cos_sim")),
+          struct(col("cos_sim"), negate(col("topic")))).as("__a"))
+        .select(col("vec_id"), col("__a.topic").as("topic"),
+          col("__a.cos_sim").as("cos_sim"))
+        .localCheckpoint(true) // consumed twice: cap draw + survivor join
+      val drawn = assigned.withColumn("__u",
+        conv(Sampling.hashDraw(col("vec_id"), "tb"), 16, 10)
+          .cast("long").cast("double"))
+      val kept = TopKPerKey(drawn, "topic", "__u", "vec_id", 30)
+        .select(col("payload").as("vec_id"))
+      assigned.join(kept, Seq("vec_id"), "left_semi")
+        .select("vec_id", "topic", "cos_sim")
+        .orderBy("vec_id")
+    },
+
     // Sequence packing: concat-then-chunk pack assignment over the
     // doc_id-ordered token stream, 4096-token packs — distributed
     // two-pass prefix sum (the oracle restates the global running sum
@@ -174,6 +223,44 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Centroids (round-6 per-label means), fold-ordered cosine (the
+    // list_reduce left fold = Spark's aggregate() with its 0.0 seed —
+    // identical op order, so bit-equal doubles), argmax with the
+    // (cos DESC, topic ASC) tie-break, md5 draw rank <= 30 per topic.
+    "q_sample_topic_balance" ->
+      """WITH cpos AS (
+        |  SELECT label AS topic, pos, round(avg(v), 6) AS cv
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)
+        |  GROUP BY topic, pos),
+        |cent AS (
+        |  SELECT topic, list(cv ORDER BY pos) AS cvec
+        |  FROM cpos GROUP BY topic),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |sc AS (
+        |  SELECT e.vec_id, cent.topic,
+        |    round(
+        |      list_reduce(list_transform(range(1, len(ev) + 1),
+        |          i -> ev[i] * cvec[i]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(ev, x -> x * x),
+        |            (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(cvec, x -> x * x),
+        |            (x, y) -> x + y))), 6) AS cos_sim
+        |  FROM e CROSS JOIN cent),
+        |a AS (
+        |  SELECT vec_id, topic, cos_sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, topic) AS rn
+        |  FROM sc),
+        |k AS (
+        |  SELECT vec_id, topic, cos_sim,
+        |    row_number() OVER (PARTITION BY topic
+        |      ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ':tb'), 1, 8) DESC,
+        |        vec_id DESC) AS tr
+        |  FROM a WHERE rn = 1)
+        |SELECT vec_id, topic, cos_sim FROM k
+        |WHERE tr <= 30 ORDER BY vec_id""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN h < 'cccccccc' THEN 'train'

@@ -78,24 +78,31 @@ object Drift {
     withBreaks(oldSnap, newSnap, valueCol, buckets, row.getSeq[Double](0))
   }
 
-  /** Histogram + smoothing + contribution over given breaks — the
-    * shared tail of [[psi]] and [[psiApprox]]. */
-  private def withBreaks(oldSnap: DataFrame, newSnap: DataFrame,
-      valueCol: String, buckets: Int, breaks: Seq[Double]): DataFrame = {
-    def bucketOf(c: Column): Column =
-      breaks.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(c > lit(b), 1).otherwise(0)
-      }
-    def hist(df: DataFrame, name: String): DataFrame =
-      df.where(col(valueCol).isNotNull)
-        .groupBy(bucketOf(col(valueCol).cast("double")).as("bucket"))
-        .agg(count(lit(1)).as(name))
-    val base = oldSnap.sparkSession.range(buckets)
+  /** Bucket index of a value against fixed `breaks` (count of breaks
+    * it exceeds — bucket 0..breaks.size). Codegen'd comparison chain
+    * with the breaks as plan literals; shared with the streaming
+    * monitor ([[graft.streaming.DriftStream]]), which must bucket with
+    * the EXACT expression the batch histogram uses or the parity
+    * contract is vacuous. */
+  def bucketExpr(c: Column, breaks: Seq[Double]): Column =
+    breaks.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(c > lit(b), 1).otherwise(0)
+    }
+
+  /** Smoothing + contribution over two already-bucketed histograms
+    * `(bucket, n_old)` / `(bucket, n_new)` (missing buckets = 0) — the
+    * shared tail of [[psi]]/[[psiApprox]] and the streaming monitor's
+    * per-batch report. K-row inputs; the checkpoint pins the (possibly
+    * snapshot-scan) lineage so totals + output read it once. */
+  def psiFromHistograms(oldHist: DataFrame, newHist: DataFrame,
+      buckets: Int): DataFrame = {
+    val base = oldHist.sparkSession.range(buckets)
       .select(col("id").cast("int").as("bucket"))
-    // K rows, snapshot-scan lineage: pin so totals + output read once
     val joined = base
-      .join(hist(oldSnap, "n_old"), Seq("bucket"), "left")
-      .join(hist(newSnap, "n_new"), Seq("bucket"), "left")
+      .join(oldHist.select(col("bucket").cast("int").as("bucket"),
+        col("n_old")), Seq("bucket"), "left")
+      .join(newHist.select(col("bucket").cast("int").as("bucket"),
+        col("n_new")), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_old", "n_new"))
       .localCheckpoint(true)
     val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
@@ -106,6 +113,22 @@ object Drift {
         col("n_old"), col("n_new"),
         round((pNew - pOld) * log(pNew / pOld), 6).as("psi_contrib"))
   }
+
+  /** Histogram of `valueCol` against fixed breaks: `(bucket, <name>)`
+    * count rows, map-side partials, one tiny shuffle. */
+  def histogram(df: DataFrame, valueCol: String, breaks: Seq[Double],
+      name: String): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bucketExpr(col(valueCol).cast("double"), breaks).as("bucket"))
+      .agg(count(lit(1)).as(name))
+
+  /** Histogram + smoothing + contribution over given breaks — the
+    * shared tail of [[psi]] and [[psiApprox]]. */
+  private def withBreaks(oldSnap: DataFrame, newSnap: DataFrame,
+      valueCol: String, buckets: Int, breaks: Seq[Double]): DataFrame =
+    psiFromHistograms(
+      histogram(oldSnap, valueCol, breaks, "n_old"),
+      histogram(newSnap, valueCol, breaks, "n_new"), buckets)
 
   /** [[psi]] for a CATEGORICAL column: buckets are the old snapshot's
     * `topK` most frequent categories (ties by category — a bounded,
