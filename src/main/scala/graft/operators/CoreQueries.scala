@@ -388,8 +388,8 @@ object CoreQueries {
     "q_layout_shards" ->
       """SELECT doc_id, source AS domain,
         |  CAST((row_number() OVER (PARTITION BY source
-        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':sh'),
-        |        1, 8) DESC, doc_id DESC) - 1) % 8 AS BIGINT) AS shard
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sh') DESC,
+        |        doc_id DESC) - 1) % 8 AS BIGINT) AS shard
         |FROM documents WHERE source IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
     "q_fn_concat" ->

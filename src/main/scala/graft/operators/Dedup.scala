@@ -420,8 +420,15 @@ object Dedup {
     * `bit_count(xor)`. Returns `(id_a, id_b, hamming)`, `id_a < id_b`.
     * Pass a materialized (checkpointed) `sigs` — both join legs read
     * it. */
+  /** `keyCols`: extra equality columns salted into the band-join key
+    * (e.g. a modality tag) — candidates only form within equal key
+    * values, pruning cross-group band collisions BEFORE pair
+    * materialization instead of filtering them after; each keyCol must
+    * be a function of the id (one value per row). When non-empty, the
+    * keyCols ride along in the output (equal on both sides). */
   private[graft] def hammingPairs64(sigs: DataFrame, idCol: String,
-      sigCol: String, maxHamming: Int): DataFrame = {
+      sigCol: String, maxHamming: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming must be in [0, 16) for the 64-bit block guarantee: $maxHamming")
     val blocks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
@@ -431,18 +438,20 @@ object Dedup {
       struct(lit(i).as("blk"),
         shiftright(col(sigCol), i * width).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = sigs.select(col(idCol), col(sigCol),
-        explode(array(blockExprs: _*)).as("__b"))
-      .select(col(idCol), col(sigCol),
-        col("__b.blk").as("__blk"), col("__b.bv").as("__bv"))
-    val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
-      col("__blk"), col("__bv"))
-    val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
-      col("__blk"), col("__bv"))
-    a.join(b, Seq("__blk", "__bv"))
+    val keys = keyCols.map(col)
+    val banded = sigs.select(Seq(col(idCol), col(sigCol),
+        explode(array(blockExprs: _*)).as("__b")) ++ keys: _*)
+      .select(Seq(col(idCol), col(sigCol),
+        col("__b.blk").as("__blk"), col("__b.bv").as("__bv")) ++ keys: _*)
+    val a = banded.select(Seq(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
+      col("__blk"), col("__bv")) ++ keys: _*)
+    val b = banded.select(Seq(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
+      col("__blk"), col("__bv")) ++ keys: _*)
+    a.join(b, Seq("__blk", "__bv") ++ keyCols)
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .select(Seq(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")) ++
+        keys: _*)
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

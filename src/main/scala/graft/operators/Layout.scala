@@ -129,8 +129,8 @@ object Layout {
     * domain the writer happened to finish last (the reason webdataset/
     * Megatron-style loaders want interleaved shards, not per-domain
     * files). Docs are ranked WITHIN each domain by the deterministic
-    * md5 draw (desc, ties id desc — the [[Sampling.hashDraw]] order
-    * every sampler here uses) and dealt round-robin:
+    * md5 draw (full 32-hex [[Sampling.hashDrawFull]], desc, ties id
+    * desc — unreachable at 128 bits) and dealt round-robin:
     * `shard = (rank − 1) mod nShards`. The assignment is a pure
     * function of (ids, domains, nShards, seed) — engine-, run- and
     * partitioning-invariant, so a re-run or a second engine lays out
@@ -148,7 +148,7 @@ object Layout {
     val narrow = df
       .where(col(domainCol).isNotNull)
       .select(col(idCol), col(domainCol).cast("string").as("__dom"),
-        lit(1L).as("__w"), Sampling.hashDraw(col(idCol), seed).as("__draw"))
+        lit(1L).as("__w"), Sampling.hashDrawFull(col(idCol), seed).as("__draw"))
     Sampling.drawRunningSum(narrow, idCol)
       .select(col(idCol), col("__dom").as("domain"),
         ((col("__cum") - 1L) % nShards).cast("long").as("shard"))

@@ -427,17 +427,18 @@ object Multimodal {
 
   /** Pair search over an already-materialized hashes frame — shared by
     * [[phashDupPairs]] and [[phashDedup]] so the decode pass (the
-    * expensive part) runs exactly once per entry point. */
+    * expensive part) runs exactly once per entry point. The modality
+    * is SALTED INTO the band key (`keyCols`), so cross-modality band
+    * collisions — ~1/2⁸ of random image×audio pairs per block on a
+    * mixed corpus — are pruned before pair materialization instead of
+    * being carried through the Hamming computation and two flag joins
+    * only to be fenced afterwards. */
   private def pairsFromHashes(hashes: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val pairs = Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming)
-    def flags(s: String) = hashes.select(col("media_id").as(s"id_$s"),
-      col("modality").as(s"__mod_$s"))
-    pairs.join(flags("a"), Seq("id_a")).join(flags("b"), Seq("id_b"))
-      .where(col("__mod_a") === col("__mod_b") &&
-        (col("__mod_a") =!= "bytes" || col("hamming") === 0))
+      maxHamming: Int): DataFrame =
+    Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming,
+        keyCols = Seq("modality"))
+      .where(col("modality") =!= "bytes" || col("hamming") === 0)
       .select(col("id_a"), col("id_b"), col("hamming"))
-  }
 
   /** Canonical representative per perceptual-duplicate cluster:
     * `(media_id, canon_id)` for EVERY input row — connected components

@@ -40,6 +40,17 @@ object Sampling {
   def hashDraw(id: Column, seed: String): Column =
     substring(md5(concat(id.cast("string"), lit(":" + seed)).cast("binary")), 1, 8)
 
+  /** The FULL 32-hex md5 draw — for RANKING (not thresholding): 128
+    * bits never collide in practice, so rank order is total without
+    * consulting the id's native type. [[drawRunningSum]] and
+    * [[graft.streaming.BudgetStream]] rank on this; with the 8-hex
+    * prefix, a 32-bit collision inside one domain made the batch
+    * tie-break (native id desc) and the stream's (string id desc)
+    * disagree for numeric ids — different admitted docs at a quota
+    * boundary. DuckDB restatement: `md5(CAST(id AS VARCHAR) || ':seed')`. */
+  def hashDrawFull(id: Column, seed: String): Column =
+    md5(concat(id.cast("string"), lit(":" + seed)).cast("binary"))
+
   /** Membership predicate: keep ~`fraction` of rows, deterministically. */
   def samplePredicate(id: Column, fraction: Double, seed: String): Column =
     if (fraction >= 1.0) lit(true)
@@ -158,15 +169,43 @@ object Sampling {
     * one part in 10⁹ of a quantization boundary (the oracle-gated
     * key uses τ = 0.5). Zero-weight and NULL domains drop (they have
     * nothing to contribute). */
-  def mixtureTemperature(df: DataFrame, idCol: String, domainCol: String,
-      tau: Double = 0.5, weight: Column = lit(1L),
-      seed: String = "0"): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
-    val totals = df.where(col(domainCol).isNotNull)
+  /** Per-domain positive long-weight totals, collected and sorted by
+    * domain — the driver-held-model-state block shared by
+    * [[mixtureTemperature]] and [[epochPlan]]. */
+  private def domainTotals(df: DataFrame, domainCol: String,
+      weight: Column): Seq[(String, Long)] =
+    df.where(col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("__d"))
       .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__w"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .filter(_._2 > 0L).sortBy(_._1).toSeq
+
+  /** `floor((w/Σw)^τ · 10⁹)` share quantization over positive totals —
+    * quantize NORMALIZED shares, not raw weights: p_d ∈ (0, 1], so the
+    * result ≤ 10⁹ never saturates a Long (raw token weights at 100 TB
+    * would overflow W·10⁶) and the q-sum ≤ K·10⁹. Domains whose share
+    * quantizes to 0 (p^τ < 10⁻⁹) drop — sub-ppb of the mix. τ = 0.5 is
+    * the IEEE-exact sqrt; τ = 1 the identity. ONE implementation so
+    * [[epochPlan]]'s quotas and the [[mixtureTemperature]] draw they
+    * are documented to match can never diverge. Returns (domain, w,
+    * q9) with q9 > 0. */
+  private def quantizedShares(totals: Seq[(String, Long)],
+      tau: Double): Seq[(String, Long, Long)] = {
+    val wSum = totals.map(_._2).sum
+    def powT(p: Double): Double =
+      if (tau == 1.0) p
+      else if (tau == 0.5) math.sqrt(p)
+      else math.pow(p, tau)
+    totals.map { case (d, w) =>
+      (d, w, math.floor(powT(w.toDouble / wSum) * 1e9).toLong)
+    }.filter(_._3 > 0L)
+  }
+
+  def mixtureTemperature(df: DataFrame, idCol: String, domainCol: String,
+      tau: Double = 0.5, weight: Column = lit(1L),
+      seed: String = "0"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val totals = domainTotals(df, domainCol, weight)
     require(totals.nonEmpty, "mixtureTemperature: no positive-weight domains")
     if (tau == 1.0) {
       // exponent 1 is the identity mix: every positive-weight domain's
@@ -177,23 +216,10 @@ object Sampling {
       df.where(col(domainCol).isNotNull &&
         col(domainCol).cast("string").isin(doms: _*))
     } else {
-      // Quantize NORMALIZED shares, not raw weights: p_d ∈ (0, 1], so
-      // floor(p^τ · 10⁹) ≤ 10⁹ never saturates a Long (raw token
-      // weights at 100 TB would overflow W·10⁶), and qsum ≤ K·10⁹.
-      // The weight total is an exact long sum (≫ any real corpus's
-      // token count before 2⁶³). Domains whose share quantizes to 0
-      // (p^τ < 10⁻⁹) drop — they were sub-ppb of the mix.
-      val wSum = totals.map(_._2).sum
-      def powT(p: Double): Double =
-        if (tau == 0.5) math.sqrt(p) else math.pow(p, tau)
-      val q = totals
-        .map { case (d, w) =>
-          d -> math.floor(powT(w.toDouble / wSum) * 1e9).toLong
-        }
-        .filter(_._2 > 0L)
+      val q = quantizedShares(totals, tau)
       require(q.nonEmpty, "mixtureTemperature: all shares quantized to 0")
-      val qsum = q.map(_._2).sum
-      val shares = q.map { case (d, v) => d -> v.toDouble / qsum }
+      val qsum = q.map(_._3).sum
+      val shares = q.map { case (d, _, v) => d -> v.toDouble / qsum }
       mixtureBy(df, idCol, domainCol, shares, weight, seed)
     }
   }
@@ -312,22 +338,9 @@ object Sampling {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     require(maxEpochsMilli > 0,
       s"maxEpochsMilli must be positive: $maxEpochsMilli")
-    val totals = df.where(col(domainCol).isNotNull)
-      .groupBy(col(domainCol).cast("string").as("__d"))
-      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__w"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .filter(_._2 > 0L).sortBy(_._1).toSeq
+    val totals = domainTotals(df, domainCol, weight)
     require(totals.nonEmpty, "epochPlan: no positive-weight domains")
-    val wSum = totals.map(_._2).sum
-    def powT(p: Double): Double =
-      if (tau == 1.0) p
-      else if (tau == 0.5) math.sqrt(p)
-      else math.pow(p, tau)
-    val q = totals
-      .map { case (d, w) =>
-        (d, w, math.floor(powT(w.toDouble / wSum) * 1e9).toLong)
-      }
-      .filter(_._3 > 0L)
+    val q = quantizedShares(totals, tau)
     require(q.nonEmpty, "epochPlan: all shares quantized to 0")
     val qsum = q.map(_._3).sum
     val rows = q.map { case (d, w, qv) =>
@@ -343,9 +356,11 @@ object Sampling {
   }
 
   /** Execute a per-domain token quota ([[epochPlan]]'s other half):
-    * within each domain, rank docs by the deterministic [[hashDraw]]
-    * priority (descending, ties by id descending — the A-ES draw
-    * order [[TopKPerKey]] uses) and keep docs while the EXCLUSIVE
+    * within each domain, rank docs by the deterministic
+    * [[hashDrawFull]] priority (descending, ties by id descending —
+    * unreachable at 128 bits, which is WHY the full draw: an 8-hex
+    * prefix collides once per ~10⁵ docs/domain and the id tie-break
+    * is type-sensitive) and keep docs while the EXCLUSIVE
     * running token sum is below the domain's quota — so the first doc
     * of a non-zero quota always ships (first-fit may overshoot by at
     * most one doc; a training pipeline wants the quota filled, not
@@ -374,7 +389,7 @@ object Sampling {
       .where(col(domainCol).isin(qPos.map(_._1): _*))
       .select(col(idCol), col(domainCol).cast("string").as("__dom"),
         weight.cast("long").as("__w"),
-        hashDraw(col(idCol), seed).as("__draw"))
+        hashDrawFull(col(idCol), seed).as("__draw"))
     val quotaDf = spark.createDataset(qPos.toIndexedSeq)
       .toDF("__dom", "__quota")
     drawRunningSum(narrow, idCol)

@@ -444,7 +444,7 @@ object SamplingQueries {
         |  FROM p),
         |dr AS (
         |  SELECT doc_id, source, ntok,
-        |    substr(md5(CAST(doc_id AS VARCHAR) || ':bd'), 1, 8) AS draw
+        |    md5(CAST(doc_id AS VARCHAR) || ':bd') AS draw
         |  FROM tok),
         |c AS (
         |  SELECT doc_id, source, ntok,

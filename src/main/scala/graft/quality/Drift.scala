@@ -41,7 +41,18 @@ object Drift {
   /** Per-bucket drift rows `(bucket, n_old, n_new, psi_contrib)`,
     * bucket 0..buckets−1 (every bucket present, empty ones at 0). */
   def psi(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10): DataFrame =
+    withBreaks(oldSnap, newSnap, valueCol, buckets,
+      breaks(oldSnap, valueCol, buckets))
+
+  /** The baseline's exact interpolated-quantile breaks (i/buckets,
+    * i = 1..buckets−1) — THE break rule of [[psi]], exposed as the
+    * single source so the streaming monitor
+    * ([[graft.streaming.DriftStream]]) freezes the identical breaks
+    * the batch computation would use; a second copy of this derivation
+    * is a parity bug waiting to drift. */
+  def breaks(oldSnap: DataFrame, valueCol: String,
+      buckets: Int = 10): Seq[Double] = {
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val row = oldSnap.where(col(valueCol).isNotNull)
@@ -49,7 +60,7 @@ object Drift {
         .as("__b"))
       .head()
     require(!row.isNullAt(0), "old snapshot has no non-null values")
-    withBreaks(oldSnap, newSnap, valueCol, buckets, row.getSeq[Double](0))
+    row.getSeq[Double](0)
   }
 
   /** The scalar PSI (driver action): Σ psi_contrib. */

@@ -23,9 +23,11 @@ import graft.operators.Sampling
   * the budget filled, not undershot.
   *
   * Ordering contract: WITHIN a micro-batch, documents are admitted in
-  * the batch draw order (md5 draw descending, ties by id descending —
-  * [[Sampling.hashDraw]], precomputed as a column by [[events]] so the
-  * bytes ranked are identical to the batch operator's); ACROSS
+  * the batch draw order (FULL 32-hex md5 draw descending —
+  * [[Sampling.hashDrawFull]], precomputed as a column by [[events]] so
+  * the bytes ranked are identical to the batch operator's; at 128 bits
+  * ties are unreachable, so the string-id tie-break here can never
+  * disagree with the batch kernel's native-id one); ACROSS
   * micro-batches, arrival order governs — an online intake cannot rank
   * against documents it has not seen. Consequences, both spec-pinned
   * in BudgetStreamSpec:
@@ -59,7 +61,7 @@ object BudgetStream {
     df.select(col(idCol).cast("string").as("doc_id"),
         col(domainCol).cast("string").as("domain"),
         weight.cast("long").as("n_tokens"),
-        Sampling.hashDraw(col(idCol), seed).as("draw"))
+        Sampling.hashDrawFull(col(idCol), seed).as("draw"))
       .where(col("domain").isNotNull && col("n_tokens").isNotNull)
       .as[BudgetEvent]
   }

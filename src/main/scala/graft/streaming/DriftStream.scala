@@ -35,20 +35,13 @@ import graft.quality.Drift
   */
 object DriftStream {
 
-  /** Frozen exact-quantile breaks of the baseline (the [[Drift.psi]]
-    * break rule); swap in `approx_percentile` via [[Drift.psiApprox]]'s
-    * accuracy arm when the baseline itself is huge. */
+  /** Frozen baseline breaks — [[Drift.breaks]] itself (one derivation,
+    * both halves of the parity contract); swap in `approx_percentile`
+    * via [[Drift.psiApprox]]'s accuracy arm when the baseline itself
+    * is huge. */
   def breaksOf(oldSnap: DataFrame, valueCol: String,
-      buckets: Int = 10): Seq[Double] = {
-    require(buckets >= 2, s"need at least 2 buckets: $buckets")
-    val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    val row = oldSnap.where(col(valueCol).isNotNull)
-      .agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
-        .as("__b"))
-      .head()
-    require(!row.isNullAt(0), "baseline has no non-null values")
-    row.getSeq[Double](0)
-  }
+      buckets: Int = 10): Seq[Double] =
+    Drift.breaks(oldSnap, valueCol, buckets)
 
   /** Cumulative per-bucket counts of the (streaming) new feed against
     * frozen `breaks` — a plain streaming groupBy/count: run it in

@@ -305,7 +305,7 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     // truth: the per-domain window the operator must reproduce
     val wTruth = Window.partitionBy("dom")
-      .orderBy(Sampling.hashDraw(col("id"), "bd").desc, col("id").desc)
+      .orderBy(Sampling.hashDrawFull(col("id"), "bd").desc, col("id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val expect = df.withColumn("pre", sum(col("w")).over(wTruth) - col("w"))
       .join(quotas.toDF("dom", "q"), Seq("dom"))
@@ -348,7 +348,7 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     // truth: per-domain row_number in draw order, dealt mod n
     val w = Window.partitionBy("dom")
-      .orderBy(Sampling.hashDraw(col("id"), "ms").desc, col("id").desc)
+      .orderBy(Sampling.hashDrawFull(col("id"), "ms").desc, col("id").desc)
     val expect = df.where(col("dom").isNotNull)
       .withColumn("shard", (row_number().over(w) - 1) % n)
       .select(col("id"), col("dom"), col("shard").cast("long"))
