@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.AppendStore
 import graft.functions.{Hashing, Kernels}
-import graft.operators.{AsOfJoin, BpeTokenizer, Curate, Dedup, Funnel, HeavyHitters, IncrementalDedup, Ivf, Layout, Multimodal, NaiveBayes, Pack, Pq, Sampling, TextChunk, TextLm, TextSearch, UrlCurate}
+import graft.operators.{AsOfJoin, BpeTokenizer, CountMin, Curate, Dedup, Funnel, HeavyHitters, IncrementalDedup, Ivf, Layout, Multimodal, NaiveBayes, Pack, Pq, Sampling, TextChunk, TextLm, TextSearch, UrlCurate}
 import graft.quality.Drift
 import graft.streaming.DedupMicroBatch
 
@@ -255,6 +255,17 @@ object ScaleBench {
         "tok", capacity = 256)))
     val (tHh1, csHh1) = hhAt(docs1)
     val (tHhF, csHhF) = hhAt(docsF)
+
+    // ---- Count-Min sketch build: one depth-way explode + a partial
+    // agg bounded at d·w cells — cost must track corpus tokens, never
+    // the distinct-token domain (same regime as the hh leg; the two
+    // sketches answer complementary questions over the same stream).
+    def cmsAt(docs: DataFrame) = timed(runs)(
+      consume(CountMin.sketch(
+        docs.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0), "tok")))
+    val (tCms1, csCms1) = cmsAt(docs1)
+    val (tCmsF, csCmsF) = cmsAt(docsF)
 
     // ---- URL curation under a planted hot domain: HALF the corpus
     // lands on one CDN domain (the adversarial crawl shape the
@@ -696,6 +707,8 @@ object ScaleBench {
       s""""chunk_rows":[${csChk1._1},${csChkF._1}],""" +
       s""""hh_1x":${f2(tHh1)},"hh_fx":${f2(tHhF)},"hh_xlin":${xlin(tHh1, tHhF)},""" +
       s""""hh_rows":[${csHh1._1},${csHhF._1}],""" +
+      s""""cms_1x":${f2(tCms1)},"cms_fx":${f2(tCmsF)},"cms_xlin":${xlin(tCms1, tCmsF)},""" +
+      s""""cms_rows":[${csCms1._1},${csCmsF._1}],""" +
       s""""url_1x":${f2(tUrl1)},"url_fx":${f2(tUrlF)},"url_xlin":${xlin(tUrl1, tUrlF)},""" +
       s""""url_rows":[${csUrl1._1},${csUrlF._1}],""" +
       s""""html_1x":${f2(tHtml1)},"html_fx":${f2(tHtmlF)},"html_xlin":${xlin(tHtml1, tHtmlF)},""" +

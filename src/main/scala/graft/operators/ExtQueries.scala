@@ -152,6 +152,30 @@ object ExtQueries {
         .limit(20)
     },
 
+    // Count-Min point-frequency estimates for the corpus's own exact
+    // top-20 tokens: the d=4 × w=1024 sketch builds in ONE
+    // explode+partial-agg pass (key space bounded at d·w cells), the
+    // KB-sized sketch broadcasts to the probe side, and estimates are
+    // min-over-rows. The md5-derived cells make the sketch AND every
+    // estimate engine-restatable, so n_est is pinned as an EXACT value
+    // (no tolerance boolean); over_ok additionally states the classic
+    // never-undercount guarantee as arithmetic. Mergeability (cell-wise
+    // addition, halves == whole) is CountMinSpec's exact-equality leg.
+    "q_text_cms" -> { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val sk = CountMin.sketch(toks, "tok")
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("tok")).limit(20)
+        .localCheckpoint(true) // consumed twice: probes + truth join-back
+      CountMin.estimate(sk, top.select("tok"), "tok")
+        .join(broadcast(top), Seq("tok"))
+        .select(col("tok").as("token"), col("n_true"), col("n_est"),
+          (col("n_est") >= col("n_true")).as("over_ok"))
+        .orderBy("token")
+    },
+
     // Approximate heavy hitters (Misra-Gries, capacity 256): the
     // bounded-memory single-pass counterpart of q_text_top_tokens for
     // the domain-doesn't-fit regime. The gate pins the THEOREM as
@@ -2042,6 +2066,33 @@ object ExtQueries {
         |      FROM documents)
         |WHERE len(tok) > 0
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    // Recomputes the ENTIRE Count-Min derivation: md5-cell sketch,
+    // exact top-20 truth, min-over-rows estimates — values pinned.
+    "q_text_cms" ->
+      """WITH t AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |sketch AS (
+        |  SELECT r, CAST('0x' || substr(md5(tok || ':cms' || r), 1, 8)
+        |      AS BIGINT) % 1024 AS cell, count(*) AS cnt
+        |  FROM t CROSS JOIN rs GROUP BY r, cell),
+        |top AS (
+        |  SELECT tok, count(*) AS n_true FROM t
+        |  GROUP BY tok ORDER BY n_true DESC, tok LIMIT 20),
+        |probe AS (
+        |  SELECT top.tok, top.n_true, rs.r,
+        |    CAST('0x' || substr(md5(top.tok || ':cms' || rs.r), 1, 8)
+        |      AS BIGINT) % 1024 AS cell
+        |  FROM top CROSS JOIN rs),
+        |est AS (
+        |  SELECT p.tok, p.n_true, min(coalesce(s.cnt, 0)) AS n_est
+        |  FROM probe p LEFT JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+        |  GROUP BY p.tok, p.n_true)
+        |SELECT tok AS token, n_true, n_est, n_est >= n_true AS over_ok
+        |FROM est ORDER BY token""".stripMargin,
     "q_text_heavy_hitters" ->
       """WITH t2 AS (
         |  SELECT tok FROM (
