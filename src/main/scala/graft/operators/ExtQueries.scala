@@ -71,6 +71,19 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter decontamination — the corpus-vs-corpus scale path:
+    // same pseudo-eval set as q_decontaminate, but membership goes
+    // through the m=2^16-bit / k=4 md5-sliced bloom bitmap (config-
+    // bounded broadcast; probe map-only, zero shuffle). n_maybe may
+    // exceed q_decontaminate's n_hits by the FPR, never undercount —
+    // the oracle recomputes the bloom verdicts exactly, so the values
+    // are pinned, not tolerance-gated.
+    "q_decontaminate_bloom" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      Bloom.flag(docs, docs.where(col("doc_id") % 101 === 0))
+        .orderBy("doc_id")
+    },
+
     // Text-hygiene normalization: control-strip + Unicode NFC + trim
     // (the pre-tokenization cleaning pass). The oracle restates the
     // same pipeline via DuckDB's utf8proc NFC — two independent
@@ -2051,6 +2064,51 @@ object ExtQueries {
         |    >= 0.5 AS contaminated
         |FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // Recomputes the ENTIRE bloom derivation at the position-SET level
+    // (the packed bitmap is an encoding of this set — BloomSpec pins
+    // packed == set; DuckDB's << refuses the sign-bit shift, so the
+    // set form IS the restatement): eval positions = 4 md5 slices mod
+    // 2^16 over distinct eval grams; a corpus gram is maybe-contained
+    // iff ALL 4 of its positions are in that set.
+    "q_decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3
+        |      THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 2 + 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS gs
+        |  FROM toks),
+        |slots AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |epos AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(g || ':bl'), i * 8 + 1, 8) AS BIGINT)
+        |      % 65536 AS p
+        |  FROM (SELECT DISTINCT unnest(gs) AS g FROM grams
+        |        WHERE doc_id % 101 = 0)
+        |  CROSS JOIN slots),
+        |cp AS (
+        |  SELECT doc_id, sz, g,
+        |    CAST('0x' || substr(md5(g || ':bl'), i * 8 + 1, 8) AS BIGINT)
+        |      % 65536 AS p
+        |  FROM (SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM grams)
+        |  CROSS JOIN slots),
+        |hits AS (
+        |  SELECT doc_id, sz, g,
+        |    min(CASE WHEN e.p IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        |  FROM cp LEFT JOIN epos e ON cp.p = e.p
+        |  GROUP BY doc_id, sz, g),
+        |agg AS (
+        |  SELECT doc_id, sz, CAST(sum(hit) AS BIGINT) AS n_maybe
+        |  FROM hits GROUP BY doc_id, sz)
+        |SELECT doc_id, n_maybe,
+        |  CASE WHEN sz = 0 THEN 0.0
+        |       ELSE CAST(n_maybe AS DOUBLE) / sz END AS contamination,
+        |  (CASE WHEN sz = 0 THEN 0.0
+        |        ELSE CAST(n_maybe AS DOUBLE) / sz END) >= 0.5 AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,

@@ -105,6 +105,17 @@ object FeatureQueries {
       Graph.pagerank(edges, iters = 5, damping = 0.85)
         .select(col("node"), round(col("pr"), 7).as("pr"))
         .orderBy("node")
+    },
+
+    // Distributed k-means over the embeddings corpus (Lloyd, k=8,
+    // 3 iterations, deterministic md5-draw init): every vector gets a
+    // cluster id — the curation clustering stage run over the FULL
+    // corpus, only K centroids ever leaving the executors. The oracle
+    // restates init + every unrolled iteration ([[Kmeans.oracleSql]],
+    // generated so engine and oracle can't drift on (k, iters, seed)).
+    "q_cluster_kmeans" -> { (s, d) =>
+      Kmeans.fit(Tables(s, d, "embeddings"))
+        .orderBy("vec_id")
     })
 
   /** Unrolled K-iteration PageRank restatement (same arithmetic
@@ -161,5 +172,6 @@ object FeatureQueries {
         |        generate_subscripts(embedding, 1) AS pos
         |      FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
-    "q_graph_pagerank" -> pagerankOracle(5))
+    "q_graph_pagerank" -> pagerankOracle(5),
+    "q_cluster_kmeans" -> Kmeans.oracleSql())
 }
