@@ -267,6 +267,17 @@ object ScaleBench {
     val (tCms1, csCms1) = cmsAt(docs1)
     val (tCmsF, csCmsF) = cmsAt(docsF)
 
+    // ---- Bloom decontamination: eval grams grow ~f× (the %101 slice
+    // of the inflated corpus) but the BITMAP stays m=2^16 bits by
+    // config — build cost tracks eval grams, probe cost tracks corpus
+    // tokens, and the probe is map-only (no join, no explode), so
+    // linear is the null at both ends.
+    def bloomAt(docs: DataFrame) = timed(runs)(consume(
+      graft.operators.Bloom.flag(docs,
+        docs.where(col("doc_id") % 101 === 0))))
+    val (tBlm1, csBlm1) = bloomAt(docs1)
+    val (tBlmF, csBlmF) = bloomAt(docsF)
+
     // ---- URL curation under a planted hot domain: HALF the corpus
     // lands on one CDN domain (the adversarial crawl shape the
     // per-domain cap exists for), the rest spreads over ~997 domains.
@@ -588,6 +599,18 @@ object ScaleBench {
     val (tPqE1, tPqS1) = pqAt(embs1)
     val (tPqEF, tPqSF) = pqAt(embsF)
 
+    // ---- distributed k-means (Lloyd, k=8, 3 iters) over the FULL
+    // embedding corpus: each iteration is one map-side argmin pass +
+    // one partial-aggregated centroid update bounded at K·dim rows
+    // per partition — the iterative-join shape whose per-iteration
+    // constant matters at web scale (pagerank's lesson). The timed
+    // body includes fit()'s internal init/centroid collects — they
+    // ARE the operator. Linear is the null.
+    def kmeansAt(embs: DataFrame) = timed(runs)(consume(
+      graft.operators.Kmeans.fit(embs)))
+    val (tKm1, csKm1) = kmeansAt(embs1)
+    val (tKmF, csKmF) = kmeansAt(embsF)
+
     // ---- incremental-dedup drain: 8 batches, compactEvery=3 → the
     // stores compact at batches 3 and 6 (two multi-segment compactions
     // below the replay frontier). Per-batch parquet is written untimed;
@@ -709,6 +732,10 @@ object ScaleBench {
       s""""hh_rows":[${csHh1._1},${csHhF._1}],""" +
       s""""cms_1x":${f2(tCms1)},"cms_fx":${f2(tCmsF)},"cms_xlin":${xlin(tCms1, tCmsF)},""" +
       s""""cms_rows":[${csCms1._1},${csCmsF._1}],""" +
+      s""""bloom_1x":${f2(tBlm1)},"bloom_fx":${f2(tBlmF)},"bloom_xlin":${xlin(tBlm1, tBlmF)},""" +
+      s""""bloom_rows":[${csBlm1._1},${csBlmF._1}],""" +
+      s""""kmeans_1x":${f2(tKm1)},"kmeans_fx":${f2(tKmF)},"kmeans_xlin":${xlin(tKm1, tKmF)},""" +
+      s""""kmeans_rows":[${csKm1._1},${csKmF._1}],""" +
       s""""url_1x":${f2(tUrl1)},"url_fx":${f2(tUrlF)},"url_xlin":${xlin(tUrl1, tUrlF)},""" +
       s""""url_rows":[${csUrl1._1},${csUrlF._1}],""" +
       s""""html_1x":${f2(tHtml1)},"html_fx":${f2(tHtmlF)},"html_xlin":${xlin(tHtml1, tHtmlF)},""" +

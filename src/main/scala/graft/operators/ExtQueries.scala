@@ -61,6 +61,38 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Lexical diversity: type-token ratio + token-level Shannon
+    // entropy per doc (the gibberish/boilerplate detection pair in
+    // quality-filter stacks — low entropy = repetitive spam, TTR near
+    // 1 on long docs = word-salad). Entropy in the H = ln n − Σc·ln c
+    // / n form: counts are exact ints, ln is per-count, the ONE
+    // division happens last, round-6 absorbs sum-order ulps (the LM
+    // scoring precedent). Shape: explode + two bounded groupBys —
+    // per-doc token counts then per-doc stats, both skew-bounded by
+    // document length; empty docs survive via the left join-back with
+    // null ttr/entropy.
+    "q_text_entropy" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val st = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id").agg(
+          sum("__c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("__c").cast("double") * log(col("__c").cast("double")))
+            .as("__sclc"))
+      docs.select("doc_id").join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          round(log(col("n_tokens").cast("double")) -
+            col("__sclc") / col("n_tokens"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: flag corpus docs overlapping the
     // (deterministic pseudo-)eval set doc_id % 101 == 0 by distinct
     // 3-gram containment. Eval dictionary broadcasts; corpus is
@@ -932,6 +964,44 @@ object ExtQueries {
               (col("n_exact") - col("est")) * (cap + 1) <= lit(n)))
             .as("ok"))
         .orderBy(col("n_exact").desc, col("tok"))
+    },
+
+    // Incremental Count-Min ROLLUP through persistence — the
+    // [[CountMin.merge]] lifecycle as a driver row (the frequency
+    // twin of q_text_heavy_hitters_rollup, but EXACT: counts add
+    // cell-wise, so the rolled-up estimates are value-pinned, not
+    // theorem-gated): three ingest batches each persist ONE ≤ d·w-row
+    // sketch into an AppendStore; the rollup sums the persisted cells
+    // — history never rescanned, O(batches · d·w) rows per rollup.
+    // The oracle restates the PER-BATCH sketches and the cell-wise
+    // sum, so a rollup that double-counts a batch, drops one, or
+    // re-reads raw history goes red on values. Gate-only (never
+    // benched): the store round-trips are scheduling overhead in
+    // local mode; the data-proportional sketch pass is benched under
+    // q_text_cms.
+    "q_text_cms_rollup" -> { (s, d) =>
+      import graft.cdc.AppendStore
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .localCheckpoint(true) // consumed by 3 batch passes + truth leg
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cms_rollup").toString
+      val store = new AppendStore(s, root)
+      Seq(0L, 1L, 2L).foreach { b =>
+        store.write(
+          CountMin.sketch(toks.where(col("doc_id") % 3 === b), "tok"), b)
+      }
+      val sk = CountMin.merge(store.read().get.select("r", "cell", "cnt"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("tok")).limit(20)
+        .localCheckpoint(true) // consumed twice: probes + truth join-back
+      CountMin.estimate(sk, top.select("tok"), "tok")
+        .join(broadcast(top), Seq("tok"))
+        .select(col("tok").as("token"), col("n_true"), col("n_est"),
+          (col("n_est") >= col("n_true")).as("over_ok"))
+        .orderBy("token")
     },
 
     // Top-fraction quality cut gate. The approx threshold value is
@@ -2038,6 +2108,26 @@ object ExtQueries {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |per AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types, sum(c * ln(c)) AS sclc
+        |  FROM per GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_tokens, 0) AS n_tokens,
+        |  coalesce(st.n_types, 0) AS n_types,
+        |  round(CAST(st.n_types AS DOUBLE) / st.n_tokens, 6) AS ttr,
+        |  round(ln(st.n_tokens) - st.sclc / st.n_tokens, 6) AS entropy
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -2175,6 +2265,39 @@ object ExtQueries {
         |  ORDER BY n_exact DESC, tok LIMIT 10)
         |SELECT tok, n_exact, true AS ok FROM top
         |ORDER BY n_exact DESC, tok""".stripMargin,
+    // Restates the per-batch sketches (doc_id % 3) AND the cell-wise
+    // rollup sum — a rollup that double-counts, drops a batch, or
+    // rescans raw history diverges from these values.
+    "q_text_cms_rollup" ->
+      """WITH t AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |persk AS (
+        |  SELECT doc_id % 3 AS b, r,
+        |    CAST('0x' || substr(md5(tok || ':cms' || r), 1, 8)
+        |      AS BIGINT) % 1024 AS cell, count(*) AS cnt
+        |  FROM t CROSS JOIN rs GROUP BY b, r, cell),
+        |merged AS (
+        |  SELECT r, cell, sum(cnt) AS cnt FROM persk GROUP BY r, cell),
+        |top AS (
+        |  SELECT tok, count(*) AS n_true FROM t
+        |  GROUP BY tok ORDER BY n_true DESC, tok LIMIT 20),
+        |probe AS (
+        |  SELECT top.tok, top.n_true, rs.r,
+        |    CAST('0x' || substr(md5(top.tok || ':cms' || rs.r), 1, 8)
+        |      AS BIGINT) % 1024 AS cell
+        |  FROM top CROSS JOIN rs),
+        |est AS (
+        |  SELECT p.tok, p.n_true,
+        |    CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS n_est
+        |  FROM probe p LEFT JOIN merged m ON p.r = m.r AND p.cell = m.cell
+        |  GROUP BY p.tok, p.n_true)
+        |SELECT tok AS token, n_true, n_est, n_est >= n_true AS over_ok
+        |FROM est ORDER BY token""".stripMargin,
     "q_join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer
         |           WHERE c_custkey < 2000)

@@ -56,20 +56,20 @@ object Kmeans {
     (element_at(typedlit(cents.map(_._1)), posn), element_at(d2s, posn))
   }
 
-  /** Cluster every row of `embs`: `(idCol, cluster, dist2)` with
-    * `dist2` the squared L2 to the final centroid, round-6. Centroids
-    * init at the k rows with the smallest (md5(id ":seed"), id) and
-    * run `iters` Lloyd updates; clusters that empty out drop from the
-    * centroid set (both engines restate the same frames, so the drop
-    * is deterministic too). */
-  def fit(embs: DataFrame, idCol: String = "vec_id",
+  /** Train centroids only: init at the k rows with the smallest
+    * (md5(id ":seed"), id), run `iters` Lloyd updates; clusters that
+    * empty out drop from the centroid set (both engines restate the
+    * same frames, so the drop is deterministic too). The returned
+    * K×dim doubles are the MODEL — the frozen-centroid analog of
+    * [[Pq]]'s codebooks. */
+  def fitCentroids(embs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 8, iters: Int = 3,
-      seed: String = "km"): DataFrame = {
+      seed: String = "km"): Seq[(Int, Seq[Double])] = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 0, s"iters must be non-negative: $iters")
     val vecs = embs
       .select(col(idCol), VectorFunctions.toDouble(col(vecCol)).as("__v"))
-      .localCheckpoint(true) // scanned iters+2 times; O(1)-deep plans
+      .localCheckpoint(true) // scanned iters+1 times; O(1)-deep plans
     val init = vecs
       .orderBy(Sampling.hashDraw(col(idCol), seed), col(idCol))
       .limit(k)
@@ -89,10 +89,49 @@ object Kmeans {
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
     }
-    val (cluster, d2) = assignExpr(cents, col("__v"))
-    vecs.select(col(idCol), cluster.as("cluster"),
+    cents
+  }
+
+  /** Frozen-centroid assignment — the SERVE path: one map-only pass,
+    * no shuffle, centroids ride as literals. New data scores against
+    * a trained model without retraining (the build-once/serve-many
+    * contract the ANN family keeps). */
+  def assign(embs: DataFrame, cents: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "assign: empty centroid set")
+    val v = VectorFunctions.toDouble(col(vecCol))
+    val (cluster, d2) = assignExpr(cents, v)
+    embs.select(col(idCol), cluster.as("cluster"),
       round(d2, 6).as("dist2"))
   }
+
+  /** Cluster every row of `embs`: `(idCol, cluster, dist2)` with
+    * `dist2` the squared L2 to the final centroid, round-6 —
+    * [[fitCentroids]] + [[assign]] in one call. */
+  def fit(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8, iters: Int = 3,
+      seed: String = "km"): DataFrame =
+    assign(embs, fitCentroids(embs, idCol, vecCol, k, iters, seed),
+      idCol, vecCol)
+
+  /** Persist a trained model under `root` (one (cid, cvec) row per
+    * centroid — KBs) through [[graft.cdc.TableStore]]'s versioned
+    * snapshot protocol, like [[Ivf.persist]]. */
+  def persist(spark: org.apache.spark.sql.SparkSession, root: String,
+      cents: Seq[(Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    new graft.cdc.TableStore(spark, root)
+      .write(cents.toDF("cid", "cvec"))
+  }
+
+  /** Load a persisted model; plug straight into [[assign]]. None if
+    * never written. */
+  def load(spark: org.apache.spark.sql.SparkSession, root: String)
+      : Option[Seq[(Int, Seq[Double])]] =
+    new graft.cdc.TableStore(spark, root).read().map(
+      _.select("cid", "cvec").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq)
 
   /** The `q_cluster_kmeans` DuckDB restatement: init + `iters`
     * unrolled assignment/update CTE pairs + the final assignment —

@@ -74,6 +74,35 @@ class KmeansSpec extends AnyFunSuite {
     assert(math.abs(rows(rest)._2 - d2(rest, nearest)) < 1e-9)
   }
 
+  test("persist -> load -> assign reproduces fit exactly; frozen serve on new data") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_km_spec").toString
+    val cents = Kmeans.fitCentroids(planted, k = 3, iters = 2)
+    Kmeans.persist(spark, root, cents)
+    val loaded = Kmeans.load(spark, root).get
+    assert(loaded === cents)
+    val direct = Kmeans.fit(planted, k = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val served = Kmeans.assign(planted, loaded).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(served === direct)
+    // new (unseen) vectors score map-side against the frozen model:
+    // a probe next to planted group g's base lands in g's cluster
+    val probes = (0 until 3).map { g =>
+      val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      base(g) = 100.0f * (g + 1)
+      (1000L + g, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Kmeans.assign(probes, loaded).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val planted2cluster = groups(Kmeans.assign(planted, loaded))
+      .flatMap { case (c, ids) => ids.map(_ -> c) }
+    (0 until 3).foreach { g =>
+      assert(got(1000L + g) === planted2cluster(g.toLong), s"probe $g")
+    }
+    assert(Kmeans.load(spark, root + "_never").isEmpty)
+  }
+
   test("k > distinct points: surplus clusters empty out and drop") {
     val df = Seq(
       (1L, Seq(0.0f, 0.0f)),
