@@ -447,6 +447,33 @@ object Kernels {
     UTF8String.fromString(trimWs(nfc))
   }
 
+  /** Raw-DEFLATE compression ratio of the text's UTF-8 bytes at
+    * level 6: compressed/raw — the classic gibberish/repetition
+    * signal (highly repetitive spam compresses far below natural
+    * text; random word-salad barely compresses). Raw deflate (nowrap)
+    * so the 2-byte zlib header + 4-byte adler don't dominate short
+    * docs. JVM-deterministic (java.util.zip wraps the bundled zlib at
+    * a fixed level/strategy) but NOT engine-restatable — DuckDB has
+    * no deflate-length function — so the driver row gates
+    * restatable INVARIANTS (bound + doubled-text monotonicity) and
+    * CompressSpec pins the discriminative behavior. Empty text → 1.0
+    * (nothing to compress, neutral). */
+  def deflateRatio(input: UTF8String): Double = {
+    val bytes = input.getBytes
+    if (bytes.length == 0) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / bytes.length
+      } finally d.end()
+    }
+  }
+
   private def trimWs(s: String): String = {
     var a = 0
     var b = s.length

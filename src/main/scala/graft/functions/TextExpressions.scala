@@ -171,6 +171,19 @@ case class TextNormalizeClean(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Deflate-compression ratio — one kernel call per row; see
+  * [[Kernels.deflateRatio]] for semantics and determinism notes. */
+case class TextDeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "text_deflate_ratio"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(Kernels.deflateRatio(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): TextDeflateRatio =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -198,4 +211,7 @@ object TextExpressions {
 
   def dupGramFraction(text: Column, n: Int = 3): Column =
     column(DupGramFraction(expression(text), n))
+
+  def deflateRatio(text: Column): Column =
+    column(TextDeflateRatio(expression(text)))
 }

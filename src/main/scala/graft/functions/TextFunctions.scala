@@ -55,6 +55,12 @@ object TextFunctions {
     * equivalence spec asserts the two agree bit-exactly. */
   def qualityScore(text: Column): Column = TextExpressions.textQuality(text)
 
+  /** Deflate-compression ratio (compressed/raw bytes, level-6 raw
+    * deflate) — the gibberish/repetition quality signal; see
+    * [[Kernels.deflateRatio]]. */
+  def compressionRatio(text: Column): Column =
+    TextExpressions.deflateRatio(text)
+
   /** Column-composed restatement of [[qualityScore]] — the readable
     * reference the kernel is tested against (and the shape the DuckDB
     * oracle restates). Not for hot paths. */

@@ -61,6 +61,21 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Compression-ratio quality signal (level-6 raw deflate,
+    // compressed/raw bytes): repetitive spam compresses far below
+    // natural text, word-salad barely compresses — the cheap
+    // "does this look like language" signal in Dolma/RedPajama-class
+    // quality stacks. Map-only, one codegen'd kernel call per row.
+    // Deflate has no DuckDB restatement, so the driver-checked
+    // surface is the GATE variant (restatable invariants); this raw
+    // key is what the bench times.
+    "q_text_compress" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.compressionRatio(col("text")).as("ratio"))
+        .orderBy("doc_id")
+    },
+
     // Lexical diversity: type-token ratio + token-level Shannon
     // entropy per doc (the gibberish/boilerplate detection pair in
     // quality-filter stacks — low entropy = repetitive spam, TTR near
@@ -1002,6 +1017,30 @@ object ExtQueries {
         .select(col("tok").as("token"), col("n_true"), col("n_est"),
           (col("n_est") >= col("n_true")).as("over_ok"))
         .orderBy("token")
+    },
+
+    // Compression-ratio gate: deflate has no DuckDB restatement, so
+    // the driver row pins engine-independent INVARIANTS of the
+    // kernel as all-true booleans — (1) the zlib worst-case bound
+    // (compressed <= raw + 64 at our doc sizes; a kernel emitting
+    // garbage lengths goes red), and (2) doubled-text monotonicity:
+    // deflate(text||text)/2n < deflate(text)/n for docs > 200 bytes
+    // (the second copy is one back-reference — a kernel that fails
+    // to find repetition, e.g. a broken window or a length-only fake,
+    // goes red). The discriminative spread (repetitive << natural <<
+    // salad) is CompressSpec's job.
+    "q_text_compress" -> { (s, d) =>
+      val t = col("text")
+      val r = TextFunctions.compressionRatio(t)
+      val r2 = TextFunctions.compressionRatio(concat(t, t))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        when(octet_length(t) === 0, r === 1.0)
+          .otherwise(r > 0.0 &&
+            r * octet_length(t) <= octet_length(t).cast("double") + 64.0)
+          .as("bound_ok"),
+        (octet_length(t) <= 200 || r2 < r).as("doubled_lt"))
+        .orderBy("doc_id")
     },
 
     // Top-fraction quality cut gate. The approx threshold value is
@@ -2108,6 +2147,10 @@ object ExtQueries {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // Gate truth: every invariant is true by the kernel's contract.
+    "q_text_compress" ->
+      """SELECT doc_id, true AS bound_ok, true AS doubled_lt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, tok FROM (
