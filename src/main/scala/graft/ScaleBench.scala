@@ -267,6 +267,34 @@ object ScaleBench {
     val (tCms1, csCms1) = cmsAt(docs1)
     val (tCmsF, csCmsF) = cmsAt(docsF)
 
+    // ---- lexical entropy: explode + two doc-length-bounded groupBys
+    // — the per-doc distinct-count shape; content-token suffixing
+    // keeps per-doc type counts identical across copies, so linear is
+    // the null.
+    def entropyAt(docs: DataFrame) = {
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      timed(runs)(consume(
+        toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            round(log(sum("c")) -
+              sum(col("c") * log(col("c"))) / sum("c"), 6).as("entropy"))))
+    }
+    val (tEnt1, csEnt1) = entropyAt(docs1)
+    val (tEntF, csEntF) = entropyAt(docsF)
+
+    // ---- deflate-ratio signal: one kernel call per row, pure
+    // CPU-bound map scan — the leg measures the per-byte deflate
+    // constant at full growth (no shuffle to hide behind).
+    def compressAt(docs: DataFrame) = timed(runs)(consume(
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.compressionRatio(col("text"))
+          .as("ratio"))))
+    val (tCmp1, csCmp1) = compressAt(docs1)
+    val (tCmpF, csCmpF) = compressAt(docsF)
+
     // ---- Bloom decontamination: eval grams grow ~f× (the %101 slice
     // of the inflated corpus) but the BITMAP stays m=2^16 bits by
     // config — build cost tracks eval grams, probe cost tracks corpus
@@ -732,6 +760,10 @@ object ScaleBench {
       s""""hh_rows":[${csHh1._1},${csHhF._1}],""" +
       s""""cms_1x":${f2(tCms1)},"cms_fx":${f2(tCmsF)},"cms_xlin":${xlin(tCms1, tCmsF)},""" +
       s""""cms_rows":[${csCms1._1},${csCmsF._1}],""" +
+      s""""entropy_1x":${f2(tEnt1)},"entropy_fx":${f2(tEntF)},"entropy_xlin":${xlin(tEnt1, tEntF)},""" +
+      s""""entropy_rows":[${csEnt1._1},${csEntF._1}],""" +
+      s""""compress_1x":${f2(tCmp1)},"compress_fx":${f2(tCmpF)},"compress_xlin":${xlin(tCmp1, tCmpF)},""" +
+      s""""compress_rows":[${csCmp1._1},${csCmpF._1}],""" +
       s""""bloom_1x":${f2(tBlm1)},"bloom_fx":${f2(tBlmF)},"bloom_xlin":${xlin(tBlm1, tBlmF)},""" +
       s""""bloom_rows":[${csBlm1._1},${csBlmF._1}],""" +
       s""""kmeans_1x":${f2(tKm1)},"kmeans_fx":${f2(tKmF)},"kmeans_xlin":${xlin(tKm1, tKmF)},""" +

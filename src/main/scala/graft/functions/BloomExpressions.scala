@@ -3,9 +3,11 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Explicit broadcast-bloom probe — the map-side pre-filter a
@@ -56,6 +58,60 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
     31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
+/** Count of grams whose k md5-slice bloom bits are ALL set — the
+  * map-side probe of [[graft.operators.Bloom.flag]] as one codegen'd
+  * kernel call per row (see [[Kernels.bloomContainedCount]]; the
+  * packed word array rides as the right child, an array<long>
+  * literal). */
+case class BloomContainedCount(left: Expression, right: Expression,
+    mBits: Int, kHashes: Int, seed: String) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_contained_count"
+
+  @transient private lazy val suffixBytes: Array[Byte] =
+    (":" + seed).getBytes("UTF-8")
+
+  override def nullSafeEval(grams: Any, words: Any): Any =
+    java.lang.Long.valueOf(Kernels.bloomContainedCount(
+      grams.asInstanceOf[ArrayData], words.asInstanceOf[ArrayData],
+      mBits, kHashes, suffixBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomSuffix", suffixBytes, "byte[]")
+    defineCodeGen(ctx, ev, (g, w) =>
+      s"graft.functions.Kernels.bloomContainedCount($g, $w, $mBits, $kHashes, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : BloomContainedCount = copy(left = l, right = r)
+}
+
+/** The whole per-document bloom-decontamination probe —
+  * [distinctGramCount, containedCount] in one codegen'd call; see
+  * [[Kernels.bloomContamination]]. `left` = text, `right` = the
+  * packed word array literal. */
+case class BloomContamination(left: Expression, right: Expression,
+    n: Int, mBits: Int, kHashes: Int, seed: String) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_contamination"
+
+  @transient private lazy val suffixBytes: Array[Byte] =
+    (":" + seed).getBytes("UTF-8")
+
+  override def nullSafeEval(text: Any, words: Any): Any =
+    Kernels.bloomContamination(text.asInstanceOf[UTF8String],
+      words.asInstanceOf[ArrayData], n, mBits, kHashes, suffixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomSuffix", suffixBytes, "byte[]")
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"graft.functions.Kernels.bloomContamination($t, $w, $n, $mBits, $kHashes, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : BloomContamination = copy(left = l, right = r)
+}
+
 object BloomFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -65,4 +121,14 @@ object BloomFunctions {
     bf.writeTo(out)
     column(BloomMightContainLong(expression(value), out.toByteArray))
   }
+
+  def containedCount(grams: Column, words: Column, mBits: Int, k: Int,
+      seed: String): Column =
+    column(BloomContainedCount(expression(grams), expression(words),
+      mBits, k, seed))
+
+  def contamination(text: Column, words: Column, n: Int, mBits: Int,
+      k: Int, seed: String): Column =
+    column(BloomContamination(expression(text), expression(words),
+      n, mBits, k, seed))
 }

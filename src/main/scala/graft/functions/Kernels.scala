@@ -371,6 +371,164 @@ object Kernels {
     best
   }
 
+  /** k-means argmin: POSITION (row index into the flattened
+    * centroid matrix) of the centroid with the smallest squared L2 —
+    * accumulation strictly ascending in j with a 0.0 seed and a
+    * strict `<` comparison, so the result (and every intermediate
+    * double) is bit-identical to the `aggregate(zip_with(...))` left
+    * fold AND DuckDB's `list_reduce`, with the first minimum (=
+    * lowest centroid position) winning ties — the `ORDER BY d2, cid`
+    * contract the q_cluster_kmeans oracle restates. */
+  def nearestCentroidL2(v: ArrayData, cents: ArrayData, dim: Int): Long = {
+    val x = v.toDoubleArray()
+    val n = math.min(x.length, dim)
+    val nlist = cents.numElements() / dim
+    var best = 0L
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < nlist) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x(i) - cents.getDouble(base + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c.toLong }
+      c += 1
+    }
+    best
+  }
+
+  /** The minimum squared L2 itself — same fold, same tie semantics as
+    * [[nearestCentroidL2]] (strict `<`, so both kernels agree on the
+    * winning centroid). */
+  def nearestCentroidL2Dist(v: ArrayData, cents: ArrayData, dim: Int): Double = {
+    val x = v.toDoubleArray()
+    val n = math.min(x.length, dim)
+    val nlist = cents.numElements() / dim
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < nlist) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x(i) - cents.getDouble(base + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) bestD = s
+      c += 1
+    }
+    bestD
+  }
+
+  /** Whole bloom-decontamination probe for one document in one call:
+    * trim (ASCII space only — Spark/DuckDB `trim` semantics) → regex
+    * `\\s+` split (java.util.regex, the engine Spark's `split` uses,
+    * with the same leading-empty-token edge) → distinct word n-grams
+    * (whole-text gram at ≤ n tokens — [[graft.operators.Bloom
+    * .gramStrings]] restated imperatively) → per-gram k-slice md5
+    * probe against the packed words. Returns [distinctGramCount,
+    * containedCount]. The Column-composed probe builds every gram
+    * through interpreted `transform`/`array_join` lambdas — measured
+    * 3.4s vs 0.5s for the whole q_decontaminate_bloom key at sf0.1;
+    * this kernel is that cost collapsed into codegen. Parity with the
+    * Column form is BloomSpec-pinned. */
+  def bloomContamination(text: UTF8String, words: ArrayData, n: Int,
+      mBits: Int, k: Int, suffix: Array[Byte]): ArrayData = {
+    val s = text.toString
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    val toks: Array[String] = s.substring(a, b).split("\\s+", -1)
+    val grams = new java.util.LinkedHashSet[String]()
+    if (toks.length <= n) grams.add(toks.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        grams.add(sb.toString)
+        i += 1
+      }
+    }
+    val md = md5Local.get()
+    var contained = 0L
+    val it = grams.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      md.reset()
+      md.update(g.getBytes("UTF-8"))
+      md.update(suffix)
+      val dig = md.digest()
+      var ok = true
+      var j = 0
+      while (ok && j < k) {
+        val o = 4 * j
+        val p = (((dig(o) & 0xffL) << 24) | ((dig(o + 1) & 0xffL) << 16) |
+          ((dig(o + 2) & 0xffL) << 8) | (dig(o + 3) & 0xffL)) % mBits
+        ok = ((words.getLong((p >> 6).toInt) >>> (p & 63L).toInt) & 1L) == 1L
+        j += 1
+      }
+      if (ok) contained += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(grams.size.toLong, contained))
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Bloom probe over a gram array in ONE kernel call per row: for
+    * each gram, the i-th bit position is the i-th 4-byte big-endian
+    * slice of md5(gram ++ suffix) mod mBits — numerically IDENTICAL
+    * to `conv(substr(md5hex, 8i+1, 8), 16, 10) % mBits` (8 hex chars
+    * = 4 digest bytes) — and the gram counts iff all k bits are set
+    * in the packed word array. The Column-composed form of the same
+    * arithmetic runs interpreted inside `filter`'s lambda (4 md5 hex
+    * round-trips per gram) and measured ~8× slower on the bench.
+    * NULL grams (impossible from gramStrings; defensive) don't
+    * count. */
+  def bloomContainedCount(grams: ArrayData, words: ArrayData,
+      mBits: Int, k: Int, suffix: Array[Byte]): Long = {
+    val n = grams.numElements()
+    val md = md5Local.get()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        md.reset()
+        md.update(grams.getUTF8String(i).getBytes)
+        md.update(suffix)
+        val dig = md.digest()
+        var ok = true
+        var j = 0
+        while (ok && j < k) {
+          val b = 4 * j
+          val p = (((dig(b) & 0xffL) << 24) | ((dig(b + 1) & 0xffL) << 16) |
+            ((dig(b + 2) & 0xffL) << 8) | (dig(b + 3) & 0xffL)) % mBits
+          ok = ((words.getLong((p >> 6).toInt) >>> (p & 63L).toInt) & 1L) == 1L
+          j += 1
+        }
+        if (ok) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** PQ asymmetric-distance-computation sum: `codes(j)` indexes a
     * per-subspace lookup row in the flattened `m×k` table (row-major,
     * one row per subspace), so the approximate dot product is

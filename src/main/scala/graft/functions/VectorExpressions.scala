@@ -73,6 +73,50 @@ case class NearestCentroid(left: Expression, right: Expression, dim: Int)
       : NearestCentroid = copy(left = l, right = r)
 }
 
+/** k-means L2 argmin — codegen'd position of the nearest centroid
+  * (squared L2, fold-ordered; see [[Kernels.nearestCentroidL2]]).
+  * The interpreted `aggregate(zip_with(...))` HOF form of the same
+  * arithmetic measured ~7s/pass on 2000×64 at sf0.1 — HOF lambdas
+  * have no codegen; this is the same reason [[NearestCentroid]]
+  * exists for IVF. */
+case class NearestCentroidL2(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid_l2"
+
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    java.lang.Long.valueOf(Kernels.nearestCentroidL2(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.Kernels.nearestCentroidL2($v, $c, $dim)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : NearestCentroidL2 = copy(left = l, right = r)
+}
+
+/** Companion min-distance of [[NearestCentroidL2]] — same fold, same
+  * tie semantics, so the pair always describes one centroid. */
+case class NearestCentroidL2Dist(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_centroid_l2_dist"
+
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    java.lang.Double.valueOf(Kernels.nearestCentroidL2Dist(
+      v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.Kernels.nearestCentroidL2Dist($v, $c, $dim)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : NearestCentroidL2Dist = copy(left = l, right = r)
+}
+
 /** PQ ADC scoring: approximate dot of an encoded corpus row against a
   * query's per-subspace lookup table (built once per query, KBs).
   * `left` = the row's code array (m longs), `right` = the flattened
@@ -113,4 +157,14 @@ object VectorExpressions {
 
   def pqAdc(codes: Column, tab: Column, k: Int): Column =
     column(PqAdc(expression(codes), expression(tab), k))
+
+  def nearestCentroidL2(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
+    column(NearestCentroidL2(expression(vec),
+      Literal.create(flatCentroids, ArrayType(DoubleType, containsNull = false)),
+      dim))
+
+  def nearestCentroidL2Dist(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
+    column(NearestCentroidL2Dist(expression(vec),
+      Literal.create(flatCentroids, ArrayType(DoubleType, containsNull = false)),
+      dim))
 }

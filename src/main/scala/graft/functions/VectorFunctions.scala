@@ -34,4 +34,16 @@ object VectorFunctions {
 
   /** Cast a float[] embedding to double[] for stable math. */
   def toDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Codegen'd k-means argmin: position of the nearest centroid by
+    * squared L2 in the flattened matrix (fold-ordered, first-min tie
+    * break — see [[Kernels.nearestCentroidL2]]). */
+  def nearestCentroidL2Pos(vec: Column, flatCentroids: Array[Double],
+      dim: Int): Column =
+    VectorExpressions.nearestCentroidL2(vec, flatCentroids, dim)
+
+  /** The companion minimum squared L2 itself. */
+  def nearestCentroidL2Dist(vec: Column, flatCentroids: Array[Double],
+      dim: Int): Column =
+    VectorExpressions.nearestCentroidL2Dist(vec, flatCentroids, dim)
 }

@@ -122,10 +122,17 @@ object Bloom {
       .select(explode(gramStrings(col(textCol), n)).as("__g")).distinct()
     val words = build(evalGrams, "__g", k, mBits, seed)
     docs
-      .select(col(idCol), gramStrings(col(textCol), n).as("__gs"))
-      .select(col(idCol), size(col("__gs")).as("__sz"),
-        size(filter(col("__gs"),
-          g => mightContain(words, g, k, mBits, seed))).as("n_maybe"))
+      // the whole probe (trim→split→grams→distinct→k-slice md5 test)
+      // is ONE codegen'd kernel call per doc: the Column-composed form
+      // builds every gram through interpreted transform/array_join
+      // lambdas and its 4 md5s per gram re-derive hex strings —
+      // measured 3.4s vs 0.5s for this key at sf0.1 (BloomSpec pins
+      // kernel == Column-form parity)
+      .select(col(idCol),
+        graft.functions.BloomFunctions.contamination(col(textCol),
+          typedlit(words.toSeq), n, mBits, k, seed).as("__sc"))
+      .select(col(idCol), element_at(col("__sc"), 1).as("__sz"),
+        element_at(col("__sc"), 2).as("n_maybe"))
       .withColumn("contamination",
         when(col("__sz") === 0, 0.0)
           .otherwise(col("n_maybe").cast("double") / col("__sz")))

@@ -41,19 +41,23 @@ import graft.functions.VectorFunctions
 object Kmeans {
 
   /** Nearest-centroid `(cluster, d2)` of vector `v` (double array)
-    * against centroid literals: fold-ordered squared L2 per centroid,
-    * argmin via `array_position(d2s, array_min(d2s))` — the FIRST
-    * occurrence of the min, which with `cents` sorted by cid IS the
-    * lowest-cid tie-break (`ORDER BY d2, cid` in the oracle). Index
-    * form rather than struct-min because `array()` type-coercion
-    * strips struct field names. */
+    * against the flattened centroid-matrix literal: codegen'd
+    * [[graft.functions.Kernels.nearestCentroidL2]] kernels — the
+    * accumulation is strictly ascending with a 0.0 seed and the
+    * strict-`<` first-minimum wins ties, so the result is
+    * bit-identical to the `aggregate(zip_with(...))` left fold the
+    * oracle's `list_reduce` restates, with the lowest-cid tie-break
+    * (`ORDER BY d2, cid`). The HOF form of the same arithmetic is
+    * interpreted (no codegen for lambda exprs) and measured ~10×
+    * slower on the bench. */
   def assignExpr(cents: Seq[(Int, Seq[Double])], v: Column): (Column, Column) = {
-    val d2s = array(cents.map { case (_, c) =>
-      aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    val posn = array_position(d2s, array_min(d2s)).cast("int")
-    (element_at(typedlit(cents.map(_._1)), posn), element_at(d2s, posn))
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      "assignExpr: centroids must share one dimension")
+    val flat = cents.flatMap(_._2).toArray
+    val posn = VectorFunctions.nearestCentroidL2Pos(v, flat, dim)
+    (element_at(typedlit(cents.map(_._1)), posn.cast("int") + 1),
+      VectorFunctions.nearestCentroidL2Dist(v, flat, dim))
   }
 
   /** Train centroids only: init at the k rows with the smallest

@@ -60,6 +60,57 @@ class BloomSpec extends AnyFunSuite {
     items.foreach(g => assert(got(g), s"false negative on '$g'"))
   }
 
+  test("containedCount kernel == per-gram mightContain (the probe Bloom.flag ships)") {
+    val words = Bloom.build(items.toDF("g"), "g", K, M, Seed)
+    // documents whose gram arrays mix members, absentees, and empties
+    val df = Seq(
+      (1L, items.take(5) ++ absent.take(3)),
+      (2L, absent.take(4)),
+      (3L, Seq.empty[String])
+    ).toDF("id", "gs")
+    val got = df.select(col("id"),
+      graft.functions.BloomFunctions.containedCount(col("gs"),
+        typedlit(words.toSeq), M, K, Seed).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.select(col("id"),
+      size(filter(col("gs"),
+        g => Bloom.mightContain(words, g, K, M, Seed))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got === want)
+    assert(got(1L) >= 5L) // members always count
+    assert(got(3L) === 0L)
+  }
+
+  test("fused contamination kernel == Column-composed grams + mightContain") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val evalGrams = eval
+      .select(explode(Bloom.gramStrings(col("text"), 3)).as("g")).distinct()
+    val words = Bloom.build(evalGrams, "g", K, M, Seed)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "unrelated words entirely different from the probe text"),
+      (3L, "  leading and trailing spaces  "),
+      (4L, "short"),
+      (5L, "a\tb\tc tab separated tokens and more of them here"),
+      (6L, "x y x y x y repeated grams collapse to distinct")
+    ).toDF("doc_id", "text")
+    val fused = corpus.select(col("doc_id"),
+      graft.functions.BloomFunctions.contamination(col("text"),
+        typedlit(words.toSeq), 3, M, K, Seed).as("sc"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val composed = corpus.select(col("doc_id"),
+      Bloom.gramStrings(col("text"), 3).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("sz"),
+        size(filter(col("gs"),
+          g => Bloom.mightContain(words, g, K, M, Seed))).cast("long").as("nm"))
+      .collect()
+      .map(r => r.getLong(0) -> List(r.getLong(1), r.getLong(2))).toMap
+    assert(fused === composed)
+    assert(fused(1L)(0) === fused(1L)(1)) // verbatim leak: all grams hit
+  }
+
   test("gramStrings: whole-text gram at <= n tokens, sliding distinct above") {
     val df = Seq(
       (1L, "a b"),              // 2 toks <= 3 → one whole-text gram
