@@ -107,6 +107,50 @@ object FeatureQueries {
         .orderBy("node")
     },
 
+    // Per-group winsorization: clamp a metric to its group's
+    // [p05, p95] (outlier capping before training/aggregation — the
+    // robust complement of q_feature_scale). Same 100 TB shape:
+    // groupBy-stats + broadcast join-back, |groups| rows of state.
+    // Explicit CASE (not least/greatest) so NULL values pass through
+    // NULL identically on both engines.
+    "q_feature_winsorize" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val stats = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.05D)").as("lo"),
+        expr("percentile(value, 0.95D)").as("hi"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          round(when(col("value").isNull, lit(null))
+            .when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")), 6).as("winsorized"),
+          when(col("value").isNull, lit(null))
+            .otherwise(col("value") < col("lo") || col("value") > col("hi"))
+            .as("clipped"))
+        .orderBy("event_id")
+    },
+
+    // Time-decayed per-user engagement: Σ value · 0.5^(age/1d) at the
+    // corpus watermark (the feature-store recency aggregate). The
+    // as-of instant is max(ts) — derived from the data, broadcast as
+    // a 1-row crossJoin (never a driver collect); ages in exact
+    // microseconds (unix_micros == epoch_us; a timestamp→long cast
+    // would TRUNCATE to seconds on one engine and fraction on the
+    // other). One shuffle to the user grain; round-6 absorbs
+    // pow/sum-order ulps.
+    "q_feature_decay" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val asOf = ev.agg(max(unix_micros(col("ts"))).as("__as_of"))
+      ev.crossJoin(broadcast(asOf))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") *
+            pow(lit(0.5), (col("__as_of") - unix_micros(col("ts")))
+              .cast("double") / lit(86400e6))), 6).as("decayed_sum"))
+        .orderBy("user_id")
+    },
+
     // Distributed k-means over the embeddings corpus (Lloyd, k=8,
     // 3 iterations, deterministic md5-draw init): every vector gets a
     // cluster id — the curation clustering stage run over the FULL
@@ -173,5 +217,28 @@ object FeatureQueries {
         |      FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_graph_pagerank" -> pagerankOracle(5),
-    "q_cluster_kmeans" -> Kmeans.oracleSql())
+    "q_cluster_kmeans" -> Kmeans.oracleSql(),
+    "q_feature_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(s.lo, 6) AS lo, round(s.hi, 6) AS hi,
+        |  round(CASE WHEN e.value IS NULL THEN NULL
+        |             WHEN e.value < s.lo THEN s.lo
+        |             WHEN e.value > s.hi THEN s.hi
+        |             ELSE e.value END, 6) AS winsorized,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |       ELSE (e.value < s.lo OR e.value > s.hi) END AS clipped
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q_feature_decay" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS as_of FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(value * pow(0.5,
+        |    CAST(a.as_of - epoch_us(ts) AS DOUBLE) / 86400e6)), 6)
+        |    AS decayed_sum
+        |FROM events CROSS JOIN a
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
