@@ -314,6 +314,37 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Offline retrieval evaluation: the two retrieval systems the repo
+    // serves (lexical BM25@10 and embedding-cosine@10, vec_id ≡ doc_id
+    // as in q_search_hybrid_rrf) scored side-by-side against the exact
+    // boolean-AND relevance truth (docs containing ALL query terms) —
+    // the A/B quality report a team runs after touching a ranker or
+    // the corpus. One row per (system, probe) with n_rel/hits/
+    // rank_first plus precision/recall/RR/binary-nDCG at the cutoff;
+    // the oracle recomputes both rankings, the truth set AND every
+    // metric. The lexical system saturates by construction (conjunctive
+    // truth ⊆ BM25 matches — pins the all-hits path); the cosine leg's
+    // partial overlap exercises mid-range hits/rank_first/ndcg; query 4
+    // ("nosuchword") pins the n_rel=0 edge: recall/ndcg NULL, rr 0.
+    "q_search_eval" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val probes = bm25Probes(s)
+      val qrels = TextSearch.booleanRelevance(docs, probes)
+        .localCheckpoint(true) // consumed by both systems' hit joins
+      val lex = TextSearch.bm25TopK(docs, probes, k = 10)
+        .select("query_id", "rank", "doc_id")
+      val emb = Tables(s, d, "embeddings")
+      val cos = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id").as("doc_id"))
+      TextSearch.evalRanking(lex, qrels, probes, k = 10)
+        .withColumn("system", lit("bm25"))
+        .unionByName(TextSearch.evalRanking(cos, qrels, probes, k = 10)
+          .withColumn("system", lit("cos")))
+        .orderBy("system", "query_id")
+    },
+
     // BPE tokenizer: distributed word-count training (bounded driver
     // merge loop) + codegen'd encode. Token COUNTS are model-specific
     // (no SQL restatement), so the driver row carries the restatable
@@ -1626,6 +1657,70 @@ object ExtQueries {
       |  doc_id, round(score, 4) AS score
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** `q_search_eval`: BM25 CTEs + the cosine ranking (CTEs verbatim
+    * from the hybrid-RRF oracle) + the boolean-AND truth set + every
+    * metric recomputed — both rankings, the judgments and the
+    * arithmetic are all restated, so a drift in any of them goes red.
+    * The `toks` CTE already carries one row per (doc, token)
+    * occurrence; the DISTINCT projection reduces it to the doc-term
+    * incidence the conjunctive truth needs. */
+  private val SearchEvalOracleSql: String = Bm25Ctes +
+    """,
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |vscored AS (
+      |  SELECT vq.query_id, e.vec_id AS doc_id,
+      |    list_cosine_similarity(vq.qv, e.v) AS cos
+      |  FROM vq JOIN e ON vq.query_id <> e.vec_id),
+      |vec_r AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, doc_id) AS rank
+      |    FROM vscored) WHERE rank <= 10),
+      |ret AS (
+      |  SELECT 'bm25' AS syst, query_id, doc_id, CAST(rn AS BIGINT) AS rank
+      |  FROM ranked WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT 'cos', query_id, doc_id, CAST(rank AS BIGINT) FROM vec_r),
+      |dterm AS (SELECT DISTINCT doc_id, term FROM toks),
+      |qn AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+      |rel AS (
+      |  SELECT h.query_id, h.doc_id FROM (
+      |    SELECT qt.query_id, dterm.doc_id, count(*) AS nh
+      |    FROM dterm JOIN qt USING (term) GROUP BY 1, 2) h
+      |  JOIN qn USING (query_id) WHERE h.nh = qn.nq),
+      |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+      |nret AS (
+      |  SELECT syst, query_id, count(*) AS n_ret FROM ret GROUP BY 1, 2),
+      |hit AS (
+      |  SELECT r.syst, r.query_id, count(*) AS hits,
+      |    min(r.rank) AS rank_first,
+      |    sum(1.0 / log2(r.rank + 1)) AS dcg
+      |  FROM ret r JOIN rel USING (query_id, doc_id) GROUP BY 1, 2),
+      |sys(syst) AS (VALUES ('bm25'), ('cos'))
+      |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+      |  COALESCE(nrel.n_rel, 0) AS n_rel,
+      |  COALESCE(nret.n_ret, 0) AS n_ret,
+      |  COALESCE(hit.hits, 0) AS hits,
+      |  hit.rank_first AS rank_first,
+      |  round(COALESCE(hit.hits, 0) / 10.0, 6) AS precision_k,
+      |  CASE WHEN COALESCE(nrel.n_rel, 0) > 0 THEN
+      |    round(CAST(COALESCE(hit.hits, 0) AS DOUBLE) / nrel.n_rel, 6)
+      |  END AS recall_k,
+      |  round(COALESCE(1.0 / hit.rank_first, 0), 6) AS rr,
+      |  CASE WHEN COALESCE(nrel.n_rel, 0) > 0 THEN
+      |    round(COALESCE(hit.dcg, 0) / list_sum(list_transform(
+      |      generate_series(1, CAST(least(10, nrel.n_rel) AS BIGINT)),
+      |      i -> 1.0 / log2(i + 1))), 6)
+      |  END AS ndcg_k,
+      |  sys.syst AS system
+      |FROM q CROSS JOIN sys
+      |LEFT JOIN nrel ON q.query_id = nrel.query_id
+      |LEFT JOIN nret ON q.query_id = nret.query_id AND sys.syst = nret.syst
+      |LEFT JOIN hit ON q.query_id = hit.query_id AND sys.syst = hit.syst
+      |ORDER BY system, query_id""".stripMargin
+
   /** `q_search_hybrid_rrf`: BM25 CTEs + the cosine leg + RRF fusion.
     * RRF sums at most TWO doubles per (query, doc) and IEEE addition
     * is commutative, so the fused scores are bit-identical across
@@ -1788,6 +1883,7 @@ object ExtQueries {
     "q_curate_url_rank" -> urlRankOracle(5),
     "q_search_bm25" -> Bm25OracleSql,
     "q_search_bm25_indexed" -> Bm25OracleSql,
+    "q_search_eval" -> SearchEvalOracleSql,
     "q_search_hybrid_rrf" -> HybridRrfOracleSql,
     "q_quality_lm_score" -> LmScoreOracleSql,
     "q_text_classify_nb" -> ClassifyNbOracleSql,

@@ -107,6 +107,25 @@ object FeatureQueries {
         .orderBy("node")
     },
 
+    // Triangle count + local clustering coefficient over a
+    // lineitem-derived edge list whose node space SCALES WITH the
+    // data (m = max(997, ⌊|lineitem|/30⌋), both endpoints mod m) so
+    // the average degree — and with it the wedge workload per node —
+    // stays ~constant at every SF instead of densifying into an
+    // all-pairs graph. The modulus is derived from the data as a
+    // broadcast 1-row crossJoin (never a driver collect) and restated
+    // identically in the oracle. Degree-ordered orientation per
+    // [[Graph.triangles]].
+    "q_graph_triangles" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val m = li.agg(greatest(lit(997L),
+        floor(count(lit(1)) / 30).cast("long")).as("__m"))
+      val edges = li.crossJoin(broadcast(m)).select(
+        (col("l_orderkey") % col("__m")).as("src"),
+        (col("l_partkey") % col("__m")).as("dst"))
+      Graph.triangles(edges).orderBy("node")
+    },
+
     // Per-group winsorization: clamp a metric to its group's
     // [p05, p95] (outlier capping before training/aggregation — the
     // robust complement of q_feature_scale). Same 100 TB shape:
@@ -217,6 +236,43 @@ object FeatureQueries {
         |      FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_graph_pagerank" -> pagerankOracle(5),
+    "q_graph_triangles" ->
+      """WITH m AS (
+        |  SELECT greatest(997, CAST(count(*) AS BIGINT) // 30) AS m
+        |  FROM lineitem),
+        |ue AS (
+        |  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        |  FROM (SELECT l_orderkey % (SELECT m FROM m) AS x,
+        |               l_partkey % (SELECT m FROM m) AS y FROM lineitem)
+        |  WHERE x <> y),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN du.deg < dv.deg
+        |                OR (du.deg = dv.deg AND ue.u < ue.v)
+        |           THEN ue.u ELSE ue.v END AS a,
+        |         CASE WHEN du.deg < dv.deg
+        |                OR (du.deg = dv.deg AND ue.u < ue.v)
+        |           THEN ue.v ELSE ue.u END AS b
+        |  FROM ue JOIN deg du ON ue.u = du.node
+        |          JOIN deg dv ON ue.v = dv.node),
+        |tri AS (
+        |  SELECT o1.a, o1.b, o2.b AS c
+        |  FROM o o1 JOIN o o2 ON o1.b = o2.a
+        |  WHERE EXISTS (SELECT 1 FROM o o3
+        |                WHERE o3.a = o1.a AND o3.b = o2.b)),
+        |pn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    round(2.0 * COALESCE(pn.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+        |  END AS clustering
+        |FROM deg d LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
     "q_cluster_kmeans" -> Kmeans.oracleSql(),
     "q_feature_winsorize" ->
       """WITH s AS (

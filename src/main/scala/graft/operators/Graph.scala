@@ -92,6 +92,70 @@ object Graph {
     ranks
   }
 
+  /** Triangle counting + local clustering coefficient over an
+    * undirected simple graph given as a directed edge list (duplicate
+    * and reversed edges collapse; self-loops drop). Returns one row
+    * per node: `(node, deg, n_tri, clustering)` where `n_tri` is the
+    * number of triangles the node participates in and `clustering` is
+    * the local clustering coefficient `2·n_tri / (deg·(deg−1))`
+    * (NULL for deg < 2, where it is undefined).
+    *
+    * Spark-first shape, sized for a web-scale edge list (Suri &
+    * Vassilvitskii, WWW'11 "Counting triangles and the curse of the
+    * last reducer"): every undirected edge is ORIENTED from its
+    * (degree, node)-smaller endpoint to its larger one, so each
+    * triangle {a<b<c} materializes as exactly ONE wedge a→b→c closed
+    * by a→c, and a hot node's wedge fan-out is bounded by its
+    * OUT-degree under the orientation (≤ O(√m) for any graph) rather
+    * than its raw degree — the skew that kills the naive
+    * edge-join-edge plan never reaches the shuffle. The degree table
+    * is node-sized and broadcast onto the edges; the oriented edge
+    * set is materialized once and consumed three times (both wedge
+    * legs + the closing probe).
+    */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = ue.select(col("u").as("node"))
+      .union(ue.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // Orientation: a→b iff (deg(a), a) < (deg(b), b) — a strict total
+    // order on the endpoints (u ≠ v), restated verbatim in the DuckDB
+    // oracle so engine and oracle cannot disagree on tie-breaks.
+    val du = deg.select(col("node").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("__dv"))
+    val fwd = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = ue
+      .join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
+    // Wedge a→b→c (a < b < c in orientation order), closed by a→c.
+    val o2 = oriented.select(col("a").as("b"), col("b").as("c"))
+    val closer = oriented.select(col("a"), col("b").as("c"))
+    // Each closed wedge explodes to its 3 member nodes IN the same
+    // stage as the closing semi-join, so the triangle set itself is
+    // never materialized — partial aggregation collapses the 3×|tri|
+    // stream to node-sized partials before the one shuffle.
+    val perNode = oriented.join(o2, Seq("b"))
+      .join(closer, Seq("a", "c"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))), 6)).as("clustering"))
+  }
+
   /** DuckDB restatement of one [[pagerank]] iteration — the d$i/r$i
     * dangling-mass + contribution CTE pair for iterations 1..iters,
     * shared by every pagerank-backed oracle (FeatureQueries'

@@ -259,4 +259,93 @@ object TextSearch {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Boolean-AND relevance judgments: `(query_id, doc_id)` for every
+    * document containing ALL of a query's distinct terms (the exact
+    * conjunctive-retrieval truth set — the standard stand-in for
+    * graded qrels when evaluating a ranker without human labels).
+    * Same tokenizer as [[bm25TopK]] so the two compose coherently.
+    *
+    * Scale shape: the corpus-sized side is one map-only
+    * explode-distinct pass pruned to the (broadcast) query vocabulary
+    * BEFORE the aggregate — identical to the BM25 postings pass — then
+    * a partial-aggregated count per `(query, doc)` compared against
+    * the broadcast per-query term count. Nothing doc-keyed ever joins
+    * doc-keyed. */
+  def booleanRelevance(docs: DataFrame, queries: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "qtext"): DataFrame = {
+    val qterms = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val qsize = qterms.groupBy("query_id").agg(count(lit(1)).as("__nq"))
+    val dterm = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+    dterm.groupBy("query_id", "doc_id").agg(count(lit(1)).as("__nhit"))
+      .join(broadcast(qsize), Seq("query_id"))
+      .where(col("__nhit") === col("__nq"))
+      .select("query_id", "doc_id")
+  }
+
+  /** Ranking-quality evaluation: given a retrieved ranking
+    * `(query_id, rank, doc_id)` and binary judgments
+    * `(query_id, doc_id)`, emit one row per query in `queries` with
+    * the standard offline IR metrics at cutoff `k`:
+    * `n_rel`, `n_ret`, `hits` (relevant retrieved within the cutoff),
+    * `rank_first` (best rank of a relevant doc; NULL if none),
+    * `precision_k` = hits/k, `recall_k` = hits/n_rel (NULL when the
+    * query has no relevant docs — recall is undefined, not zero),
+    * `rr` = 1/rank_first (0 when nothing relevant was retrieved — the
+    * MRR convention), and binary-gain `ndcg_k` = DCG/IDCG with
+    * `DCG = Σ_hits 1/log2(rank+1)` and the ideal ranking's
+    * `IDCG = Σ_{i=1..min(k,n_rel)} 1/log2(i+1)` (NULL when n_rel=0).
+    * Doubles are rounded to 6 so log/sum-order ulps never flip a
+    * hash compare.
+    *
+    * Scale shape: `retrieved` is |queries|·k rows by construction, so
+    * it is BROADCAST onto the (possibly corpus-fraction-sized)
+    * judgment set — the only corpus-scale work is one map-side
+    * broadcast join + a partial-aggregated per-query fold; qrels
+    * never shuffles on its own key. IDCG is a per-row fold over a
+    * generated 1..min(k,n_rel) sequence — no join against a rank
+    * dimension table. */
+  def evalRanking(retrieved: DataFrame, qrels: DataFrame,
+      queries: DataFrame, k: Int = 10,
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val uni = queries.select(col(queryIdCol).cast("long").as("query_id"))
+    val ret = retrieved.select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"), col("doc_id"))
+      .where(col("rank") <= k)
+      .localCheckpoint(true) // consumed twice: n_ret + the hit join
+    val nret = ret.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
+    val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hit = qrels.join(broadcast(ret), Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("hits"),
+        min("rank").as("rank_first"),
+        sum(lit(1.0) / log2(col("rank") + lit(1L))).as("__dcg"))
+    uni
+      .join(broadcast(nrel), Seq("query_id"), "left")
+      .join(broadcast(nret), Seq("query_id"), "left")
+      .join(broadcast(hit), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("rank_first"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision_k"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_rel"), 6)).as("recall_k"),
+        round(coalesce(lit(1.0) / col("rank_first"), lit(0.0)), 6).as("rr"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(coalesce(col("__dcg"), lit(0.0)) /
+            expr(s"aggregate(transform(sequence(1L, least(cast($k as bigint), n_rel)), " +
+              "i -> 1.0D / log2(cast(i + 1 as double))), 0D, (a, x) -> a + x)"),
+            6)).as("ndcg_k"))
+  }
 }

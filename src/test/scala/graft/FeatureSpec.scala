@@ -81,6 +81,34 @@ class FeatureSpec extends AnyFunSuite {
     for ((k, v) <- a) assert(math.abs(b(k) - v) < 1e-12)
   }
 
+  test("triangles: K4 plus a pendant — counts and clustering by hand") {
+    // K4 on 1..4 (4 triangles, each node in 3) with a pendant 5 on 1:
+    // node 1 has deg 4 → clustering 2·3/(4·3) = 0.5; the pendant has
+    // deg 1 → clustering undefined (NULL), zero triangles.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    assert(out(1L) == ((4L, 3L, Some(0.5))))
+    assert(out(2L) == ((3L, 3L, Some(1.0))))
+    assert(out(3L) == ((3L, 3L, Some(1.0))))
+    assert(out(4L) == ((3L, 3L, Some(1.0))))
+    assert(out(5L) == ((1L, 0L, None)))
+    assert(out.values.map(_._2).sum == 12L) // 4 triangles × 3 nodes
+  }
+
+  test("triangles: reversed, duplicate and self-loop edges collapse") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = (base ++ base.map(_.swap) ++ base ++
+      Seq((1L, 1L), (2L, 2L))).toDF("src", "dst").repartition(5)
+    val out = Graph.triangles(noisy).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L &&
+      r.getDouble(3) == 1.0))
+  }
+
   test("feature scale: z-score and robust stats are right on a hand group") {
     val df = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),

@@ -208,4 +208,60 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 1.0), (1L, 2L, 1.0)),
       s"c=0, rank 1 => score 1.0, queries fused independently: $got")
   }
+
+  test("booleanRelevance: conjunction over distinct terms only") {
+    val qs = Seq((0, "spark window"), (1, "nosuchword spark"),
+      (2, "the the fox")).toDF("query_id", "qtext")
+    val rel = TextSearch.booleanRelevance(corpus, qs)
+      .as[(Long, Long)].collect().toSet
+    // q0: only doc 4 has BOTH spark and window; q1: nosuchword kills
+    // every doc; q2: repeated query term counts once — doc 3 has
+    // the+fox and must qualify even though "the" appears twice in q.
+    assert(rel == Set((0L, 4L), (2L, 3L)))
+  }
+
+  test("evalRanking: hand metrics — partial hits, cutoff, no-rel and " +
+      "no-hit queries") {
+    val ret = Seq(
+      (0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L), (0L, 11L, 99L),
+      (1L, 1L, 40L),
+      (2L, 1L, 50L)).toDF("query_id", "rank", "doc_id")
+    val rels = Seq((0L, 20L), (0L, 40L), (0L, 99L), (1L, 77L))
+      .toDF("query_id", "doc_id")
+    val qs = Seq((0, "x"), (1, "x"), (2, "x"), (3, "x"))
+      .toDF("query_id", "qtext")
+    val out = TextSearch.evalRanking(ret, rels, qs, k = 10)
+      .orderBy("query_id").collect()
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // q0: doc 99 is relevant but ranked past the cutoff → excluded
+    // from n_ret AND the hit fold; hit = doc 20 at rank 2.
+    val q0 = out(0)
+    assert((q0.getLong(1), q0.getLong(2), q0.getLong(3), q0.getLong(4)) ==
+      ((3L, 3L, 1L, 2L)))
+    assert(q0.getDouble(5) == 0.1) // precision 1/10
+    assert(q0.getDouble(6) == 0.333333) // recall 1/3
+    assert(q0.getDouble(7) == 0.5) // rr = 1/2
+    val idcg0 = 1.0 + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(q0.getDouble(8) == r6((1.0 / log2(3.0)) / idcg0))
+
+    // q1: one relevant doc, none retrieved — recall/ndcg 0, rr 0.
+    val q1 = out(1)
+    assert((q1.getLong(1), q1.getLong(2), q1.getLong(3)) == ((1L, 1L, 0L)))
+    assert(q1.isNullAt(4) && q1.getDouble(6) == 0.0 &&
+      q1.getDouble(7) == 0.0 && q1.getDouble(8) == 0.0)
+
+    // q2: retrieved but NO relevant docs exist — recall/ndcg are
+    // undefined (NULL), not zero; q3: query absent from both inputs.
+    val q2 = out(2)
+    assert((q2.getLong(1), q2.getLong(2), q2.getLong(3)) == ((0L, 1L, 0L)))
+    assert(q2.isNullAt(4) && q2.isNullAt(6) && q2.getDouble(7) == 0.0 &&
+      q2.isNullAt(8))
+    val q3 = out(3)
+    assert((q3.getLong(1), q3.getLong(2), q3.getLong(3)) == ((0L, 0L, 0L)))
+    assert(q3.isNullAt(4) && q3.getDouble(5) == 0.0 && q3.isNullAt(6) &&
+      q3.getDouble(7) == 0.0 && q3.isNullAt(8))
+  }
 }
