@@ -735,6 +735,56 @@ object ScaleBench {
     val (tPr1, _) = prAt(e1)
     val (tPrF, _) = prAt(eF)
 
+    // ---- triangle counting: synthetic uniform-random edge list with
+    // degree HELD CONSTANT across scales (node space grows with the
+    // edge count, as q_graph_triangles derives it from |lineitem|) —
+    // the wedge workload Σ outdeg² then grows ~linearly in n, so
+    // linear is the null for the degree-oriented plan. Degree ≈ 20
+    // (m = 10·n): a denser fixture measures wedge-join throughput,
+    // not the operator's scaling shape.
+    def triEdges(n: Long, m: Long, out: String): Unit =
+      spark.range(m).select(
+        pmod(xxhash64(col("id"), lit("s")), lit(n)).as("src"),
+        pmod(xxhash64(col("id"), lit("d")), lit(n)).as("dst"))
+        .repartition(32).write.parquet(out)
+    triEdges(30000L, 300000L, s"$dir/tri_1")
+    triEdges(30000L * factor, 300000L * factor, s"$dir/tri_f")
+    def triAt(tag: String) = timed(runs)(consume(
+      graft.operators.Graph.triangles(spark.read.parquet(s"$dir/tri_$tag"))))
+    val (tTri1, csTri1) = triAt("1")
+    val (tTriF, csTriF) = triAt("f")
+
+    // ---- per-group winsorization + time-decayed engagement over the
+    // events fixtures (the q_feature_winsorize / q_feature_decay
+    // plans): each is one partial-aggregated shuffle — winsorize adds
+    // a |groups|-row broadcast join-back, decay a 1-row broadcast
+    // as-of — so f× disjoint event ids over the same group/user key
+    // spaces make linear the null.
+    def winsAt(tag: String) = timed(runs)(consume {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+      val stats = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.05D)").as("lo"),
+        expr("percentile(value, 0.95D)").as("hi"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"),
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")).as("winsorized"))
+    })
+    val (tWin1, csWin1) = winsAt("1")
+    val (tWinF, csWinF) = winsAt("f")
+
+    def decayAt(tag: String) = timed(runs)(consume {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+      val asOf = ev.agg(max(unix_micros(col("ts"))).as("__as_of"))
+      ev.crossJoin(broadcast(asOf)).groupBy("user_id")
+        .agg(sum(col("value") * pow(lit(0.5),
+          (col("__as_of") - unix_micros(col("ts"))).cast("double") /
+            lit(86400e6))).as("decayed_sum"))
+    })
+    val (tDec1, csDec1) = decayAt("1")
+    val (tDecF, csDecF) = decayAt("f")
+
     def f2(d: Double) = f"$d%.2f"
     def xlin(t1: Double, tF: Double) = f2(tF / (t1 * factor))
     println(
@@ -804,7 +854,13 @@ object ScaleBench {
       s""""cc_dist_fx":${f2(tDistF)},"cc_uf_fx":${f2(tUfF)},""" +
       s""""cc_dist_xlin":${xlin(tDist1, tDistF)},""" +
       s""""pagerank_1x":${f2(tPr1)},"pagerank_fx":${f2(tPrF)},""" +
-      s""""pagerank_xlin":${xlin(tPr1, tPrF)}}""")
+      s""""pagerank_xlin":${xlin(tPr1, tPrF)},""" +
+      s""""tri_1x":${f2(tTri1)},"tri_fx":${f2(tTriF)},"tri_xlin":${xlin(tTri1, tTriF)},""" +
+      s""""tri_rows":[${csTri1._1},${csTriF._1}],""" +
+      s""""winsorize_1x":${f2(tWin1)},"winsorize_fx":${f2(tWinF)},"winsorize_xlin":${xlin(tWin1, tWinF)},""" +
+      s""""winsorize_rows":[${csWin1._1},${csWinF._1}],""" +
+      s""""decay_1x":${f2(tDec1)},"decay_fx":${f2(tDecF)},"decay_xlin":${xlin(tDec1, tDecF)},""" +
+      s""""decay_rows":[${csDec1._1},${csDecF._1}]}""")
     spark.stop()
   }
 }
