@@ -130,6 +130,11 @@ object FeatureQueries {
     // [p05, p95] (outlier capping before training/aggregation — the
     // robust complement of q_feature_scale). Same 100 TB shape:
     // groupBy-stats + broadcast join-back, |groups| rows of state.
+    // Exact `percentile` is chosen ONLY for bit-exact oracle parity
+    // (its value-count buffer grows with per-group distinct values —
+    // the measured f100 step in SCALE.md's winsorize leg); at real
+    // scale substitute percentile_approx(…, accuracy) — the clamp
+    // semantics are threshold-tolerant, nothing else changes.
     // Explicit CASE (not least/greatest) so NULL values pass through
     // NULL identically on both engines.
     "q_feature_winsorize" -> { (s, d) =>
