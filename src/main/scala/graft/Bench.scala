@@ -79,6 +79,35 @@ object Bench {
     case c => c.toString
   }
 
+  /** Stable 8-hex digest of a sorted key list. Names the keyset a
+    * `minsv` value array belongs to: the compact line cannot fit 170+
+    * key NAMES next to their min values (the driver keeps only the last
+    * ~2000 stdout chars), so the artifact ships values-only in
+    * sorted-key order plus this digest, and the names live in a
+    * committed manifest `tools/bench_keysets/<digest>.keys` (written by
+    * [[writeKeysetManifest]] on every run, committed at round close).
+    * MurmurHash3.stringHash is constant-seeded — the digest is stable
+    * across JVMs, which is the whole point. */
+  def keysetHash(sortedKeys: Seq[String]): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(sortedKeys.mkString("\n"))}%08x"
+
+  /** Persist the keyset manifest for [[keysetHash]] (idempotent — the
+    * driver's post-close rerun re-derives the same digest from the same
+    * code, so the file it would write is already committed). Returns the
+    * digest. */
+  def writeKeysetManifest(sortedKeys: Seq[String],
+      dir: java.nio.file.Path = java.nio.file.Paths.get("tools/bench_keysets"))
+      : String = {
+    val h = keysetHash(sortedKeys)
+    val f = dir.resolve(s"$h.keys")
+    if (!java.nio.file.Files.exists(f)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(f,
+        (sortedKeys.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    h
+  }
+
   /** Compact single-line summary for stdout. The round driver keeps only
     * the last ~2000 chars of stdout (plus sbt's trailing `[success]`
     * line), so the full JSON — t_runs arrays + per-query details — can
@@ -99,7 +128,8 @@ object Bench {
       mins: Map[String, Double] = Map.empty,
       load: Option[(Double, Double, Int)] = None,
       budget: Int = 1750,
-      filteredKeys: Option[Seq[String]] = None): String = {
+      filteredKeys: Option[Seq[String]] = None,
+      fullMins: Option[(String, Seq[Double])] = None): String = {
     val pipeJson = pipeline.fold(
       e => s""""pipeline_error":"${esc(e.take(120))}"""",
       t => s""""pipeline_total":${fmt2(t)}""")
@@ -127,8 +157,24 @@ object Bench {
         .flatMap { case (n, _) => mins.get(n).map(m =>
           "\"" + n + "\":" + fmt2(m)) }
         .mkString("\"mins\":{", ",", "},")
+    // Full per-key mins, values-only: centisecond ints in sorted-key
+    // order under the keyset digest (names resolve via the committed
+    // tools/bench_keysets/<digest>.keys manifest). min is the
+    // contention-robust statistic — VERDICT r16 #1: the tripwire
+    // false-flagged an unchanged operator because the artifact carried
+    // medians for all keys but mins only for the top-8, and a loaded
+    // driver box poisoned exactly the medians. 0.01 s resolution is
+    // ample for a 2x-with-0.5s-delta comparator whose noise floor is
+    // 0.3 s. Dropped (never truncated mid-array) if a pathological key
+    // count would blow the stdout budget — the top-8 `mins` overlay
+    // above still ships.
+    val fullMinJson = fullMins.fold("") { case (h, vs) =>
+      val j = s""""keyset":"${esc(h)}","minsv":[${
+        vs.map(v => math.round(v * 100).toString).mkString(",")}],"""
+      if (j.length > budget / 2) "" else j
+    }
     val head =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$filteredJson$errJson$minJson"queries":{"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","action":"$ActionTag","runs_per_query":$runs,"n_queries":${medians.size},"n_errors":${errors.size},$pipeJson,"sf":"${esc(sfDir)}","detail_file":"${esc(detailFile)}",$loadJson$filteredJson$errJson$minJson$fullMinJson"queries":{"""
     // ,"queries_omitted":NNN}} suffix worst case ~25 chars — reserve it.
     val reserve = 25
     val entries = medians.sortBy(-_._2)
@@ -157,12 +203,24 @@ object Bench {
     * `factor` AND it slowed by ≥ `minDelta` absolute seconds beyond the
     * drift AND either side is ≥ `minSec` (sub-noise keys flap on
     * scheduling, not code) AND it is not allowlisted with a reason (an
-    * intentional trade documented at the callsite).
+    * intentional trade documented at the callsite) AND the newer
+    * artifact's own per-key min (`curMins`, where recorded) does not
+    * acquit it: a run whose min sits inside the threshold while its
+    * median flags measured intra-run variance on a FIXED plan — which
+    * is contention by definition, not code (VERDICT r16 #1: a loaded
+    * driver box median-flagged an unchanged operator at 2.8× while the
+    * same artifact's min read 1.0×; the judge adjudicated by exactly
+    * this min-vs-median comparison). When the comparison itself
+    * already ran min-vs-min (both artifacts carry full mins — every
+    * r17+ pair), `curMins(k)` equals the compared value, the acquittal
+    * test reduces to the flag test, and a real min-based flag can
+    * never self-acquit.
     *
     * Returns (key, prev, cur, normalizedRatio) sorted by severity. */
   def regressions(prev: Map[String, Double], cur: Map[String, Double],
       factor: Double = 2.0, minSec: Double = 0.3, minDelta: Double = 0.5,
-      allow: Map[String, String] = Map.empty)
+      allow: Map[String, String] = Map.empty,
+      curMins: Map[String, Double] = Map.empty)
       : Seq[(String, Double, Double, Double)] = {
     val shared = cur.toSeq
       .flatMap { case (k, c) => prev.get(k).map(p => (k, p, c)) }
@@ -179,7 +237,12 @@ object Bench {
       .map { case (k, p, c) => (k, p, c, (c / p) / drift) }
       .filter { case (k, p, c, norm) =>
         norm > factor && (c - p * drift) >= minDelta &&
-          (p >= minSec || c >= minSec) && !allow.contains(k)
+          (p >= minSec || c >= minSec) && !allow.contains(k) &&
+          // min-acquittal: the run's own best time is the fixed plan's
+          // witness; when it sits inside BOTH thresholds the median
+          // inflation was scheduling, not code
+          !curMins.get(k).exists(m =>
+            (m / p) / drift <= factor || (m - p * drift) < minDelta)
       }
       .sortBy { case (_, _, _, norm) => -norm }
   }
@@ -304,12 +367,24 @@ object Bench {
     // can interleave behind it. Compact (≤~1.75k chars): the driver only
     // keeps the last ~2000 chars of stdout, so the full `json` above
     // would be truncated mid-line and unparseable there.
+    // Full-min packing: sorted OK keys -> manifest on disk (committed
+    // at round close; the driver's post-close rerun re-derives the same
+    // digest so its artifact resolves against the committed file), the
+    // values-only centisecond array in the line. Skipped for filtered
+    // tuning runs — their ad-hoc keysets would litter the manifest dir
+    // and their artifacts are tripwire-refused anyway.
+    val okSorted = ok.sortBy(_.name)
+    val packedMins: Option[(String, Seq[Double])] =
+      if (only.isDefined || okSorted.isEmpty) None
+      else Some((writeKeysetManifest(okSorted.map(_.name)),
+        okSorted.map(_.times.min)))
     println(compactLine(
       ok.map(r => r.name -> median(r.times)),
       results.flatMap(r => r.err.map(r.name -> _)),
       total, runs, pipelineTotal, sfDir, out.toString,
       mins = ok.map(r => r.name -> r.times.min).toMap,
       load = Some((loadStart, loadEnd, procs)),
-      filteredKeys = only.map(_.toSeq)))
+      filteredKeys = only.map(_.toSeq),
+      fullMins = packedMins))
   }
 }

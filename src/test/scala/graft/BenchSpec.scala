@@ -74,6 +74,79 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").has("q_some_operator_name_094"))
   }
 
+  test("full per-key mins pack under budget for a realistic 180-key run") {
+    val meds = mkMedians(180)
+    val keys = meds.map(_._1).sorted
+    val minVals = keys.map(k => meds.toMap.apply(k) * 0.8)
+    val line = Bench.compactLine(
+      meds, Nil, 42.0, 3, Right(5.0), "/sf", "o.json",
+      mins = meds.map { case (n, m) => n -> m * 0.8 }.toMap,
+      load = Some((0.2, 1.9, 32)),
+      fullMins = Some((Bench.keysetHash(keys), minVals)))
+    assert(line.length <= 1750, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("keyset").asText() == Bench.keysetHash(keys))
+    assert(node.get("minsv").size() == 180)
+    // values are centisecond ints in sorted-key order
+    val i = keys.indexOf("q_some_operator_name_094")
+    assert(node.get("minsv").get(i).asInt() ==
+      math.round((0.05 + 94 * 0.13) * 0.8 * 100).toInt)
+  }
+
+  test("pathological keyset drops minsv whole, never truncates mid-array") {
+    val meds = mkMedians(500)
+    val keys = meds.map(_._1).sorted
+    val line = Bench.compactLine(
+      meds, Nil, 99.0, 1, Right(1.0), "/sf", "o.json",
+      mins = meds.map { case (n, m) => n -> m * 0.8 }.toMap,
+      fullMins = Some((Bench.keysetHash(keys), keys.map(_ => 123.45))))
+    assert(line.length <= 1750, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(!node.has("minsv") && !node.has("keyset"))
+    assert(node.get("mins").size() == 8) // overlay still ships
+  }
+
+  test("keyset manifest: stable digest, idempotent write, stats resolve") {
+    val keys = Seq("q_spec_fake_aa", "q_spec_fake_bb", "q_spec_fake_cc")
+    assert(Bench.keysetHash(keys) == Bench.keysetHash(keys)) // JVM-stable seed
+    assert(Bench.keysetHash(keys) != Bench.keysetHash(keys.take(2)))
+    val h = Bench.writeKeysetManifest(keys)
+    val manifest = java.nio.file.Paths.get("tools/bench_keysets", h + ".keys")
+    try {
+      assert(java.nio.file.Files.exists(manifest))
+      assert(Bench.writeKeysetManifest(keys) == h) // idempotent re-write
+      // a wrapped driver-style artifact with minsv resolves full mins
+      val line = Bench.compactLine(
+        keys.map(_ -> 0.5), Nil, 1.5, 3, Right(0.1), "/sf", "o.json",
+        mins = keys.map(_ -> 0.4).toMap,
+        fullMins = Some((h, Seq(0.41, 0.42, 0.43))))
+      val tmp = java.nio.file.Files.createTempFile("benchspec", ".json")
+      try {
+        java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(
+          mapper.createObjectNode().put("n", 99).put("tail", "x\n" + line + "\n")))
+        val (mins, meds, _) = stats(tmp)
+        assert(mins == Map("q_spec_fake_aa" -> 0.41,
+          "q_spec_fake_bb" -> 0.42, "q_spec_fake_cc" -> 0.43))
+        assert(meds.keySet == keys.toSet)
+      } finally java.nio.file.Files.delete(tmp)
+    } finally java.nio.file.Files.delete(manifest)
+  }
+
+  test("unresolvable keyset degrades to the top-8 overlay, not a crash") {
+    val keys = (0 until 12).map(i => f"q_spec_ghost_$i%02d")
+    val line = Bench.compactLine(
+      keys.map(_ -> 0.5), Nil, 6.0, 3, Right(0.1), "/sf", "o.json",
+      mins = keys.map(_ -> 0.4).toMap,
+      fullMins = Some(("deadbeef", keys.map(_ => 0.4))))
+    val tmp = java.nio.file.Files.createTempFile("benchspec", ".json")
+    try {
+      java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(
+        mapper.createObjectNode().put("n", 99).put("tail", line + "\n")))
+      val (mins, _, _) = stats(tmp)
+      assert(mins.size == 8) // overlay survives; no manifest for deadbeef
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("compact line carries the load stamps that adjudicate contention") {
     val meds = mkMedians(95)
     val line = Bench.compactLine(
@@ -144,6 +217,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.regressions(prev, cur).isEmpty)
   }
 
+  test("regressions: the artifact's own min acquits a contention median") {
+    // the literal r16 adjudication: q_join_fuzzy median 0.62 -> 1.77 on
+    // a loaded driver box, same artifact's min 0.89 ~= the committed
+    // close's 0.84 — the min proves the plan didn't regress
+    val prev = flat(1.0) ++ Map("q_join_fuzzy" -> 0.62, "q_real" -> 1.0)
+    val cur = flat(1.0) ++ Map("q_join_fuzzy" -> 1.77, "q_real" -> 3.1)
+    val unacquitted = Bench.regressions(prev, cur).map(_._1)
+    assert(unacquitted.toSet == Set("q_join_fuzzy", "q_real"))
+    // fuzzy's min acquits it; q_real's min CONFIRMS (3.0 still >2x)
+    val withMins = Bench.regressions(prev, cur,
+      curMins = Map("q_join_fuzzy" -> 0.89, "q_real" -> 3.0)).map(_._1)
+    assert(withMins == Seq("q_real"))
+    // min-vs-min comparison: curMins(k) == compared value — a real
+    // regression can never self-acquit
+    assert(Bench.regressions(prev, cur,
+      curMins = cur).map(_._1).toSet == Set("q_join_fuzzy", "q_real"))
+  }
+
   test("regressions: noise, delta-floor, and allowlist exemptions") {
     val prev = flat(1.0) ++ Map("q_tiny" -> 0.05, "q_big" -> 1.0)
     val cur = flat(1.0) ++ Map("q_tiny" -> 0.2, "q_big" -> 3.0)
@@ -178,9 +269,10 @@ class BenchSpec extends AnyFunSuite {
 
   /** Per-key (mins, medians, actions) from one artifact. bench_out.json
     * carries full details (t_min + t_median + per-key timed action);
-    * the compact BENCH_r*.json line carries medians for every key but
-    * t_min only for the slowest keys (its `mins` overlay), and no
-    * per-key actions. */
+    * the compact BENCH_r*.json line carries t_min for EVERY key (r17+:
+    * the keyset/minsv packing, resolved against the committed manifest;
+    * pre-r17 artifacts: the top-8 `mins` overlay only), medians for the
+    * slowest keys that fit the stdout budget, and no per-key actions. */
   private def stats(p: Path): (Map[String, Double], Map[String, Double],
       Map[String, String]) = {
     val node = benchNode(p)
@@ -198,13 +290,34 @@ class BenchSpec extends AnyFunSuite {
     } else {
       val meds = node.get("queries").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
-      val mins =
+      val overlay =
         if (!node.has("mins")) Map.empty[String, Double]
         else node.get("mins").properties().asScala
           .map(e => e.getKey -> e.getValue.asDouble())
           .filter(kv => meds.contains(kv._1)).toMap
-      (mins, meds, Map.empty)
+      // Full per-key mins (r17+ artifacts): centisecond values in
+      // sorted-key order, names resolved via the committed keyset
+      // manifest. An unresolvable digest (manifest not committed —
+      // e.g. an errored driver rerun shrank the keyset) degrades to
+      // the top-8 overlay rather than failing the read.
+      val packed = resolvedMinsv(node)
+      (if (packed.nonEmpty) packed else overlay, meds, Map.empty)
     }
+  }
+
+  /** Names+values of a compact artifact's `minsv` array, or empty when
+    * absent/unresolvable/misaligned. */
+  private def resolvedMinsv(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Double] = {
+    if (!node.has("keyset") || !node.has("minsv")) return Map.empty
+    val manifest = Paths.get("tools/bench_keysets",
+      node.get("keyset").asText() + ".keys")
+    if (!Files.exists(manifest)) return Map.empty
+    val keys = Files.readString(manifest).split("\n").filter(_.nonEmpty)
+    val vs = node.get("minsv")
+    if (keys.length != vs.size()) return Map.empty
+    keys.zipWithIndex.map { case (k, i) =>
+      k -> vs.get(i).asDouble() / 100.0 }.toMap
   }
 
   /** Aligned (prev, cur) timing maps for the regression comparator,
@@ -303,7 +416,8 @@ class BenchSpec extends AnyFunSuite {
     // ratios are meaningless — refuse rather than pass-by-construction.
     assume(curT.size >= 10,
       s"only ${curT.size} shared keys — drift estimate unreliable")
-    val bad = Bench.regressions(prevT, curT, allow = allowlist)
+    val bad = Bench.regressions(prevT, curT, allow = allowlist,
+      curMins = stats(out)._1)
     assert(bad.isEmpty, bad.map { case (k, p, c, norm) =>
       f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized, vs ${last.getFileName})"
     }.mkString("bench regressions:\n  ", "\n  ", ""))
@@ -328,7 +442,8 @@ class BenchSpec extends AnyFunSuite {
       s"timed action changed (${actionOf(prevP)} -> ${actionOf(curP)}) — " +
         "artifacts incomparable, not a regression")
     val (prevT, curT) = comparable(prevP, curP)
-    val bad = Bench.regressions(prevT, curT, allow = allowlist)
+    val bad = Bench.regressions(prevT, curT, allow = allowlist,
+      curMins = stats(curP)._1)
     if (bad.nonEmpty) {
       val msg = bad.map { case (k, p, c, norm) =>
         f"$k: ${p}%.2fs -> ${c}%.2fs (${norm}%.1fx drift-normalized)"

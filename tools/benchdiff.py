@@ -38,8 +38,10 @@ def bench_node(path):
 
 def stats(node):
     """Per-key (mins, medians, actions) from one artifact. Full details
-    carry t_min + t_median + per-key action; the compact line carries
-    medians for every key but mins only for the slowest keys."""
+    carry t_min + t_median + per-key action; the compact line (r17+)
+    carries t_min for EVERY key as the keyset/minsv centisecond packing
+    (names resolved from the committed tools/bench_keysets manifest;
+    pre-r17 lines only ship the top-8 `mins` overlay)."""
     if "details" in node:
         mins = {k: v["t_min"] for k, v in node["details"].items()
                 if v.get("t_min") is not None}
@@ -50,6 +52,14 @@ def stats(node):
         return mins, meds, acts
     meds = dict(node["queries"])
     mins = {k: v for k, v in node.get("mins", {}).items() if k in meds}
+    if "keyset" in node and "minsv" in node:
+        manifest = os.path.join(os.path.dirname(__file__), "bench_keysets",
+                                node["keyset"] + ".keys")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                keys = [ln for ln in f.read().split("\n") if ln]
+            if len(keys) == len(node["minsv"]):
+                mins = {k: v / 100.0 for k, v in zip(keys, node["minsv"])}
     return mins, meds, {}
 
 
@@ -110,11 +120,19 @@ def main():
     if not shared:
         sys.exit("no shared keys between artifacts")
     drift = statistics.median(c / p for _, p, c in shared)
+    # Min-acquittal (mirrors Bench.regressions curMins): a median flag
+    # whose own-run min sits inside the thresholds measured intra-run
+    # scheduling variance on a fixed plan — contention, not code.
+    cur_mins = stats(cur_node)[0]
     bad = []
     for k, p, c in shared:
         norm = (c / p) / drift
         if (norm > factor and (c - p * drift) >= min_delta
                 and (p >= min_sec or c >= min_sec) and k not in allow):
+            m = cur_mins.get(k)
+            if m is not None and ((m / p) / drift <= factor
+                                  or (m - p * drift) < min_delta):
+                continue
             bad.append((norm, k, p, c))
     if bad:
         print(f"BENCH REGRESSIONS vs {args[0]} "
