@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Node-count ceiling for broadcasting a data-derived, node-sized
+    * frame (the [[triangles]] degree table). 10M (node, deg) rows of
+    * two longs hash to low hundreds of MB — comfortably inside
+    * Spark's 8 GB broadcast hard cap and a stock driver heap, while
+    * a billion-node web graph (the 100 TB design point) falls back
+    * to a plain shuffle join. Config-K broadcasts elsewhere in the
+    * repo (centroids, codebooks, 1-row aggregates) need no gate —
+    * their size is bounded by construction, not by the data. */
+  val DefaultBroadcastNodeLimit: Long = 10L * 1000 * 1000
+
   /** Damped PageRank with uniform teleport and dangling-mass
     * redistribution. Returns (node, pr); Σpr = 1 up to float error.
     * Node identity is the src/dst columns' own type (long ids, domain
@@ -109,12 +119,22 @@ object Graph {
     * OUT-degree under the orientation (≤ O(√m) for any graph) rather
     * than its raw degree — the skew that kills the naive
     * edge-join-edge plan never reaches the shuffle. The degree table
-    * is node-sized and broadcast onto the edges; the oriented edge
-    * set is materialized once and consumed three times (both wedge
-    * legs + the closing probe).
+    * is node-sized, so its join onto the edges is broadcast ONLY
+    * while the measured node count stays under `broadcastNodeLimit`
+    * (default 10M two-long rows ≈ low hundreds of MB as a hashed
+    * relation — far inside Spark's 8 GB broadcast hard cap and a
+    * default driver heap); above the limit the hint is dropped and
+    * the join runs as a plain shuffle join on the already
+    * hash-partitioned edge set. At the design point — billions of
+    * nodes on a 100 TB edge list — a FORCED node-sized broadcast
+    * throws/OOMs the driver (VERDICT r16 #2); the gate costs one
+    * count over the already-checkpointed degree table. The oriented
+    * edge set is materialized once and consumed three times (both
+    * wedge legs + the closing probe).
     */
   def triangles(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      broadcastNodeLimit: Long = DefaultBroadcastNodeLimit): DataFrame = {
     val ue = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -128,15 +148,9 @@ object Graph {
     // Orientation: a→b iff (deg(a), a) < (deg(b), b) — a strict total
     // order on the endpoints (u ≠ v), restated verbatim in the DuckDB
     // oracle so engine and oracle cannot disagree on tie-breaks.
-    val du = deg.select(col("node").as("u"), col("deg").as("__du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("__dv"))
-    val fwd = col("__du") < col("__dv") ||
-      (col("__du") === col("__dv") && col("u") < col("v"))
-    val oriented = ue
-      .join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
-      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
-        when(fwd, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(true)
+    val oriented =
+      orientedEdges(ue, deg, deg.count() <= broadcastNodeLimit)
+        .localCheckpoint(true)
     // Wedge a→b→c (a < b < c in orientation order), closed by a→c.
     val o2 = oriented.select(col("a").as("b"), col("b").as("c"))
     val closer = oriented.select(col("a"), col("b").as("c"))
@@ -154,6 +168,29 @@ object Graph {
         when(col("deg") >= 2,
           round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
             (col("deg") * (col("deg") - lit(1L))), 6)).as("clustering"))
+  }
+
+  /** Orientation join of [[triangles]], pre-checkpoint — exposed at
+    * package level ONLY so the plan-switch spec can pin that the
+    * degree-table broadcast hint is present exactly when
+    * `broadcastDeg` holds (the eager checkpoint in [[triangles]]
+    * collapses everything below it to a LogicalRDD, making the final
+    * plan hint-blind). `ue` is the canonical undirected edge set
+    * `(u, v)` with u < v; `deg` is `(node, deg)`. */
+  private[graft] def orientedEdges(ue: DataFrame, deg: DataFrame,
+      broadcastDeg: Boolean): DataFrame = {
+    val du = deg.select(col("node").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("__dv"))
+    val fwd = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    // Size-gated hint (triangles scaladoc): a node table small enough
+    // to hash on every executor is broadcast; a web-scale one joins by
+    // shuffle on the already-partitioned edges.
+    val hinted: DataFrame => DataFrame =
+      if (broadcastDeg) broadcast else identity
+    ue.join(hinted(du), Seq("u")).join(hinted(dv), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
   }
 
   /** DuckDB restatement of one [[pagerank]] iteration — the d$i/r$i

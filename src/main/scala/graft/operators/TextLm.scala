@@ -111,6 +111,9 @@ object TextLm {
     docBg
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.contexts, Seq("w1"), "left")
+      // model.vocab is a ONE-ROW countDistinct aggregate (the scalar V
+      // in add-α smoothing), not the vocabulary itself — this broadcast
+      // is O(1) regardless of corpus size and needs no size gate.
       .crossJoin(broadcast(model.vocab))
       .withColumn("__lp", log(
         (coalesce(col("c12"), lit(0L)) + lit(alpha)) /

@@ -109,6 +109,33 @@ class FeatureSpec extends AnyFunSuite {
       r.getDouble(3) == 1.0))
   }
 
+  test("triangles: degree broadcast is size-gated, results identical") {
+    // Above the limit the forced hint must disappear from the plan (a
+    // billion-node degree table would OOM the driver; VERDICT r16 #2)
+    // and the orientation join must still produce the same counts.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    // Plan switch, pinned on the pre-checkpoint orientation frame (the
+    // eager checkpoint inside triangles() hides the join from the
+    // final plan): hint present iff the gate says broadcast.
+    val ue = edges.select(least($"src", $"dst").as("u"),
+      greatest($"src", $"dst").as("v")).distinct()
+    val deg = ue.select($"u".as("node")).union(ue.select($"v".as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val hintedPlan = Graph.orientedEdges(ue, deg, broadcastDeg = true)
+      .queryExecution.optimizedPlan.toString
+    val gatedPlan = Graph.orientedEdges(ue, deg, broadcastDeg = false)
+      .queryExecution.optimizedPlan.toString
+    assert(hintedPlan.contains("strategy=broadcast"),
+      "under the limit the degree joins keep the explicit hint")
+    assert(!gatedPlan.contains("strategy=broadcast"),
+      "above the limit no forced broadcast hint may survive")
+    // and the gated operator end-to-end still counts the same triangles
+    val gated = Graph.triangles(edges, broadcastNodeLimit = 0L)
+    val out = gated.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
   test("feature scale: z-score and robust stats are right on a hand group") {
     val df = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
