@@ -181,8 +181,8 @@ object AggQueries {
     // [[gateQueries]].
     "q_agg_approx_quantile" -> { (s, d) =>
       Tables(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(expr(
-          "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+        .agg(graft.functions.Quantiles.of("l_extendedprice",
+          Seq(0.5, 0.9, 0.99), approx = true, accuracy = 1000)
           .as("quantiles"))
         .orderBy("l_returnflag")
     },
@@ -382,7 +382,8 @@ object AggQueries {
     "q_agg_median" -> { (s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        .agg(graft.functions.Quantiles.one("l_quantity", 0.5,
+          approx = false).as("median_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
     },
@@ -544,8 +545,8 @@ object AggQueries {
     "q_agg_approx_quantile" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
       val sk = li.groupBy("l_returnflag").agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-          .as("__qs"))
+        graft.functions.Quantiles.of("l_extendedprice",
+          Seq(0.5, 0.9, 0.99), approx = true, accuracy = 1000).as("__qs"))
       def rankOk(i: Int, target: Double) =
         abs(sum(when(col("l_extendedprice") <= col("__qs").getItem(i), 1)
           .otherwise(0)).cast("double") / count(lit(1)) - target) <= 0.01

@@ -22,6 +22,45 @@ object FeatureQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-group winsorization: clamp `valueCol` to its group's
+    * `[pLo, pHi]` percentiles (outlier capping before training — the
+    * robust complement of z-scaling). GroupBy-stats + broadcast
+    * join-back, |groups| rows of driver-independent state — the same
+    * 100 TB shape as `q_feature_scale`.
+    *
+    * `approx` is the at-scale switch ([[graft.functions.Quantiles]]):
+    * exact interpolated `percentile` is bit-matchable against DuckDB
+    * (the declared key pins it) but buffers per-group distinct values
+    * (the measured f100 step in SCALE.md's winsorize leg);
+    * `approx = true` swaps in the GK sketch — bounded memory for
+    * arbitrarily wide groups, thresholds within ε·n ranks of exact,
+    * and clamping is threshold-tolerant so nothing else changes
+    * (QuantilesSpec gates the equivalence off the boundary).
+    *
+    * Output: `(idCols*, groupCols*, valueCol, lo, hi, winsorized,
+    * clipped)`, NULL values passing through NULL. Explicit CASE (not
+    * least/greatest) so NULL semantics match the oracle's. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95, approx: Boolean = false,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy)
+      : DataFrame = {
+    require(pLo < pHi, s"pLo $pLo must be < pHi $pHi")
+    val q = graft.functions.Quantiles
+    val stats = df.groupBy(groupCols.map(col): _*).agg(
+      q.one(valueCol, pLo, approx, accuracy).cast("double").as("lo"),
+      q.one(valueCol, pHi, approx, accuracy).cast("double").as("hi"))
+    val v = col(valueCol)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("winsorized",
+        when(v.isNull, lit(null))
+          .when(v < col("lo"), col("lo"))
+          .when(v > col("hi"), col("hi"))
+          .otherwise(v))
+      .withColumn("clipped",
+        when(v.isNull, lit(null))
+          .otherwise(v < col("lo") || v > col("hi")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Corpus composition report: docs/chars/tokens by lang × source
     // with corpus fractions — the first table every training-mixture
@@ -56,9 +95,11 @@ object FeatureQueries {
       val stats = ev.groupBy("event_type").agg(
         avg("value").as("mu"),
         stddev_samp("value").as("sigma"),
-        expr("percentile(value, 0.5D)").as("med"),
-        (expr("percentile(value, 0.75D)") -
-          expr("percentile(value, 0.25D)")).as("iqr"))
+        graft.functions.Quantiles.one("value", 0.5, approx = false)
+          .as("med"),
+        (graft.functions.Quantiles.one("value", 0.75, approx = false) -
+          graft.functions.Quantiles.one("value", 0.25, approx = false))
+          .as("iqr"))
       ev.join(broadcast(stats), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("mu")) /
@@ -126,32 +167,18 @@ object FeatureQueries {
       Graph.triangles(edges).orderBy("node")
     },
 
-    // Per-group winsorization: clamp a metric to its group's
-    // [p05, p95] (outlier capping before training/aggregation — the
-    // robust complement of q_feature_scale). Same 100 TB shape:
-    // groupBy-stats + broadcast join-back, |groups| rows of state.
-    // Exact `percentile` is chosen ONLY for bit-exact oracle parity
-    // (its value-count buffer grows with per-group distinct values —
-    // the measured f100 step in SCALE.md's winsorize leg); at real
-    // scale substitute percentile_approx(…, accuracy) — the clamp
-    // semantics are threshold-tolerant, nothing else changes.
-    // Explicit CASE (not least/greatest) so NULL values pass through
-    // NULL identically on both engines.
+    // Per-group winsorization via [[winsorize]] — the declared key
+    // pins the EXACT form (approx = false) for bit-exact DuckDB
+    // parity; `winsorize(approx = true)` is the selectable GK-sketch
+    // path for groups too wide to buffer (ε-gated in QuantilesSpec,
+    // measured as the winsorize_approx ScaleBench leg).
     "q_feature_winsorize" -> { (s, d) =>
       val ev = Tables(s, d, "events")
-      val stats = ev.groupBy("event_type").agg(
-        expr("percentile(value, 0.05D)").as("lo"),
-        expr("percentile(value, 0.95D)").as("hi"))
-      ev.join(broadcast(stats), Seq("event_type"))
+      winsorize(ev.select("event_id", "event_type", "value"),
+        Seq("event_type"), "value")
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
-          round(when(col("value").isNull, lit(null))
-            .when(col("value") < col("lo"), col("lo"))
-            .when(col("value") > col("hi"), col("hi"))
-            .otherwise(col("value")), 6).as("winsorized"),
-          when(col("value").isNull, lit(null))
-            .otherwise(col("value") < col("lo") || col("value") > col("hi"))
-            .as("clipped"))
+          round(col("winsorized"), 6).as("winsorized"), col("clipped"))
         .orderBy("event_id")
     },
 

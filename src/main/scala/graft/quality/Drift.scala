@@ -51,16 +51,23 @@ object Drift {
     * ([[graft.streaming.DriftStream]]) freezes the identical breaks
     * the batch computation would use; a second copy of this derivation
     * is a parity bug waiting to drift. */
-  def breaks(oldSnap: DataFrame, valueCol: String,
-      buckets: Int = 10): Seq[Double] = {
+  def breaks(oldSnap: DataFrame, valueCol: String, buckets: Int = 10,
+      approx: Boolean = false,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy)
+      : Seq[Double] = {
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val row = oldSnap.where(col(valueCol).isNotNull)
-      .agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
+      .agg(graft.functions.Quantiles.of(valueCol, ps, approx, accuracy)
         .as("__b"))
       .head()
     require(!row.isNullAt(0), "old snapshot has no non-null values")
-    row.getSeq[Double](0)
+    // GK returns column elements (ints stay ints); the break contract
+    // is doubles either way.
+    row.getSeq[Any](0).map {
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }
   }
 
   /** The scalar PSI (driver action): Σ psi_contrib. */
@@ -78,16 +85,10 @@ object Drift {
     * [[psi]] — spec-tested against the exact bucketing, not
     * oracle-pinnable (engine-specific sketch). */
   def psiApprox(oldSnap: DataFrame, newSnap: DataFrame, valueCol: String,
-      buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
-    require(buckets >= 2, s"need at least 2 buckets: $buckets")
-    val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    val row = oldSnap.where(col(valueCol).isNotNull)
-      .agg(expr(s"approx_percentile($valueCol, " +
-        s"array(${ps.mkString(", ")}), $accuracy)").as("__b"))
-      .head()
-    require(!row.isNullAt(0), "old snapshot has no non-null values")
-    withBreaks(oldSnap, newSnap, valueCol, buckets, row.getSeq[Double](0))
-  }
+      buckets: Int = 10,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame =
+    withBreaks(oldSnap, newSnap, valueCol, buckets,
+      breaks(oldSnap, valueCol, buckets, approx = true, accuracy = accuracy))
 
   /** Bucket index of a value against fixed `breaks` (count of breaks
     * it exceeds — bucket 0..breaks.size). Codegen'd comparison chain

@@ -29,12 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** Per-group fence table: `(groupCols*, q1, q3, lo, hi)`. */
+  /** Per-group fence table: `(groupCols*, q1, q3, lo, hi)`. The
+    * quartile form comes from [[graft.functions.Quantiles]] — exact
+    * for oracle parity, GK sketch under its ε rank contract for the
+    * 100 TB path. */
   def fences(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      k: Double = 1.5): DataFrame =
+      k: Double = 1.5, approx: Boolean = false,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.25)").as("q1"),
-        expr(s"percentile($valueCol, 0.75)").as("q3"))
+      .agg(graft.functions.Quantiles.one(valueCol, 0.25, approx, accuracy)
+          .as("q1"),
+        graft.functions.Quantiles.one(valueCol, 0.75, approx, accuracy)
+          .as("q3"))
       .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
 
@@ -58,8 +64,10 @@ object Outliers {
   /** Row-level flags: input columns + `(is_low, is_high)`. NULL values
     * are never outliers (they are [[Check]]'s business). */
   def flag(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      k: Double = 1.5): DataFrame =
-    flagged(df, valueCol, groupCols, fences(df, valueCol, groupCols, k))
+      k: Double = 1.5, approx: Boolean = false,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame =
+    flagged(df, valueCol, groupCols,
+      fences(df, valueCol, groupCols, k, approx, accuracy))
       .drop("q1", "q3", "lo", "hi")
 
   /** Per-group summary: `(groupCols*, n_vals, n_low, n_high, q1, q3)`. */
@@ -74,14 +82,12 @@ object Outliers {
 
   /** [[flag]] with GK-sketch quartiles — the 100 TB path: bounded
     * memory per group at `accuracy` (ε ≈ 1/accuracy rank error), so a
-    * value within ε·n ranks of a fence may flip relative to exact. */
+    * value within ε·n ranks of a fence may flip relative to exact.
+    * Kept as a named entry point; since r17 it IS `flag(approx =
+    * true)` — one switch ([[graft.functions.Quantiles]]), not two
+    * hand-rolled expression builders that can drift. */
   def flagApprox(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      k: Double = 1.5, accuracy: Int = 10000): DataFrame = {
-    val f = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"approx_percentile($valueCol, 0.25, $accuracy)").as("q1"),
-        expr(s"approx_percentile($valueCol, 0.75, $accuracy)").as("q3"))
-      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
-      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
-    flagged(df, valueCol, groupCols, f).drop("q1", "q3", "lo", "hi")
-  }
+      k: Double = 1.5,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame =
+    flag(df, valueCol, groupCols, k, approx = true, accuracy = accuracy)
 }
