@@ -1066,9 +1066,14 @@ object ExtQueries {
       val r2 = TextFunctions.compressionRatio(concat(t, t))
       Tables(s, d, "documents").select(
         col("doc_id"),
+        // Margin is size-proportional (deflateBound shape): raw-deflate
+        // stored blocks cost ~5 bytes per 64 KB, which outgrows a fixed
+        // 64-byte slack on large incompressible docs (ADVICE r16) —
+        // 64 + ceil(raw/16384) stays safely above 5/65536 per byte.
         when(octet_length(t) === 0, r === 1.0)
           .otherwise(r > 0.0 &&
-            r * octet_length(t) <= octet_length(t).cast("double") + 64.0)
+            r * octet_length(t) <= octet_length(t).cast("double") + 64.0 +
+              ceil(octet_length(t).cast("double") / 16384.0))
           .as("bound_ok"),
         (octet_length(t) <= 200 || r2 < r).as("doubled_lt"))
         .orderBy("doc_id")

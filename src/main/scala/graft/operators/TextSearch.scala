@@ -306,11 +306,19 @@ object TextSearch {
     *
     * Scale shape: `retrieved` is |queries|·k rows by construction, so
     * it is BROADCAST onto the (possibly corpus-fraction-sized)
-    * judgment set — the only corpus-scale work is one map-side
-    * broadcast join + a partial-aggregated per-query fold; qrels
-    * never shuffles on its own key. IDCG is a per-row fold over a
-    * generated 1..min(k,n_rel) sequence — no join against a rank
-    * dimension table. */
+    * judgment set — the only corpus-scale work is the qrels dedup's
+    * partial-aggregated shuffle plus one map-side broadcast join and
+    * a per-query fold. IDCG is a per-row fold over a generated
+    * 1..min(k,n_rel) sequence — no join against a rank dimension
+    * table.
+    *
+    * Both inputs are DEDUPLICATED here rather than assumed unique
+    * (ADVICE r16): duplicate (query_id, doc_id) qrels rows would
+    * silently inflate n_rel/hits/dcg, and a doc retrieved at two
+    * ranks would double-count — retrieved collapses to its best
+    * (minimum) rank per (query, doc), qrels to distinct pairs. The
+    * internal [[booleanRelevance]] feed is already distinct; this
+    * guards the public entry point. */
   def evalRanking(retrieved: DataFrame, qrels: DataFrame,
       queries: DataFrame, k: Int = 10,
       queryIdCol: String = "query_id"): DataFrame = {
@@ -319,10 +327,12 @@ object TextSearch {
     val ret = retrieved.select(col("query_id").cast("long").as("query_id"),
         col("rank").cast("long").as("rank"), col("doc_id"))
       .where(col("rank") <= k)
+      .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
       .localCheckpoint(true) // consumed twice: n_ret + the hit join
+    val qr = qrels.select(col("query_id"), col("doc_id")).distinct()
     val nret = ret.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
-    val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    val hit = qrels.join(broadcast(ret), Seq("query_id", "doc_id"))
+    val nrel = qr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hit = qr.join(broadcast(ret), Seq("query_id", "doc_id"))
       .groupBy("query_id").agg(
         count(lit(1)).as("hits"),
         min("rank").as("rank_first"),
