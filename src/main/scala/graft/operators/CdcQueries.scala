@@ -36,6 +36,30 @@ object CdcQueries {
         .orderBy("o_orderkey")
     },
 
+    // C1 at the 100 TB write path — the SAME delete+insert semantics
+    // through cdc.CowStore's bucket-pruned copy-on-write merge: full
+    // load, then one incremental batch that rewrites ONLY the buckets
+    // containing its keys while every other bucket is inherited by
+    // manifest reference (zero bytes rewritten — CowStoreSpec pins
+    // the file-path identity; ScaleBench's cow_upsert leg measures
+    // write volume ∝ batch, not ∝ dest). Shares q_cdc_upsert's oracle
+    // VERBATIM: bucketing is an execution layout, never a semantics
+    // change.
+    "q_cdc_upsert_bucketed" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cow_upsert").toString
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      store.upsert(ordersIncoming(s, d).select(
+        dest.columns.map(col).toSeq: _*))
+      store.read().get
+        .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
     // C2 — upsert + global keep-latest-per-key dedup (base_loader.py:340-475).
     "q_cdc_upsert_dedup" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
@@ -279,6 +303,18 @@ object CdcQueries {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_discount, l_returnflag""".stripMargin,
     "q_cdc_upsert" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    // VERBATIM q_cdc_upsert restatement — the bucketed COW layout must
+    // be invisible to semantics (same rows, same order, same types).
+    "q_cdc_upsert_bucketed" ->
       """WITH dest AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
         |inc AS (

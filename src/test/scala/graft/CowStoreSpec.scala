@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{CowStore, Upsert}
+
+/** Bucket-pruned copy-on-write upsert (cdc.CowStore): semantics must
+  * equal the plain [[Upsert]] kernel while write volume scales with
+  * the batch — inherited buckets are manifest references to the OLD
+  * version's files, never rewrites. */
+class CowStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-cowspec").toString
+
+  private def rows(ks: Range, tag: String) =
+    ks.map(k => (k.toLong, tag, k * 10.0)).toDF("k", "tag", "v")
+
+  private def collectSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+
+  private def bucketDirs(root: String, v: Int): Set[Int] = {
+    val d = new java.io.File(f"$root/v_$v%08d")
+    d.listFiles().toSeq.map(_.getName).filter(_.startsWith("__bkt="))
+      .map(_.stripPrefix("__bkt=").toInt).toSet
+  }
+
+  test("cow upsert equals the plain delete+insert kernel") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    val dest = rows(0 until 200, "old")
+    val inc = rows(150 until 230, "new")
+    store.writeFull(dest)
+    store.upsert(inc)
+    val want = collectSet(Upsert(dest, inc, Seq("k")))
+    assert(collectSet(store.read().get) == want)
+    // a second batch over the merged table
+    val inc2 = rows(10 until 20, "new2")
+    store.upsert(inc2)
+    val want2 = collectSet(Upsert(Upsert(dest, inc, Seq("k")), inc2, Seq("k")))
+    assert(collectSet(store.read().get) == want2)
+  }
+
+  test("only affected buckets are rewritten; the rest inherit by reference") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 16)
+    store.writeFull(rows(0 until 400, "old"))
+    val man1 = store.currentManifest
+    assert(man1.values.toSet == Set(1) && man1.keySet == (0 until 16).toSet)
+    // a single-key batch touches exactly ONE bucket
+    val one = rows(42 until 43, "new")
+    val affected = one.select(store.bucketOf).head().getInt(0)
+    store.upsert(one)
+    val man2 = store.currentManifest
+    assert(man2(affected) == 2, "touched bucket owned by the new version")
+    assert(man2.filter(_._1 != affected).values.toSet == Set(1),
+      "every untouched bucket still references version 1's files")
+    assert(bucketDirs(root, 2) == Set(affected),
+      "the new version dir contains ONLY the touched bucket")
+    // write volume ∝ batch: v2 holds one small bucket, v1 the table
+    def bytes(v: Int) = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else f.listFiles().map(walk).sum
+      walk(new java.io.File(f"$root/v_$v%08d"))
+    }
+    assert(bytes(2) * 4 < bytes(1),
+      s"v2=${bytes(2)}B should be far under v1=${bytes(1)}B")
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(rows(0 until 400, "old"), one, Seq("k"))))
+  }
+
+  test("C2 keep-latest variant matches withDedupMaintained") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    val dest = rows(0 until 100, "old").withColumn("ts", col("k") % 7)
+    val inc = rows(80 until 120, "new").withColumn("ts", col("k") % 7 + 3)
+      .union(rows(80 until 120, "dup").withColumn("ts", col("k") % 7 + 1))
+    store.writeFull(dest)
+    store.upsert(inc, dedup = Some(("ts", Seq("tag"))))
+    val want = Upsert.withDedupMaintained(dest, inc, Seq("k"), "ts",
+      Seq("tag"))
+    assert(store.read().get.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+  }
+
+  test("empty batch is a no-op; first upsert on an empty store full-loads") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.upsert(rows(0 until 0, "x"))
+    assert(!store.exists)
+    store.upsert(rows(0 until 10, "a"))
+    assert(collectSet(store.read().get) == collectSet(rows(0 until 10, "a")))
+  }
+
+  test("vacuum keeps versions the current manifest references") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 100, "old")) // v1
+    store.upsert(rows(0 until 5, "a"))        // v2 (some buckets)
+    store.upsert(rows(5 until 9, "b"))        // v3
+    store.vacuum()
+    // v1 must survive: untouched buckets still reference it
+    assert(store.versions().contains(1))
+    val before = collectSet(store.read().get)
+    store.writeFull(store.read().get)         // v4 rewrites everything
+    store.vacuum()
+    assert(store.versions() == Seq(4), s"got ${store.versions()}")
+    assert(collectSet(store.read().get) == before)
+  }
+
+  test("missing pointer crash-forwards to the newest manifest version") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 20, "old"))
+    store.upsert(rows(0 until 3, "new"))
+    val expect = collectSet(store.read().get)
+    assert(new java.io.File(s"$root/_CURRENT").delete())
+    assert(collectSet(store.read().get) == expect)
+  }
+}
