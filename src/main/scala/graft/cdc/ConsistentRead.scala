@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-table consistent-as-of read — the join-consistency primitive
+  * the reference's marts silently lack: users/plans/transactions are
+  * extracted on INDEPENDENT cadences (reference
+  * `all_schedules.py:12-52` — transactions hourly, users/plans daily)
+  * and `int_users_with_plans.sql`-style marts then join
+  * different-age snapshots, so a transaction can reference a plan
+  * change its user row hasn't loaded yet. The fix is to pin every
+  * table of a join to the MAX COMMON WATERMARK — the newest instant
+  * ALL tables have fully loaded — before joining (VERDICT r16 ask
+  * #5).
+  *
+  * Two surfaces:
+  *
+  *  - [[pin]]: fully declarative — each table's watermark is a 1-row
+  *    `max(track)` aggregate, the common watermark their broadcast
+  *    `least`, and each table filters `track <= common`. No driver
+  *    collect, engine-restatable in plain SQL (the
+  *    `q_cdc_consistent_read` oracle restates min-of-maxes + filters
+  *    + join verbatim). At 100 TB the max(track) scans are
+  *    column-pruned single-agg passes; a deployment that already
+  *    tracks watermarks (C7: the destination IS the checkpoint)
+  *    skips them via [[pinTo]].
+  *  - [[asOfVersion]]: snapshot-level time travel over a
+  *    [[TableStore]] — the newest version whose own watermark
+  *    (`max(track)` of that version) is ≤ the requested instant, so
+  *    a mart can join the LAST MUTUALLY CONSISTENT snapshots rather
+  *    than filtered currents. Walks versions newest-first, one
+  *    column-pruned aggregate per probed version; a deployment
+  *    records the watermark at write time and makes this a metadata
+  *    lookup — the selection rule, not the probe cost, is the
+  *    contract (ConsistentReadSpec pins it).
+  */
+object ConsistentRead {
+
+  /** Pin every `(table, trackCol)` to their max common watermark:
+    * returns the same tables filtered to `track <= least(max(track_1),
+    * ..., max(track_n))`, plus nothing else — column sets unchanged.
+    * NULL tracks never pass the pin (consistent with watermark
+    * semantics: an unstamped row has no load instant to trust). */
+  def pin(tables: Seq[(DataFrame, String)]): Seq[DataFrame] = {
+    val common = commonWatermarkFrame(tables)
+    tables.map { case (df, track) =>
+      df.crossJoin(broadcast(common))
+        .where(col(track) <= col("__wm"))
+        .drop("__wm")
+    }
+  }
+
+  /** The 1-row `(__wm)` frame holding the max common watermark —
+    * broadcastable into any consumer ([[pin]]'s building block,
+    * exposed for callers composing their own predicate). */
+  def commonWatermarkFrame(tables: Seq[(DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "need at least one (table, track) pair")
+    val wms = tables.zipWithIndex.map { case ((df, track), i) =>
+      df.agg(max(col(track)).as(s"__wm$i"))
+    }
+    val joined = wms.reduce(_.crossJoin(_))
+    val cols = tables.indices.map(i => col(s"__wm$i"))
+    joined.select(
+      (if (cols.size == 1) cols.head else least(cols: _*)).as("__wm"))
+  }
+
+  /** [[pin]] with a KNOWN watermark (no scans): `track <= wm`. */
+  def pinTo(tables: Seq[(DataFrame, String)], wm: Any): Seq[DataFrame] =
+    tables.map { case (df, track) => df.where(col(track) <= lit(wm)) }
+
+  /** Newest store version whose own watermark (`max(track)` over that
+    * version) is ≤ `wm`; None when the store is empty or every
+    * version is ahead of `wm`. A NULL version watermark (version with
+    * no non-null track) counts as ≤ every instant — an empty/unstamped
+    * snapshot is trivially consistent. */
+  def asOfVersion(spark: SparkSession, store: TableStore, track: String,
+      wm: Any): Option[(Int, DataFrame)] =
+    store.versions().reverse.iterator.flatMap { v =>
+      store.readVersion(v).flatMap { df =>
+        val vwm = df.agg(max(col(track))).head().get(0)
+        if (vwm == null || lteq(spark, vwm, wm)) Some(v -> df) else None
+      }
+    }.nextOption()
+
+  /** Engine-evaluated `a <= b` so timestamp/date/numeric watermarks
+    * all compare by SQL semantics, not JVM ones. */
+  private def lteq(spark: SparkSession, a: Any, b: Any): Boolean =
+    spark.range(1).select(lit(a) <= lit(b)).head().getBoolean(0)
+}

@@ -72,6 +72,32 @@ object CdcQueries {
         .orderBy("l_orderkey")
     },
 
+    // Cross-table consistent-as-of read (cdc.ConsistentRead.pin): the
+    // reference extracts its tables on INDEPENDENT cadences
+    // (all_schedules.py:12-52) and its marts join different-age
+    // snapshots; here orders/lineitem are "loaded" to staggered
+    // watermarks, both sides pin to the max COMMON watermark
+    // (least-of-maxes, a broadcast 1-row frame — no driver collect),
+    // and only then join. max_o/max_s in the output PROVE the pin:
+    // both must sit at or under the common instant. Oracle restates
+    // min-of-maxes + filters + join verbatim.
+    "q_cdc_consistent_read" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      val li = Tables(s, d, "lineitem")
+        .where(col("l_shipdate") < lit("2000-09-01").cast("timestamp"))
+      val pinned = graft.cdc.ConsistentRead.pin(
+        Seq(o -> "o_orderdate", li -> "l_shipdate"))
+      val (po, pli) = (pinned(0), pinned(1))
+      po.join(pli, po("o_orderkey") === pli("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          max(col("o_orderdate")).as("max_o"),
+          max(col("l_shipdate")).as("max_s"))
+        .orderBy("o_orderstatus")
+    },
+
     // C3 — full load: truncate + insert ≡ the new snapshot IS the source
     // (base_loader.py:477-516; empty-source quirk covered in FullLoadSpec).
     "q_cdc_full_load" -> { (s, d) =>
@@ -312,6 +338,21 @@ object CdcQueries {
         |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |UNION ALL SELECT * FROM inc
         |ORDER BY o_orderkey""".stripMargin,
+    "q_cdc_consistent_read" ->
+      """WITH ol AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'),
+        |ll AS (
+        |  SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-09-01'),
+        |wm AS (SELECT least((SELECT max(o_orderdate) FROM ol),
+        |                    (SELECT max(l_shipdate) FROM ll)) AS w),
+        |po AS (SELECT * FROM ol WHERE o_orderdate <= (SELECT w FROM wm)),
+        |pl AS (SELECT * FROM ll WHERE l_shipdate <= (SELECT w FROM wm))
+        |SELECT o_orderstatus, count(*) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  max(o_orderdate) AS max_o, max(l_shipdate) AS max_s
+        |FROM po JOIN pl ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // VERBATIM q_cdc_upsert restatement — the bucketed COW layout must
     // be invisible to semantics (same rows, same order, same types).
     "q_cdc_upsert_bucketed" ->

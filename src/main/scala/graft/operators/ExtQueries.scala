@@ -345,6 +345,37 @@ object ExtQueries {
         .orderBy("system", "query_id")
     },
 
+    // GRADED-relevance retrieval eval (VERDICT r16 ask #7) — the same
+    // two systems against multi-level qrels: gain = number of distinct
+    // query terms the doc contains (booleanRelevance is exactly the
+    // full-gain slice, so the binary key's rows are untouched).
+    // Exponential-gain nDCG exercises the DCG arithmetic the binary
+    // case cannot (2^gain − 1 numerators; ideal ranking ordered by
+    // gain); the IDCG fold runs over the per-query GAIN HISTOGRAM —
+    // state bounded by query length, never corpus size. The oracle
+    // restates qrels, both rankings, the hit DCG and a row_number
+    // ideal ranking (equivalent arithmetic: within a gain level the
+    // ideal order is irrelevant to the sum).
+    "q_search_eval_graded" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val probes = bm25Probes(s)
+      val qrels = TextSearch.gradedRelevance(docs, probes)
+        .localCheckpoint(true) // consumed by both systems' metric legs
+      val lex = TextSearch.bm25TopK(docs, probes, k = 10)
+        .select("query_id", "rank", "doc_id")
+      val emb = Tables(s, d, "embeddings")
+      val cos = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id").as("doc_id"))
+      TextSearch.evalRankingGraded(lex, qrels, probes, k = 10)
+        .withColumn("system", lit("bm25"))
+        .unionByName(TextSearch
+          .evalRankingGraded(cos, qrels, probes, k = 10)
+          .withColumn("system", lit("cos")))
+        .orderBy("system", "query_id")
+    },
+
     // BPE tokenizer: distributed word-count training (bounded driver
     // merge loop) + codegen'd encode. Token COUNTS are model-specific
     // (no SQL restatement), so the driver row carries the restatable
@@ -1726,6 +1757,66 @@ object ExtQueries {
       |LEFT JOIN hit ON q.query_id = hit.query_id AND sys.syst = hit.syst
       |ORDER BY system, query_id""".stripMargin
 
+  /** `q_search_eval_graded`: the graded sibling — qrels carry
+    * gain = matched-distinct-term count (no full-match filter), hit
+    * DCG uses (2^gain − 1) numerators, and the ideal ranking is a
+    * row_number over gain-descending judgments (within a gain level
+    * the order is irrelevant to the positional sum, so DuckDB's
+    * window form and the engine's histogram fold are the same
+    * number). */
+  private val SearchEvalGradedOracleSql: String = Bm25Ctes +
+    """,
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |vscored AS (
+      |  SELECT vq.query_id, e.vec_id AS doc_id,
+      |    list_cosine_similarity(vq.qv, e.v) AS cos
+      |  FROM vq JOIN e ON vq.query_id <> e.vec_id),
+      |vec_r AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, doc_id) AS rank
+      |    FROM vscored) WHERE rank <= 10),
+      |ret AS (
+      |  SELECT 'bm25' AS syst, query_id, doc_id, CAST(rn AS BIGINT) AS rank
+      |  FROM ranked WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT 'cos', query_id, doc_id, CAST(rank AS BIGINT) FROM vec_r),
+      |dterm AS (SELECT DISTINCT doc_id, term FROM toks),
+      |grel AS (
+      |  SELECT qt.query_id, dterm.doc_id, count(*) AS gain
+      |  FROM dterm JOIN qt USING (term) GROUP BY 1, 2),
+      |nrel AS (SELECT query_id, count(*) AS n_rel FROM grel GROUP BY 1),
+      |hit AS (
+      |  SELECT r.syst, r.query_id, count(*) AS hits,
+      |    min(r.rank) AS rank_first,
+      |    sum((pow(2, g.gain) - 1) / log2(r.rank + 1)) AS dcg
+      |  FROM ret r JOIN grel g USING (query_id, doc_id) GROUP BY 1, 2),
+      |ideal AS (
+      |  SELECT query_id, sum((pow(2, gain) - 1) / log2(pos + 1)) AS idcg
+      |  FROM (
+      |    SELECT query_id, gain, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY gain DESC, doc_id) AS pos
+      |    FROM grel)
+      |  WHERE pos <= 10 GROUP BY 1),
+      |sys(syst) AS (VALUES ('bm25'), ('cos'))
+      |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+      |  COALESCE(nrel.n_rel, 0) AS n_rel,
+      |  COALESCE(hit.hits, 0) AS hits,
+      |  hit.rank_first AS rank_first,
+      |  round(COALESCE(hit.dcg, 0), 6) AS dcg_k,
+      |  CASE WHEN COALESCE(nrel.n_rel, 0) > 0
+      |    THEN round(ideal.idcg, 6) END AS idcg_k,
+      |  CASE WHEN COALESCE(nrel.n_rel, 0) > 0
+      |    THEN round(COALESCE(hit.dcg, 0) / ideal.idcg, 6) END AS ndcg_k,
+      |  sys.syst AS system
+      |FROM q CROSS JOIN sys
+      |LEFT JOIN nrel ON q.query_id = nrel.query_id
+      |LEFT JOIN ideal ON q.query_id = ideal.query_id
+      |LEFT JOIN hit ON q.query_id = hit.query_id AND sys.syst = hit.syst
+      |ORDER BY system, query_id""".stripMargin
+
   /** `q_search_hybrid_rrf`: BM25 CTEs + the cosine leg + RRF fusion.
     * RRF sums at most TWO doubles per (query, doc) and IEEE addition
     * is commutative, so the fused scores are bit-identical across
@@ -1889,6 +1980,7 @@ object ExtQueries {
     "q_search_bm25" -> Bm25OracleSql,
     "q_search_bm25_indexed" -> Bm25OracleSql,
     "q_search_eval" -> SearchEvalOracleSql,
+    "q_search_eval_graded" -> SearchEvalGradedOracleSql,
     "q_search_hybrid_rrf" -> HybridRrfOracleSql,
     "q_quality_lm_score" -> LmScoreOracleSql,
     "q_text_classify_nb" -> ClassifyNbOracleSql,

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{ConsistentRead, TableStore}
+
+/** Cross-table consistent-as-of read: pin N independently-loaded
+  * tables to their max common watermark before joining, and pick the
+  * newest mutually-consistent snapshot version of a TableStore. */
+class ConsistentReadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("pin filters every table to the least of the max watermarks") {
+    // users loaded through t=17, plans through t=9, txns through t=13
+    val users = Seq((1L, 3L), (2L, 17L), (3L, 8L)).toDF("id", "t")
+    val plans = Seq((1L, 9L), (2L, 2L)).toDF("id", "t")
+    val txns = Seq((1L, 13L), (2L, 9L), (3L, 10L)).toDF("id", "t")
+    val pinned = ConsistentRead.pin(
+      Seq(users -> "t", plans -> "t", txns -> "t"))
+    def ts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(1)).toSet
+    // common watermark = least(17, 9, 13) = 9
+    assert(ts(pinned(0)) == Set(3L, 8L))
+    assert(ts(pinned(1)) == Set(9L, 2L))
+    assert(ts(pinned(2)) == Set(9L))
+    // a single table pins to its own max — nothing is dropped
+    assert(ConsistentRead.pin(Seq(users -> "t")).head.count() == 3)
+  }
+
+  test("NULL tracks never pass the pin; pinTo skips the scans") {
+    val a = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("id", "t")
+    val b = Seq((1L, 4L)).toDF("id", "t")
+    val pinned = ConsistentRead.pin(Seq(a -> "t", b -> "t"))
+    assert(pinned(0).collect().map(_.getLong(0)).toSet == Set(3L))
+    val to = ConsistentRead.pinTo(Seq(a -> "t", b -> "t"), 4L)
+    assert(to(0).collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(to(1).count() == 1)
+  }
+
+  test("asOfVersion picks the newest version at or under the instant") {
+    val root = Files.createTempDirectory("graft-asof").toString
+    val store = new TableStore(spark, root)
+    store.write(Seq((1L, 5L)).toDF("id", "t"))              // v1, wm 5
+    store.write(Seq((1L, 5L), (2L, 10L)).toDF("id", "t"))   // v2, wm 10
+    store.write(Seq((1L, 5L), (2L, 10L), (3L, 15L)).toDF("id", "t")) // v3
+    def pick(wm: Long) =
+      ConsistentRead.asOfVersion(spark, store, "t", wm).map(_._1)
+    assert(pick(12L).contains(2))
+    assert(pick(10L).contains(2))
+    assert(pick(9L).contains(1))
+    assert(pick(20L).contains(3))
+    assert(pick(3L).isEmpty)
+    // the picked frame is the whole immutable snapshot, unfiltered
+    val (v, df) = ConsistentRead.asOfVersion(spark, store, "t", 12L).get
+    assert(v == 2 && df.count() == 2)
+  }
+
+  test("joint use: common watermark across two staggered stores") {
+    val rootA = Files.createTempDirectory("graft-asof-a").toString
+    val rootB = Files.createTempDirectory("graft-asof-b").toString
+    val a = new TableStore(spark, rootA)
+    val b = new TableStore(spark, rootB)
+    a.write(Seq((1L, 10L)).toDF("id", "t"))
+    a.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "t")) // a current wm 20
+    b.write(Seq((9L, 14L)).toDF("id", "t"))            // b current wm 14
+    val common = ConsistentRead
+      .commonWatermarkFrame(Seq(a.read().get -> "t", b.read().get -> "t"))
+      .head().getLong(0)
+    assert(common == 14L)
+    // a's consistent snapshot at the common instant is v1, not v2
+    assert(ConsistentRead.asOfVersion(spark, a, "t", common)
+      .map(_._1).contains(1))
+    assert(ConsistentRead.asOfVersion(spark, b, "t", common)
+      .map(_._1).contains(1))
+  }
+}

@@ -264,4 +264,56 @@ class TextSearchSpec extends AnyFunSuite {
     assert(q3.isNullAt(4) && q3.getDouble(5) == 0.0 && q3.isNullAt(6) &&
       q3.getDouble(7) == 0.0 && q3.isNullAt(8))
   }
+
+  test("gradedRelevance: gain counts matched distinct terms; the " +
+      "full-gain slice IS booleanRelevance") {
+    val qs = Seq((0, "spark window"), (1, "the the fox"))
+      .toDF("query_id", "qtext")
+    val graded = TextSearch.gradedRelevance(corpus, qs)
+      .as[(Long, Long, Long)].collect().toSet
+    // any doc matching at least one term appears, gain = #terms matched
+    assert(graded.filter(_._1 == 0L).forall(t => t._3 >= 1L && t._3 <= 2L))
+    val fullGain = graded.filter(t => t._1 == 0L && t._3 == 2L)
+      .map(t => (t._1, t._2))
+    val bool = TextSearch.booleanRelevance(corpus, qs)
+      .as[(Long, Long)].collect().toSet.filter(_._1 == 0L)
+    assert(fullGain == bool)
+    // repeated query terms count once: q1 gains are at most 2 (the, fox)
+    assert(graded.filter(_._1 == 1L).forall(_._3 <= 2L))
+  }
+
+  test("evalRankingGraded: hand DCG/IDCG with multi-level gains, " +
+      "cutoff-bounded ideal, duplicate judgments collapse to max gain") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ret = Seq(
+      (0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L),
+      (1L, 1L, 40L)).toDF("query_id", "rank", "doc_id")
+    val rels = Seq(
+      (0L, 20L, 3L), (0L, 20L, 1L), // duplicate judgment: max gain wins
+      (0L, 30L, 1L), (0L, 77L, 2L),
+      (1L, 88L, 1L)).toDF("query_id", "doc_id", "gain")
+    val qs = Seq((0, "x"), (1, "x"), (2, "x")).toDF("query_id", "qtext")
+    val out = TextSearch.evalRankingGraded(ret, rels, qs, k = 2)
+      .orderBy("query_id").collect()
+    // q0 at k=2: hits = doc 20 (rank 2, gain 3); doc 30 is past the
+    // cutoff. dcg = (2^3-1)/log2(3). ideal gains desc = [3, 2, 1],
+    // cutoff 2 → idcg = 7/log2(2) + 3/log2(3).
+    val q0 = out(0)
+    assert((q0.getLong(1), q0.getLong(2), q0.getLong(3)) == ((3L, 1L, 2L)))
+    val dcg0 = 7.0 / log2(3.0)
+    val idcg0 = 7.0 / log2(2.0) + 3.0 / log2(3.0)
+    assert(q0.getDouble(4) == r6(dcg0))
+    assert(q0.getDouble(5) == r6(idcg0))
+    assert(q0.getDouble(6) == r6(dcg0 / idcg0))
+    // q1: judged but nothing relevant retrieved → dcg 0, ndcg 0
+    val q1 = out(1)
+    assert((q1.getLong(1), q1.getLong(2)) == ((1L, 0L)))
+    assert(q1.isNullAt(3) && q1.getDouble(4) == 0.0 &&
+      q1.getDouble(6) == 0.0)
+    // q2: no judgments → idcg/ndcg NULL, not zero
+    val q2 = out(2)
+    assert(q2.getLong(1) == 0L && q2.isNullAt(5) && q2.isNullAt(6))
+  }
 }
