@@ -136,6 +136,22 @@ final class CowStore(spark: SparkSession, root: String,
   def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
     readPaths(bucketPaths(currentManifest, buckets.distinct))
 
+  /** Bucket-pruned point/batch lookup: the current rows whose key
+    * tuple appears in `keyRows` (a frame carrying the key columns) —
+    * the serving-side complement of the pruned merge. The probe's
+    * bucket set is one config-bounded distinct-collect; only those
+    * buckets' files are listed and scanned, then a left-semi join
+    * (AQE-broadcast for any sane probe) filters to the exact keys.
+    * A 100-key lookup against a 100 TB table touches ≤100 buckets. */
+  def readForKeys(keyRows: DataFrame): Option[DataFrame] = {
+    val buckets = keyRows.select(
+        pmod(hash(keys.map(col): _*), lit(nBuckets)).as("__bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    readBuckets(buckets).map(
+      _.join(keyRows.select(keys.map(col): _*).distinct(), keys,
+        "left_semi"))
+  }
+
   private def publish(v: Int, man: Map[Int, Int]): Unit = {
     val tmpMan = new Path(versionDir(v), "_MANIFEST.tmp")
     val out = fs.create(tmpMan, true)

@@ -44,6 +44,12 @@ object Decontaminate {
       .select(col(idCol), TextExpressions.hashedShingles(col(textCol), n).as("__sh"))
       .select(col(idCol), size(col("__sh")).as("__sz"),
         explode_outer(col("__sh")).as("__g"))
+      // Forced broadcast is valid because eval SETS are small by
+      // nature (benchmark suites: thousands of docs, MBs of grams) —
+      // the bound is the use case, not the data. Corpus-vs-corpus
+      // decontamination (an unbounded "eval" side) must NOT go through
+      // this hint: that is exactly what [[Bloom.flag]] exists for
+      // (O(config) bitmap, map-only probe).
       .join(broadcast(evalGrams), Seq("__g"), "left")
       .groupBy(col(idCol), col("__sz"))
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))

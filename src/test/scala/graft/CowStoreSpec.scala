@@ -121,6 +121,18 @@ class CowStoreSpec extends AnyFunSuite {
     assert(collectSet(store.read().get) == before)
   }
 
+  test("readForKeys prunes to the probe's buckets and exact keys") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 16)
+    store.writeFull(rows(0 until 300, "old"))
+    val probe = Seq(7L, 42L, 7L, 9999L).toDF("k") // dup + absent keys
+    val got = collectSet(store.readForKeys(probe).get)
+    assert(got == Set((7L, "old", 70.0), (42L, "old", 420.0)))
+    // prunes: the probe's buckets are a strict subset of all 16
+    val probed = probe.select(store.bucketOf).distinct().count()
+    assert(probed <= 3)
+  }
+
   test("missing pointer crash-forwards to the newest manifest version") {
     val root = freshRoot()
     val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
