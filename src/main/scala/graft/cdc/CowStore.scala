@@ -136,6 +136,33 @@ final class CowStore(spark: SparkSession, root: String,
   def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
     readPaths(bucketPaths(currentManifest, buckets.distinct))
 
+  /** Time travel: the table as of (un-vacuumed) version `v`, resolved
+    * through THAT version's manifest — inherited buckets read their
+    * owning older versions' files, exactly as a current read does.
+    * None when `v` never published a manifest. Purely path-based, so
+    * it stays correct even across a [[rebucket]] (an old manifest's
+    * bucket ids belong to the old modulus, but a manifest read never
+    * consults [[bucketOf]]). */
+  def readVersion(v: Int): Option[DataFrame] =
+    if (!fs.exists(manifestPath(v))) None
+    else {
+      val man = manifest(v)
+      readPaths(bucketPaths(man, man.keys.toSeq.sorted))
+    }
+
+  /** Re-bucket maintenance: the bucket count is fixed at table
+    * creation (bucket membership must stay stable across versions for
+    * the pruned merge to be correct), so growing a table past its
+    * bucket sizing is a FULL rewrite into a new store — the same
+    * amortized cost contract as Hive/Iceberg bucket-spec changes.
+    * Returns the new store; the old root remains readable (and
+    * time-travelable) until the caller retires it. */
+  def rebucket(targetRoot: String, nNew: Int): CowStore = {
+    val t = new CowStore(spark, targetRoot, keys, nNew)
+    read().foreach(t.writeFull)
+    t
+  }
+
   /** Bucket-pruned point/batch lookup: the current rows whose key
     * tuple appears in `keyRows` (a frame carrying the key columns) —
     * the serving-side complement of the pruned merge. The probe's

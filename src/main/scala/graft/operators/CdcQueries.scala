@@ -60,6 +60,36 @@ object CdcQueries {
         .orderBy("o_orderkey")
     },
 
+    // C2 through the COW path: keep-latest merge where the incoming
+    // batch carries TWO versions of every key (U at the base date, V
+    // one day later) against a maintained (unique-key) destination —
+    // the bucket-local DedupLatest must pick the later V row per key,
+    // which the oracle restates closed-form (a broken argmax keeps U
+    // and goes red on status/price/date all at once). Destination
+    // uniqueness is orders' own key contract, so the bucket-local
+    // dedup equals the global one (the withDedupMaintained argument,
+    // CowStoreSpec-pinned).
+    "q_cdc_upsert_bucketed_dedup" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val inc0 = ordersIncoming(s, d).select(
+        dest.columns.map(col).toSeq: _*)
+      val incoming = inc0.unionByName(inc0
+        .withColumn("o_orderstatus", lit("V"))
+        .withColumn("o_totalprice", col("o_totalprice") - 500.0)
+        .withColumn("o_orderdate",
+          col("o_orderdate") + expr("INTERVAL 1 DAY")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cow_upsert_dedup").toString
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      store.upsert(incoming, dedup = Some(("o_orderdate", Nil)))
+      store.read().get
+        .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
     // C2 — upsert + global keep-latest-per-key dedup (base_loader.py:340-475).
     "q_cdc_upsert_dedup" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
@@ -364,6 +394,24 @@ object CdcQueries {
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    // The keep-latest winner is closed-form (the V variant is strictly
+    // one day later per key), so the oracle states it directly: a
+    // broken bucket-local argmax that kept U diverges on three columns.
+    "q_cdc_upsert_bucketed_dedup" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc0 AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |win AS (
+        |  SELECT o_orderkey, o_custkey, 'V' AS o_orderstatus,
+        |    o_totalprice - 500.0 AS o_totalprice,
+        |    o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+        |  FROM inc0)
+        |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc0)
+        |UNION ALL SELECT * FROM win
         |ORDER BY o_orderkey""".stripMargin,
     "q_cdc_upsert_dedup" ->
       """WITH inc AS (

@@ -83,6 +83,34 @@ object CdcMicroBatch {
         col("cnt"), col("sum_value"))
   }
 
+  /** [[runAvailableNow]] against a bucket-pruned COW table
+    * ([[graft.cdc.CowStore]]) — the complete 100 TB CDC write path:
+    * where the [[TableStore]] variant above rewrites the WHOLE
+    * destination per micro-batch (O(dest) writes at the reference's
+    * hourly cadence), this one rewrites only the buckets containing
+    * each batch's keys; untouched buckets are inherited by manifest
+    * reference. Exactly-once holds unchanged: the checkpoint tracks
+    * consumed files and the bucket-local delete+insert (optionally
+    * keep-latest via `dedup`) is idempotent per batch, so a replayed
+    * batch re-merges to the identical bucket contents. */
+  def runAvailableNowCow(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: graft.cdc.CowStore,
+      checkpoint: String,
+      dedup: Option[(String, Seq[String])] = None): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsert(batch, dedup)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuous variant: start a ProcessingTime-triggered upsert stream
     * (the reference's 15-min cadence analog); caller manages lifecycle. */
   def runContinuous(spark: SparkSession, sourceDir: String,

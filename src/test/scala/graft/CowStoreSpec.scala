@@ -133,6 +133,71 @@ class CowStoreSpec extends AnyFunSuite {
     assert(probed <= 3)
   }
 
+  test("readVersion time-travels through each version's own manifest") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 50, "old"))        // v1
+    store.upsert(rows(10 until 15, "a"))            // v2
+    store.upsert(rows(10 until 12, "b"))            // v3
+    val v1 = collectSet(store.readVersion(1).get)
+    val v2 = collectSet(store.readVersion(2).get)
+    val v3 = collectSet(store.readVersion(3).get)
+    assert(v1 == collectSet(rows(0 until 50, "old")))
+    assert(v2 == collectSet(Upsert(rows(0 until 50, "old"),
+      rows(10 until 15, "a"), Seq("k"))))
+    assert(v3 == collectSet(store.read().get))
+    assert(store.readVersion(9).isEmpty)
+    // vacuum keeps exactly the versions the CURRENT manifest
+    // references — time travel survives for those, and the current
+    // read is untouched
+    store.vacuum()
+    val live = store.currentManifest.values.toSet
+    live.foreach(v => assert(store.readVersion(v).isDefined))
+    assert(collectSet(store.read().get) == v3)
+  }
+
+  test("rebucket is a full rewrite into a new store; contents identical") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 120, "old"))
+    store.upsert(rows(5 until 9, "new"))
+    val before = collectSet(store.read().get)
+    val grown = store.rebucket(freshRoot(), nNew = 32)
+    assert(collectSet(grown.read().get) == before)
+    assert(grown.currentManifest.keySet == (0 until 32).toSet)
+    // old root stays readable (retirement is the caller's call)
+    assert(collectSet(store.read().get) == before)
+    // and the new store merges correctly under its own modulus
+    grown.upsert(rows(0 until 2, "g"))
+    assert(collectSet(grown.read().get) ==
+      collectSet(Upsert(store.read().get, rows(0 until 2, "g"), Seq("k"))))
+  }
+
+  test("streaming micro-batch drain upserts each batch bucket-pruned") {
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft-cow-src").toString
+    val ckpt = Files.createTempDirectory("graft-cow-ckpt").toString
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 100, "old"))
+    rows(90 until 110, "b1").write.parquet(s"$src/f1")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType), StructField("v", DoubleType)))
+    graft.streaming.CdcMicroBatch.runAvailableNowCow(
+      spark, s"$src/f1", schema, store, ckpt)
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(rows(0 until 100, "old"),
+        rows(90 until 110, "b1"), Seq("k"))))
+    // replayed drain (fresh checkpoint, same files) converges — the
+    // bucket-local delete+insert is idempotent
+    val ckpt2 = Files.createTempDirectory("graft-cow-ckpt2").toString
+    graft.streaming.CdcMicroBatch.runAvailableNowCow(
+      spark, s"$src/f1", schema, store, ckpt2)
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(rows(0 until 100, "old"),
+        rows(90 until 110, "b1"), Seq("k"))))
+  }
+
   test("missing pointer crash-forwards to the newest manifest version") {
     val root = freshRoot()
     val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
