@@ -3,12 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.expr
 
-/** THE exact/approx percentile switch — every quantile-consuming
-  * operator in the repo (winsorize, robust feature scaling, the
+/** THE exact/approx percentile switch — every operator with an
+  * exact/approx QUANTILE PAIR (winsorize, robust feature scaling, the
   * median/quantile agg keys, [[graft.quality.Outliers]] fences,
   * [[graft.quality.Drift]] PSI breaks) builds its percentile
   * expression here, so each names its at-scale form in code rather
-  * than prose (VERDICT r16 ask #6).
+  * than prose (VERDICT r16 ask #6). Deliberately OUTSIDE the switch:
+  * operators that are sketch-only by construction — a distribution-
+  * anchored threshold has no exact twin to pair with
+  * ([[graft.operators.Curate.topFraction]], the SemDeDup-style
+  * semantic threshold) — those call `percentile_approx` directly and
+  * their gates pin rank-tolerant invariants instead of exact values.
   *
   * The two forms and the single contract between them:
   *
