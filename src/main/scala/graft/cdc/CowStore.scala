@@ -46,7 +46,14 @@ import org.apache.spark.sql.functions._
   *
   * Durability is [[TableStore]]'s: immutable version dirs + an atomic
   * `_CURRENT` rename, with the same crash-forward fallback (newest
-  * version carrying a manifest). [[vacuum]] is reference-aware — a
+  * version carrying a manifest). Writer concurrency is also the same
+  * contract: ONE writer at a time (the reference's cron semantics —
+  * schedulers serialize a table's loads); two racing upserts would
+  * last-write-win the pointer, losing the other's buckets. A
+  * deployment wanting optimistic concurrency adds a compare-and-swap
+  * on the pointer (the Delta/Iceberg commit protocol) — the version
+  * layout already supports it, the swap primitive here does not
+  * attempt it. [[vacuum]] is reference-aware — a
   * version dir survives as long as the CURRENT manifest references
   * any of its buckets, so inherited data can never be deleted from
   * under the live table.
