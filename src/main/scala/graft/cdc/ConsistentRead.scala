@@ -41,7 +41,11 @@ object ConsistentRead {
     * returns the same tables filtered to `track <= least(max(track_1),
     * ..., max(track_n))`, plus nothing else — column sets unchanged.
     * NULL tracks never pass the pin (consistent with watermark
-    * semantics: an unstamped row has no load instant to trust). */
+    * semantics: an unstamped row has no load instant to trust), and a
+    * table whose watermark is NULL — empty, or no stamped row yet
+    * (exactly the mid-initial-load state the pin guards) — makes the
+    * COMMON watermark NULL, so every table pins to nothing rather
+    * than silently waiving the not-yet-loaded table's constraint. */
   def pin(tables: Seq[(DataFrame, String)]): Seq[DataFrame] = {
     val common = commonWatermarkFrame(tables)
     tables.map { case (df, track) =>
@@ -53,16 +57,26 @@ object ConsistentRead {
 
   /** The 1-row `(__wm)` frame holding the max common watermark —
     * broadcastable into any consumer ([[pin]]'s building block,
-    * exposed for callers composing their own predicate). */
+    * exposed for callers composing their own predicate). NULL when
+    * ANY table's own watermark is NULL: SQL `least` skips NULLs, which
+    * here would drop that table's constraint entirely — the opposite
+    * of "the newest instant ALL tables have fully loaded" — so the
+    * NULL is propagated instead (no instant is known-safe yet). */
   def commonWatermarkFrame(tables: Seq[(DataFrame, String)]): DataFrame = {
     require(tables.nonEmpty, "need at least one (table, track) pair")
+    tables.foreach { case (df, _) =>
+      require(!df.columns.contains("__wm"),
+        "__wm is the pin's reserved watermark column; rename it")
+    }
     val wms = tables.zipWithIndex.map { case ((df, track), i) =>
       df.agg(max(col(track)).as(s"__wm$i"))
     }
     val joined = wms.reduce(_.crossJoin(_))
     val cols = tables.indices.map(i => col(s"__wm$i"))
+    val leastAll = if (cols.size == 1) cols.head else least(cols: _*)
     joined.select(
-      (if (cols.size == 1) cols.head else least(cols: _*)).as("__wm"))
+      when(cols.map(_.isNull).reduce(_ || _), lit(null))
+        .otherwise(leastAll).as("__wm"))
   }
 
   /** [[pin]] with a KNOWN watermark (no scans): `track <= wm`. */

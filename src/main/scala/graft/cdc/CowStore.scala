@@ -4,6 +4,13 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A concurrent writer lost the commit race: the table advanced past
+  * the snapshot this write merged against. RETRYABLE — re-running the
+  * same upsert re-reads the new current version and re-merges (the
+  * delete+insert kernel is idempotent over its batch). */
+final class ConcurrentWriteException(msg: String)
+  extends RuntimeException(msg)
+
 /** Bucket-pruned copy-on-write table — the incremental-merge layout
   * that makes C1/C2 write volume scale with the BATCH instead of the
   * destination (VERDICT r16 ask #2: [[Upsert]] over a [[TableStore]]
@@ -18,6 +25,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   <root>/v_00000001/__bkt=0/part-*.parquet   // full load: all buckets
+  *   <root>/v_00000002/_CLAIM                   // writer's exclusive stake
   *   <root>/v_00000002/__bkt=3/part-*.parquet   // upsert touching bucket 3
   *   <root>/v_00000002/_MANIFEST                // "0 1", "1 1", ..., "3 2"
   *   <root>/_CURRENT                            // "v_00000002"
@@ -44,30 +52,54 @@ import org.apache.spark.sql.functions._
   * [[Upsert.apply]]; the declared key `q_cdc_upsert_bucketed` shares
   * `q_cdc_upsert`'s oracle verbatim).
   *
-  * Durability is [[TableStore]]'s: immutable version dirs + an atomic
-  * `_CURRENT` rename, with the same crash-forward fallback (newest
-  * version carrying a manifest). Writer concurrency is also the same
-  * contract: ONE writer at a time (the reference's cron semantics —
-  * schedulers serialize a table's loads); two racing upserts would
-  * last-write-win the pointer, losing the other's buckets. A
-  * deployment wanting optimistic concurrency adds a compare-and-swap
-  * on the pointer (the Delta/Iceberg commit protocol) — the version
-  * layout already supports it, the swap primitive here does not
-  * attempt it. [[vacuum]] is reference-aware — a
-  * version dir survives as long as the CURRENT manifest references
-  * any of its buckets, so inherited data can never be deleted from
-  * under the live table.
+  * Schema drift follows the reference's tolerance
+  * (`base_loader.py:290-299`): the batch is aligned to the STORED
+  * schema — unknown incoming fields are skipped (S7), missing stored
+  * columns are null-filled, compatible types cast — via
+  * [[graft.schema.Normalize.alignToSchema]]. Only the KEY columns must
+  * be present (an unkeyed CDC row has no merge identity to act on).
+  *
+  * Writer concurrency is OPTIMISTIC (the Delta/Iceberg commit
+  * protocol, reduced to this layout):
+  *  - every writer stakes an exclusive version number first — an
+  *    atomic create-no-overwrite of `v_N/_CLAIM` (HDFS and local FS
+  *    both refuse an existing path atomically; object-store
+  *    deployments map this to a conditional put) — so two racing
+  *    writers can never interleave data files in one version dir;
+  *  - commit re-checks that `_CURRENT` still names the snapshot the
+  *    merge was based on, then swaps the pointer. A writer that lost
+  *    the race gets a retryable [[ConcurrentWriteException]] and its
+  *    claimed dir becomes garbage that [[vacuum]] reclaims (a
+  *    claim-only dir below the current version can never commit — its
+  *    base predates the current version, so its own CAS must fail).
+  *    The check-then-rename pair is not itself one atomic op: two
+  *    losers are always detected, but a commit landing INSIDE the
+  *    check-to-rename window of another commit can still last-write-
+  *    win the pointer — the standard HDFS-rename approximation; a
+  *    deployment needing the full guarantee swaps [[casPointer]] for
+  *    a conditional put / lock service, one method.
+  *
+  * [[vacuum]] is reference-aware — a version dir survives as long as
+  * the CURRENT manifest references any of its buckets, so inherited
+  * data can never be deleted from under the live table. That rule
+  * alone lets dir count grow O(batches) (every batch's dir stays
+  * alive for the buckets only it owns) — [[compact]] is the
+  * maintenance op that rewrites the fragmented tail into one version
+  * so vacuum can retire it.
   *
   * Bucket membership must be stable across versions: it derives from
   * `hash(keys)` (Spark's Murmur3), deterministic for a given Spark
   * major line. A cross-version-upgrade deployment would pin its own
   * hash expression; the derivation is centralized in [[bucketOf]] so
-  * that swap is one line.
+  * that swap is one line (every consumer, [[readForKeys]] included,
+  * goes through it).
   */
 final class CowStore(spark: SparkSession, root: String,
     keys: Seq[String], nBuckets: Int) {
   require(keys.nonEmpty, "CowStore requires at least one key column")
   require(nBuckets > 0, "CowStore requires a positive bucket count")
+  require(!keys.contains("__bkt"),
+    "__bkt is the store's reserved partition column; rename the key")
 
   private val rootPath = new Path(root)
   private def fs =
@@ -75,11 +107,14 @@ final class CowStore(spark: SparkSession, root: String,
   private def pointer = new Path(rootPath, "_CURRENT")
   private def versionDir(v: Int) = new Path(rootPath, f"v_$v%08d")
   private def manifestPath(v: Int) = new Path(versionDir(v), "_MANIFEST")
+  private def claimPath(v: Int) = new Path(versionDir(v), "_CLAIM")
   private def bucketDir(owner: Int, b: Int) =
     new Path(versionDir(owner), s"__bkt=$b")
 
   /** The ONE bucket derivation (scaladoc: centralizing it makes the
-    * hash impl swappable without touching merge logic). */
+    * hash impl swappable without touching merge logic). Only the key
+    * columns are referenced, so it resolves against any frame carrying
+    * them — stored rows, incoming batches, key probes alike. */
   def bucketOf: Column =
     pmod(hash(keys.map(col): _*), lit(nBuckets))
 
@@ -88,6 +123,8 @@ final class CowStore(spark: SparkSession, root: String,
       // crash-forward fallback (TableStore doctrine): the newest dir
       // with a manifest is the version an interrupted swap was
       // publishing — manifest is written last before the pointer.
+      // Claim-only dirs (no manifest) are in-flight or aborted
+      // writers, never a committed state.
       versions().reverse.find(v => fs.exists(manifestPath(v)))
     else {
       val in = fs.open(pointer)
@@ -178,23 +215,50 @@ final class CowStore(spark: SparkSession, root: String,
     * (AQE-broadcast for any sane probe) filters to the exact keys.
     * A 100-key lookup against a 100 TB table touches ≤100 buckets. */
   def readForKeys(keyRows: DataFrame): Option[DataFrame] = {
-    val buckets = keyRows.select(
-        pmod(hash(keys.map(col): _*), lit(nBuckets)).as("__bkt"))
+    val buckets = keyRows.select(bucketOf.as("__bkt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     readBuckets(buckets).map(
       _.join(keyRows.select(keys.map(col): _*).distinct(), keys,
         "left_semi"))
   }
 
-  private def publish(v: Int, man: Map[Int, Int]): Unit = {
-    val tmpMan = new Path(versionDir(v), "_MANIFEST.tmp")
-    val out = fs.create(tmpMan, true)
-    try out.write(man.toSeq.sorted
-      .map { case (b, o) => s"$b $o" }.mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmpMan, manifestPath(v)))
-      throw new java.io.IOException(s"manifest publish failed: $root v$v")
+  /** Stake an exclusive version number ≥ `from`: atomic
+    * create-no-overwrite of the `_CLAIM` marker — the one FS primitive
+    * both HDFS and local FS make exclusive — retrying upward past
+    * versions other writers claimed first. Returns the owned number;
+    * no other writer can write data into its dir. */
+  private def allocateVersion(from: Int): Int = {
+    var v = math.max(from, versions().lastOption.getOrElse(0) + 1)
+    while (true) {
+      try {
+        fs.create(claimPath(v), false).close()
+        return v
+      } catch {
+        case _: java.io.IOException => v += 1 // claimed by another writer
+      }
+    }
+    v // unreachable
+  }
+
+  private def checkBase(expectedBase: Option[Int]): Unit = {
+    val now = currentVersion
+    if (now != expectedBase)
+      throw new ConcurrentWriteException(
+        s"$root: table advanced to v$now while this write merged " +
+          s"against v$expectedBase — retry the upsert against the " +
+          "new current version")
+  }
+
+  /** The commit CAS: `_CURRENT` must still name `expectedBase` (the
+    * snapshot this write merged against) at swap time. See the class
+    * doc for the residual check-to-rename window and its upgrade
+    * path. */
+  private def casPointer(v: Int, expectedBase: Option[Int]): Unit = {
+    // The table must still be at our base — EXCEPT that with no pointer
+    // file yet, crash-forward resolution already surfaces the manifest
+    // we published one step ago: seeing our own claimed v is never a
+    // conflict (no other writer can hold v).
+    if (currentVersion != Some(v)) checkBase(expectedBase)
     val tmp = new Path(rootPath, s"_CURRENT.tmp.$v")
     val pout = fs.create(tmp, true)
     try pout.write(f"v_$v%08d".getBytes("UTF-8")) finally pout.close()
@@ -203,22 +267,44 @@ final class CowStore(spark: SparkSession, root: String,
       throw new java.io.IOException(s"pointer swap failed for $root v$v")
   }
 
-  /** Write `df` into version `v`, bucket-partitioned; returns the
-    * bucket ids actually written. One file per bucket by default —
-    * each bucket is batch-or-smaller here; a deployment sizing
-    * multi-GB buckets would repartition by (__bkt, salt). */
+  private def publish(v: Int, man: Map[Int, Int],
+      expectedBase: Option[Int]): Unit = {
+    // Detect a lost race BEFORE publishing the manifest: an aborted
+    // version must never carry one, or the crash-forward fallback
+    // (newest dir WITH a manifest) could resurrect it as current.
+    checkBase(expectedBase)
+    val tmpMan = new Path(versionDir(v), "_MANIFEST.tmp")
+    val out = fs.create(tmpMan, true)
+    try out.write(man.toSeq.sorted
+      .map { case (b, o) => s"$b $o" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmpMan, manifestPath(v)))
+      throw new java.io.IOException(s"manifest publish failed: $root v$v")
+    casPointer(v, expectedBase)
+  }
+
+  /** Write `df` into version `v`, bucket-partitioned; append mode
+    * because the claimed dir is exclusively ours and already holds the
+    * `_CLAIM` marker (overwrite would delete it). One file per bucket
+    * by default — each bucket is batch-or-smaller here; a deployment
+    * sizing multi-GB buckets would repartition by (__bkt, salt). */
   private def writeBuckets(df: DataFrame, v: Int): Unit = {
+    require(!df.columns.contains("__bkt"),
+      "__bkt is the store's reserved partition column; rename or drop it")
     df.withColumn("__bkt", bucketOf)
       .repartition(col("__bkt"))
-      .write.mode("overwrite").partitionBy("__bkt")
+      .write.mode("append").partitionBy("__bkt")
       .parquet(versionDir(v).toString)
   }
 
-  /** Initial full load: every bucket written under one version. */
+  /** Initial full load (or CAS-checked full rewrite): every bucket
+    * written under one claimed version. */
   def writeFull(df: DataFrame): Unit = {
-    val v = currentVersion.getOrElse(0) + 1
+    val base = currentVersion
+    val v = allocateVersion(base.getOrElse(0) + 1)
     writeBuckets(df.select(df.columns.map(col).toSeq: _*), v)
-    publish(v, (0 until nBuckets).map(_ -> v).toMap)
+    publish(v, (0 until nBuckets).map(_ -> v).toMap, base)
   }
 
   /** C1 delete+insert merge, rewriting only the batch's buckets. Pass
@@ -226,40 +312,114 @@ final class CowStore(spark: SparkSession, root: String,
     * — applied to the merged affected slice, which equals the global
     * dedup whenever the stored table already satisfies the
     * ≤1-row-per-key invariant (true after every previous merge — the
-    * [[Upsert.withDedupMaintained]] argument). */
+    * [[Upsert.withDedupMaintained]] argument). Concurrency: loses with
+    * a retryable [[ConcurrentWriteException]] if another writer
+    * commits between the snapshot read and the pointer swap. */
   def upsert(incoming: DataFrame,
       dedup: Option[(String, Seq[String])] = None): Unit = {
     if (incoming.isEmpty) return
-    val man = currentManifest
+    upsertAt(incoming, dedup, currentVersion)
+  }
+
+  /** [[upsert]] pinned to an explicit base snapshot — the seam the
+    * concurrency spec interleaves through (two writers sharing one
+    * base: first commit wins, second throws). Production callers use
+    * [[upsert]], which bases on the current version. */
+  private[graft] def upsertAt(incoming: DataFrame,
+      dedup: Option[(String, Seq[String])], base: Option[Int]): Unit = {
+    val missingKeys = keys.filterNot(incoming.columns.contains)
+    require(missingKeys.isEmpty,
+      s"incoming batch lacks key column(s) ${missingKeys.mkString(",")}" +
+        " — drift tolerance null-fills payload columns only")
+    // Checked HERE, not only in writeBuckets: schema alignment would
+    // otherwise silently drop a caller's __bkt as an unknown field.
+    require(!incoming.columns.contains("__bkt"),
+      "__bkt is the store's reserved partition column; rename or drop it")
+    val man = base.map(manifest).getOrElse(Map.empty)
     if (man.isEmpty) {
       writeFull(dedup.fold(incoming) { case (t, tb) =>
         DedupLatest(incoming, keys, t, tb) })
       return
     }
-    val v = currentVersion.get + 1
+    val v = allocateVersion(base.get + 1)
+    // 0. align the batch to the STORED schema — the reference's drift
+    // tolerance (base_loader.py:290-299): missing stored columns
+    // null-fill, unknown incoming fields drop, compatible types cast.
+    // This MUST precede the bucket derivation: hash(int) ≠ hash(long)
+    // for the same value, so a type-drifted key routed pre-cast would
+    // probe (and rewrite) the wrong buckets. One footer read — every
+    // bucket shares the schema because alignment maintains it.
+    val inc = bucketPaths(man, man.keys.toSeq.sorted).headOption match {
+      case Some(p) => graft.schema.Normalize.alignToSchema(incoming,
+        spark.read.parquet(p).schema)
+      case None => incoming
+    }
     // 1. affected buckets: ≤ nBuckets ints of driver state.
-    val affected = incoming.select(bucketOf.as("__bkt")).distinct()
+    val affected = inc.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     // 2+3. pruned read of exactly those buckets, then the same
     // anti-join+union (+ optional keep-latest) as the unbucketed
-    // kernel. Column order follows the stored schema.
+    // kernel.
     val merged = readPaths(bucketPaths(man, affected)) match {
       case Some(prev) =>
-        val inc = incoming.select(prev.columns.map(col).toSeq: _*)
         val up = Upsert(prev, inc, keys)
         dedup.fold(up) { case (t, tb) => DedupLatest(up, keys, t, tb) }
       case None =>
-        dedup.fold(incoming) { case (t, tb) =>
-          DedupLatest(incoming, keys, t, tb) }
+        dedup.fold(inc) { case (t, tb) =>
+          DedupLatest(inc, keys, t, tb) }
     }
     // 4. rewrite affected buckets only; inherit the rest by reference.
     writeBuckets(merged, v)
-    publish(v, man ++ affected.map(_ -> v))
+    publish(v, man ++ affected.map(_ -> v), base)
+  }
+
+  /** Maintenance: rewrite the FRAGMENTED TAIL so the current manifest
+    * references at most `maxReferenced` version dirs. Without it, dir
+    * count grows O(batches) — every batch's dir stays alive for the
+    * buckets only it owns, and a year of hourly loads fans `read()`
+    * into ~9k paths (the problem Delta OPTIMIZE / Iceberg
+    * rewrite-manifests exists for).
+    *
+    * Owner selection minimizes rewrite volume: owners are ranked by
+    * the BYTES they hold live (file sizes of their referenced bucket
+    * dirs — driver metadata, ≤ nBuckets listStatus calls); the largest
+    * `maxReferenced - 1` survive by inheritance, every bucket of the
+    * long tail is read once (pruned paths) and rewritten under one new
+    * claimed version. Result-invisible: same rows before and after
+    * (`q_cdc_upsert_compacted` shares `q_cdc_upsert`'s oracle); a
+    * subsequent [[vacuum]] reclaims the retired dirs. CAS-checked like
+    * any write; no-op when already within budget. */
+  def compact(maxReferenced: Int = 1): Unit = {
+    require(maxReferenced >= 1, "maxReferenced must be >= 1")
+    val base = currentVersion
+    val man = base.map(manifest).getOrElse(Map.empty)
+    if (man.isEmpty) return
+    val byOwner: Map[Int, Seq[Int]] =
+      man.groupBy(_._2).map { case (o, m) => o -> m.keys.toSeq.sorted }
+    if (byOwner.size <= maxReferenced) return
+    def liveBytes(owner: Int, buckets: Seq[Int]): Long =
+      buckets.map { b =>
+        val d = bucketDir(owner, b)
+        if (fs.exists(d)) fs.getContentSummary(d).getLength else 0L
+      }.sum
+    val keep = byOwner.toSeq
+      .map { case (o, bs) => (liveBytes(o, bs), o) }
+      .sortBy { case (bytes, o) => (-bytes, -o) }
+      .take(maxReferenced - 1).map(_._2).toSet
+    val tail = man.filterNot { case (_, o) => keep.contains(o) }
+      .keys.toSeq.sorted
+    val v = allocateVersion(base.get + 1)
+    readPaths(bucketPaths(man, tail)).foreach(writeBuckets(_, v))
+    publish(v, man ++ tail.map(_ -> v), base)
   }
 
   /** Reference-aware vacuum: drop version dirs older than the current
     * version that the CURRENT manifest no longer references — an
-    * inherited bucket keeps its owner's whole dir alive. */
+    * inherited bucket keeps its owner's whole dir alive. Claim-only
+    * dirs (a writer staked the version but never published a
+    * manifest) below the current version are aborted commits — their
+    * writer's CAS can no longer succeed (its base predates the
+    * current version) — and are reclaimed too. */
   def vacuum(): Unit = currentVersion.foreach { cur =>
     val live = currentManifest.values.toSet + cur
     versions().filter(v => v < cur && !live.contains(v)).foreach { v =>

@@ -23,11 +23,20 @@ object Upsert {
 
   def apply(dest: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert requires at least one key column")
+    val missingKeys = keys.filterNot(incoming.columns.contains)
+    require(missingKeys.isEmpty,
+      s"incoming batch lacks key column(s) ${missingKeys.mkString(",")}" +
+        " — drift tolerance null-fills payload columns only")
     if (incoming.isEmpty) dest
     else {
-      val incKeys = incoming.select(keys.map(col): _*).distinct()
-      dest.join(incKeys, keys, "left_anti")
-        .unionByName(incoming.select(dest.columns.map(col).toSeq: _*))
+      // Schema-drift tolerance, the reference's (base_loader.py:290-299):
+      // missing destination columns null-fill, unknown incoming fields
+      // drop, compatible types cast. Same-type casts are erased by
+      // Catalyst's SimplifyCasts, so the aligned-already path keeps its
+      // exact plan.
+      val inc = graft.schema.Normalize.alignToSchema(incoming, dest.schema)
+      val incKeys = inc.select(keys.map(col): _*).distinct()
+      dest.join(incKeys, keys, "left_anti").unionByName(inc)
     }
   }
 

@@ -20,6 +20,28 @@ object CdcQueries {
 
   private val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
 
+  /** One per-JVM scratch root for the COW-store keys, deleted on exit —
+    * a fresh `createTempDirectory` per invocation leaked a parquet copy
+    * of the fixture per bench run (runs × rounds of /tmp growth).
+    * Invocations still get DISJOINT subdirs (a reused store root would
+    * accrete versions across bench repetitions and measure manifest
+    * history, not the merge). */
+  private lazy val cowScratch: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_cow_keys")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(del)
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p
+  }
+  private val cowSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def freshCowRoot(tag: String): String =
+    cowScratch.resolve(s"$tag-${cowSeq.incrementAndGet()}").toString
+
   /** Incoming batch for the upsert queries: later orders, mutated. */
   private def ordersIncoming(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "orders")
@@ -48,8 +70,7 @@ object CdcQueries {
     "q_cdc_upsert_bucketed" -> { (s, d) =>
       val dest = Tables(s, d, "orders")
         .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cow_upsert").toString
+      val root = freshCowRoot("upsert")
       val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
         nBuckets = 16)
       store.writeFull(dest)
@@ -79,14 +100,56 @@ object CdcQueries {
         .withColumn("o_totalprice", col("o_totalprice") - 500.0)
         .withColumn("o_orderdate",
           col("o_orderdate") + expr("INTERVAL 1 DAY")))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cow_upsert_dedup").toString
+      val root = freshCowRoot("upsert_dedup")
       val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
         nBuckets = 16)
       store.writeFull(dest)
       store.upsert(incoming, dedup = Some(("o_orderdate", Nil)))
       store.read().get
         .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
+    // COW maintenance end-to-end (VERDICT r17 ask #1): the incoming
+    // batch lands as FOUR disjoint-key sub-batches (orders keys are
+    // unique, so sequential sub-batch upserts ≡ the single upsert —
+    // the fragmentation is pure layout), then compact(2) rewrites the
+    // fragmented tail into one version (the bytes-dominant full-load
+    // version survives by inheritance) and vacuum retires the rest.
+    // Shares q_cdc_upsert's oracle VERBATIM: compaction, like
+    // bucketing, must be invisible to semantics.
+    "q_cdc_upsert_compacted" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val root = freshCowRoot("compact")
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      val inc = ordersIncoming(s, d).select(
+        dest.columns.map(col).toSeq: _*)
+      (0 until 4).foreach { i =>
+        store.upsert(inc.where(pmod(col("o_orderkey"), lit(4)) === i))
+      }
+      store.compact(maxReferenced = 2)
+      store.vacuum()
+      store.read().get
+        .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
+    // Schema-drift upsert (VERDICT r17 ask #3 — the reference's
+    // tolerance, base_loader.py:290-299): the batch DROPS a stored
+    // column (o_orderpriority → null-filled) and CARRIES an unknown
+    // one (o_junk → skipped). Same delete+insert merge, through the
+    // same Normalize.alignToSchema the COW path uses; the oracle
+    // restates the null-fill explicitly.
+    "q_cdc_upsert_drift" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val incoming = ordersIncoming(s, d)
+        .drop("o_orderpriority")
+        .withColumn("o_junk", lit("ignore-me"))
+      Upsert(dest, incoming, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
 
@@ -391,6 +454,31 @@ object CdcQueries {
         |inc AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
         |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    // VERBATIM q_cdc_upsert restatement again — fragmented sub-batch
+    // loads + compact + vacuum must be invisible to semantics.
+    "q_cdc_upsert_compacted" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    // Drift tolerance restated: the dropped column arrives NULL on
+    // every merged batch row, the unknown column never lands.
+    "q_cdc_upsert_drift" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |UNION ALL SELECT * FROM inc

@@ -52,6 +52,37 @@ object Marts {
     stgLi.join(stgOrders.select("order_id", "customer_id", "status"),
         Seq("order_id"), "left")
       .withColumn("ship_month", date_trunc("month", col("ship_ts")))
+
+  /** [[factLineitem]] over [[graft.cdc.ConsistentRead.pin]]'d inputs —
+    * the mart refresh that cannot join different-age snapshots. The
+    * reference's actual failure mode (§3.2: tables extract on
+    * independent cadences, `all_schedules.py:12-52`, and the marts
+    * join whatever age each staging table happens to be): a line item
+    * whose order row hasn't loaded yet lands as an orphan fact row
+    * (NULL customer). Pinning both inputs to the max COMMON value of
+    * their LOAD-CURSOR columns holds such rows back until the next
+    * refresh — the fact table is always the join as the SOURCE stood
+    * at one instant.
+    *
+    * The no-orphans guarantee needs the cursors to be CAUSAL: a child
+    * row's cursor is never older than the parent row it references —
+    * true of the reference's incremental cursors (an `updated_at`
+    * stamped by the source database: the transaction that inserts a
+    * child sees its parent already committed), and of any
+    * log-position cursor; NOT generally true of business event-time
+    * columns (the StreamSpec scenario builds a causal cursor
+    * explicitly). Without causality the pin still guarantees the
+    * weaker snapshot property: both sides exactly as of the common
+    * instant. Cost at 100 TB: two column-pruned max() scans + a
+    * broadcast 1-row frame (or zero scans via pinTo when watermarks
+    * are tracked — C7). */
+  def factLineitemPinned(stgLi: DataFrame, stgOrders: DataFrame,
+      liTrack: String = "ship_ts", ordTrack: String = "created_at")
+      : DataFrame = {
+    val pinned = graft.cdc.ConsistentRead.pin(
+      Seq(stgLi -> liTrack, stgOrders -> ordTrack))
+    factLineitem(pinned(0), pinned(1))
+  }
 }
 
 object Runner {
@@ -62,9 +93,12 @@ object Runner {
     * TableStores under `workRoot`. `asOf` parameterizes the SCD2
     * snapshot time (determinism — SURVEY §7.4). Row-count metrics ride
     * the write pass via `Observation` (CollectMetrics) — no re-scan of
-    * the landed tables just to count them. */
+    * the landed tables just to count them. `pinMarts = true` builds
+    * the fact mart through [[Marts.factLineitemPinned]], refusing to
+    * join different-age staging snapshots (the StreamSpec scenario
+    * test shows the staggered-load orphan rows it prevents). */
   def runAll(spark: SparkSession, sfDir: String, workRoot: String,
-      asOf: java.sql.Timestamp): Result = {
+      asOf: java.sql.Timestamp, pinMarts: Boolean = false): Result = {
     val rawObs = new org.apache.spark.sql.Observation()
     val dimObs = new org.apache.spark.sql.Observation()
     val factObs = new org.apache.spark.sql.Observation()
@@ -104,9 +138,11 @@ object Runner {
     val dimStore = new TableStore(spark, s"$workRoot/dim_customer")
     dimStore.write(dim.observe(dimObs, count(lit(1)).as("n")))
 
-    val fact = Marts.factLineitem(
-      Staging.stgLineitem(Tables(spark, sfDir, "lineitem")),
-      Staging.stgOrders(Tables(spark, sfDir, "orders")))
+    val stgLi = Staging.stgLineitem(Tables(spark, sfDir, "lineitem"))
+    val stgOrd = Staging.stgOrders(Tables(spark, sfDir, "orders"))
+    val fact =
+      if (pinMarts) Marts.factLineitemPinned(stgLi, stgOrd)
+      else Marts.factLineitem(stgLi, stgOrd)
     val factStore = new TableStore(spark, s"$workRoot/fact_lineitem",
       partitionByCols = Seq("ship_month"),
       clusterByCols = Seq("order_id", "ship_ts")) // O2: MergeTree ORDER BY analog

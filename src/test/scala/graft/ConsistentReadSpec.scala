@@ -49,6 +49,31 @@ class ConsistentReadSpec extends AnyFunSuite {
     assert(to(1).count() == 1)
   }
 
+  test("a NULL per-table watermark makes the COMMON watermark NULL " +
+      "(empty/unloaded table pins everything out, never waives itself)") {
+    val loaded = Seq((1L, 5L), (2L, 9L)).toDF("id", "t")
+    val empty = Seq.empty[(Long, Long)].toDF("id", "t")
+    val unstamped = Seq((1L, Option.empty[Long])).toDF("id", "t")
+    // least() would skip the empty table's NULL max and return 9 —
+    // the exact silent waiver the primitive exists to prevent
+    assert(ConsistentRead
+      .commonWatermarkFrame(Seq(loaded -> "t", empty -> "t"))
+      .head().isNullAt(0))
+    assert(ConsistentRead
+      .commonWatermarkFrame(Seq(loaded -> "t", unstamped -> "t"))
+      .head().isNullAt(0))
+    // pin then passes NOTHING from any table
+    val pinned = ConsistentRead.pin(
+      Seq(loaded -> "t", empty -> "t", unstamped -> "t"))
+    assert(pinned.forall(_.isEmpty))
+    // reserved-name guard: a table already carrying __wm is rejected
+    // instead of silently dropping the user's column
+    val clash = Seq((1L, 2L)).toDF("t", "__wm")
+    intercept[IllegalArgumentException] {
+      ConsistentRead.pin(Seq(clash -> "t"))
+    }
+  }
+
   test("asOfVersion picks the newest version at or under the instant") {
     val root = Files.createTempDirectory("graft-asof").toString
     val store = new TableStore(spark, root)

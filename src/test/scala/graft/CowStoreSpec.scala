@@ -198,6 +198,94 @@ class CowStoreSpec extends AnyFunSuite {
         rows(90 until 110, "b1"), Seq("k"))))
   }
 
+  test("two interleaved writers: first commit wins, loser gets a " +
+      "retryable conflict and publishes NO manifest") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 100, "old")) // v1
+    val batchA = rows(10 until 15, "A")
+    val batchB = rows(12 until 20, "B")
+    // both writers snapshot base = v1; A commits first
+    store.upsertAt(batchA, None, Some(1))
+    val ex = intercept[graft.cdc.ConcurrentWriteException] {
+      store.upsertAt(batchB, None, Some(1))
+    }
+    assert(ex.getMessage.contains("retry"))
+    // loser's claimed version dir exists but carries no manifest — it
+    // can never be read, crash-forwarded to, or time-traveled to
+    assert(store.versions().contains(3))
+    assert(store.readVersion(3).isEmpty)
+    // table state is exactly writer A's commit
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(rows(0 until 100, "old"), batchA, Seq("k"))))
+    // the retry (fresh base) succeeds and equals sequential application
+    store.upsert(batchB)
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(Upsert(rows(0 until 100, "old"), batchA, Seq("k")),
+        batchB, Seq("k"))))
+    // once the table advances past it, the aborted claim-only dir is
+    // definitively dead and vacuum reclaims it
+    store.vacuum()
+    assert(!store.versions().contains(3))
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(Upsert(rows(0 until 100, "old"), batchA, Seq("k")),
+        batchB, Seq("k"))))
+  }
+
+  test("compact collapses the fragmented tail; result-invisible; " +
+      "vacuum then retires the tail dirs") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 16)
+    store.writeFull(rows(0 until 4000, "old")) // v1: the big version
+    (0 until 10).foreach { i =>    // 10 single-key fragmented batches
+      store.upsert(rows(i until i + 1, s"b$i"))
+    }
+    val before = collectSet(store.read().get)
+    val fragged = store.currentManifest.values.toSet
+    assert(fragged.size > 2, s"fixture should fragment, got $fragged")
+    store.compact(maxReferenced = 2)
+    val man = store.currentManifest
+    // ≤ 2 referenced versions, and the BYTES-dominant v1 survived by
+    // inheritance (owner selection minimizes rewrite volume)
+    assert(man.values.toSet.size <= 2)
+    assert(man.values.toSet.contains(1),
+      s"big full-load version should be kept, got ${man.values.toSet}")
+    assert(collectSet(store.read().get) == before, "result-invisible")
+    store.vacuum()
+    assert(store.versions().toSet == man.values.toSet,
+      "vacuum retires every no-longer-referenced tail dir")
+    assert(collectSet(store.read().get) == before)
+    // already within budget → no-op (no new version appears)
+    val vmax = store.versions().max
+    store.compact(maxReferenced = 2)
+    assert(store.versions().max == vmax)
+  }
+
+  test("schema drift through upsert: missing payload null-fills, " +
+      "unknown field drops, missing KEY is rejected") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 50, "old")) // schema (k, tag, v)
+    // batch missing `v` (null-fill) and carrying unknown `junk` (drop)
+    val drifted = Seq((40L, "new", "x"), (60L, "new", "y"))
+      .toDF("k", "tag", "junk")
+    store.upsert(drifted)
+    val got = store.read().get.where(col("tag") === "new")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSet
+    assert(got == Set((40L, true), (60L, true)))
+    assert(!store.read().get.columns.contains("junk"))
+    assert(store.read().get.where(col("tag") === "old").count() == 49)
+    // a batch without the key column has no merge identity — reject
+    val ex = intercept[IllegalArgumentException] {
+      store.upsert(Seq(("z", 1.0)).toDF("tag", "v"))
+    }
+    assert(ex.getMessage.contains("key"))
+    // reserved partition column is rejected, not silently replaced
+    intercept[IllegalArgumentException] {
+      store.upsert(Seq((1L, "t", 0)).toDF("k", "tag", "__bkt"))
+    }
+  }
+
   test("missing pointer crash-forwards to the newest manifest version") {
     val root = freshRoot()
     val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.{AppendStore, TableStore}
 import graft.operators.{IncrementalDedup, Multimodal}
-import graft.pipeline.Runner
+import graft.pipeline.{Marts, Runner, Staging}
 import graft.streaming.CdcMicroBatch
 
 /** Structured-Streaming CDC (AvailableNow drain + foreachBatch upsert),
@@ -1038,5 +1038,58 @@ class StreamSpec extends AnyFunSuite {
     val versions = factDir.listFiles().filter(_.getName.startsWith("v_"))
     assert(versions.nonEmpty &&
       versions.head.listFiles().exists(_.getName.startsWith("ship_month=")))
+  }
+
+  test("pinned mart build: staggered staging loads would orphan fact " +
+      "rows; the ConsistentRead-pinned build never does") {
+    val sf = "/root/testdata/sf0.001"
+    // Causal load cursor: a line item "arrives" with its order (a
+    // child committed by the source after its parent — the property
+    // the reference's updated_at cursors have). The synthetic event
+    // times do NOT have it (~47% of lineitems "ship" before their
+    // order's date), which is precisely why the pin must run on load
+    // cursors, not business time.
+    val liFull = Staging.stgLineitem(Tables(spark, sf, "lineitem"))
+      .withColumn("arrived_at", col("order_id"))
+    val ordFull = Staging.stgOrders(Tables(spark, sf, "orders"))
+      .withColumn("arrived_at", col("order_id"))
+    // the reference's cadence skew (all_schedules.py:12-52): the
+    // orders extract lags the lineitem extract
+    val ordLagged = ordFull.where(col("arrived_at") <= 1000)
+    val liAhead = liFull.where(col("arrived_at") <= 1200)
+    // unpinned build (the reference's): orphan fact rows — line items
+    // whose order row hasn't loaded yet join to NULL customer
+    val unpinned = Marts.factLineitem(liAhead, ordLagged)
+    val orphans = unpinned.where(col("customer_id").isNull).count()
+    assert(orphans > 0, "fixture must exhibit the staggered-load skew")
+    // pinned build: both inputs held to the max common load instant —
+    // zero orphans, and exactly the join as of that one instant
+    val pinned = Marts.factLineitemPinned(liAhead, ordLagged,
+      liTrack = "arrived_at", ordTrack = "arrived_at")
+    assert(pinned.where(col("customer_id").isNull).count() == 0)
+    assert(pinned.count() ==
+      Marts.factLineitem(liAhead.where(col("arrived_at") <= 1000),
+        ordLagged).count())
+    // snapshot property holds for ANY orderable cursor, causal or
+    // not: pinning on the (non-causal) event times equals filtering
+    // both sides at the common instant
+    val wm = graft.cdc.ConsistentRead
+      .commonWatermarkFrame(Seq(liFull -> "ship_ts",
+        ordLagged -> "created_at"))
+      .select(date_format(col("__wm"), "yyyy-MM-dd HH:mm:ss"))
+      .head().getString(0)
+    val pinnedEv = Marts.factLineitemPinned(liFull, ordLagged)
+    val atInstant = Marts.factLineitem(
+      liFull.where(col("ship_ts") <= lit(wm).cast("timestamp")),
+      ordLagged.where(col("created_at") <= lit(wm).cast("timestamp")))
+    assert(pinnedEv.count() == atInstant.count())
+    assert(pinnedEv.exceptAll(atInstant).isEmpty)
+    // and the full DAG runs end-to-end in pinned mode
+    val r = Runner.runAll(spark, sf, tmp("pipeline-pinned"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), pinMarts = true)
+    assert(r.factRows > 0 && r.factRows ==
+      Marts.factLineitemPinned(
+        Staging.stgLineitem(Tables(spark, sf, "lineitem")),
+        Staging.stgOrders(Tables(spark, sf, "orders"))).count())
   }
 }
