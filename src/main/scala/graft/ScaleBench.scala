@@ -836,6 +836,106 @@ object ScaleBench {
     val (tCow1, wb1, db1) = cowAt("1", 64)
     val (tCowF, wbF, dbF) = cowAt("f", 64 * factor)
 
+    // ---- COW compact (r17 ask #1 evidence): 50 tiny fragmented
+    // batches (one key each → one bucket each) leave the manifest
+    // referencing O(batches) version dirs — the read fans into every
+    // one of them. compact(2) rewrites the fragmented tail into ONE
+    // version (the bytes-dominant full load survives by inheritance),
+    // vacuum retires the rest; the claim is the dir-count collapse
+    // plus a read that no longer pays per-dir listing, with identical
+    // rows (checksum equality before/after).
+    val compactRoot = s"$dir/cow_compact"
+    val cmpStore = new graft.cdc.CowStore(spark, compactRoot,
+      Seq("event_id"), 64)
+    cmpStore.writeFull(spark.read.parquet(s"$dir/events_1"))
+    val fragIds = spark.read.parquet(s"$dir/events_1")
+      .select("event_id").orderBy("event_id").limit(50)
+      .collect().map(_.getLong(0))
+    fragIds.foreach { id =>
+      cmpStore.upsert(spark.read.parquet(s"$dir/events_1")
+        .where(col("event_id") === id)
+        .withColumn("value", col("value") + 1.0))
+    }
+    val fragDirsBefore = cmpStore.currentManifest.values.toSet.size
+    val (tFragRead, csFragB) = timed(runs)(consume(cmpStore.read().get))
+    val (tCompact, _) = once { cmpStore.compact(maxReferenced = 2)
+      cmpStore.vacuum() }
+    val fragDirsAfter = cmpStore.currentManifest.values.toSet.size
+    val (tCompRead, csFragA) = timed(runs)(consume(cmpStore.read().get))
+    require(csFragB == csFragA,
+      s"compact changed table contents: $csFragB vs $csFragA")
+
+    // ---- consistent-read pin (r17 ask #4): two staggered "loads"
+    // pinned to their common watermark before consumption. Cost shape
+    // under test: two column-pruned max() scans + a broadcast 1-row
+    // least + filtered passthrough — linear in the inputs, no
+    // driver-side collect, no extra shuffle.
+    def pinAt(tag: String) = timed(runs)(consume {
+      val ev = spark.read.parquet(s"$dir/events_$tag")
+      val a = ev.where(pmod(col("event_id"), lit(2L)) === 0L)
+      val b = ev.where(pmod(col("event_id"), lit(2L)) === 1L)
+      val p = graft.cdc.ConsistentRead.pin(Seq(a -> "ts", b -> "ts"))
+      p(0).unionByName(p(1))
+    })
+    val (tPin1, csPin1) = pinAt("1")
+    val (tPinF, csPinF) = pinAt("f")
+
+    // ---- asOfVersion probe walk (r17 ask #4): the newest-first
+    // version walk is O(probed versions), one column-pruned max()
+    // aggregate per probe — a 50-version store probed BELOW its oldest
+    // watermark is the worst case (every version probed, no match).
+    // The contract is the selection rule; a deployment that records
+    // watermarks at write time makes this a metadata lookup
+    // (ConsistentRead scaladoc) — this leg prices the fallback.
+    val asofStore = new graft.cdc.TableStore(spark, s"$dir/cread_store")
+    val evTiny = spark.read.parquet(s"$dir/events_1")
+      .where(pmod(col("event_id"), lit(50L)) === 0L)
+      .localCheckpoint(true)
+    (1 to 50).foreach { i =>
+      asofStore.write(evTiny.withColumn("ts",
+        col("ts") + expr(s"INTERVAL $i HOURS")))
+    }
+    val lowWm = java.sql.Timestamp.valueOf("1970-01-01 00:00:01")
+    val (tWalk, _) = timed(runs) {
+      val r = graft.cdc.ConsistentRead.asOfVersion(
+        spark, asofStore, "ts", lowWm)
+      (r.map(_._1).getOrElse(-1).toLong, 0L)
+    }
+
+    // ---- graded-relevance eval (r17 ask #4): qrels GROW with the
+    // corpus (probe 1's function words match every copy) while the
+    // per-query IDCG state stays bounded by query length — the
+    // gain-histogram fold's claim. Timed region = qrels build +
+    // retrieval + graded metrics, the full eval pipeline.
+    def evalGradedAt(docs: DataFrame) = timed(runs)(consume {
+      val qrels = TextSearch.gradedRelevance(docs, probes)
+        .localCheckpoint(true)
+      val lex = TextSearch.bm25TopK(docs, probes, k = 10)
+        .select("query_id", "rank", "doc_id")
+      TextSearch.evalRankingGraded(lex, qrels, probes, k = 10)
+    })
+    val (tEg1, csEg1) = evalGradedAt(docs1)
+    val (tEgF, csEgF) = evalGradedAt(docsF)
+
+    // ---- audio decode decimation (r17 ask #6): per-clip decode cost
+    // on an 18 s clip (144k frames → stride 3), shipping default vs
+    // full-rate — the per-payload float work the cap removes. The
+    // ahash corpus leg above is built from 0.72 s clips (BELOW the
+    // cap: bit-identical path), so the corpus leg prices the
+    // many-small-clips regime and this one the long-clip regime; at
+    // 44.1 kHz a 3-minute clip strides ~121×.
+    val longClip = Multimodal.toneEnvelopeAudio(
+      Hashing.splitmix64(7L), "wav16", perBin = 2000)
+    def decodeLoop(maxFrames: Int): Double = {
+      Multimodal.monoSamples(longClip, maxFrames) // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 200) { Multimodal.monoSamples(longClip, maxFrames); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tDecim = decodeLoop(1 << 16)
+    val tFullRate = decodeLoop(Int.MaxValue)
+
     def f2(d: Double) = f"$d%.2f"
     def xlin(t1: Double, tF: Double) = f2(tF / (t1 * factor))
     println(
@@ -917,7 +1017,17 @@ object ScaleBench {
       // cow: flat ratios are the claim (∝ batch), plus the dest/write
       // byte evidence that makes the ratio meaningful
       s""""cow_1x":${f2(tCow1)},"cow_fx":${f2(tCowF)},"cow_xflat":${f2(tCowF / math.max(tCow1, 1e-9))},""" +
-      s""""cow_write_bytes":[$wb1,$wbF],"cow_dest_bytes":[$db1,$dbF]}""")
+      s""""cow_write_bytes":[$wb1,$wbF],"cow_dest_bytes":[$db1,$dbF],""" +
+      s""""cow_frag_dirs":[$fragDirsBefore,$fragDirsAfter],""" +
+      s""""cow_frag_read":[${f2(tFragRead)},${f2(tCompRead)}],""" +
+      s""""cow_compact_sec":${f2(tCompact)},""" +
+      s""""cread_pin_1x":${f2(tPin1)},"cread_pin_fx":${f2(tPinF)},"cread_pin_xlin":${xlin(tPin1, tPinF)},""" +
+      s""""cread_pin_rows":[${csPin1._1},${csPinF._1}],""" +
+      s""""cread_walk_sec":${f2(tWalk)},"cread_walk_versions":50,""" +
+      s""""evalg_1x":${f2(tEg1)},"evalg_fx":${f2(tEgF)},"evalg_xlin":${xlin(tEg1, tEgF)},""" +
+      s""""evalg_rows":[${csEg1._1},${csEgF._1}],""" +
+      s""""audio_decim_sec":${f2(tDecim)},"audio_fullrate_sec":${f2(tFullRate)},""" +
+      s""""audio_decim_speedup":${f2(tFullRate / math.max(tDecim, 1e-9))}}""")
     spark.stop()
   }
 }

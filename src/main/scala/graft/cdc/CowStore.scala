@@ -299,9 +299,11 @@ final class CowStore(spark: SparkSession, root: String,
   }
 
   /** Initial full load (or CAS-checked full rewrite): every bucket
-    * written under one claimed version. */
-  def writeFull(df: DataFrame): Unit = {
-    val base = currentVersion
+    * written under one claimed version. Rebases on the CURRENT
+    * version — a deliberate full rewrite replaces whatever is there. */
+  def writeFull(df: DataFrame): Unit = writeFullAt(df, currentVersion)
+
+  private def writeFullAt(df: DataFrame, base: Option[Int]): Unit = {
     val v = allocateVersion(base.getOrElse(0) + 1)
     writeBuckets(df.select(df.columns.map(col).toSeq: _*), v)
     publish(v, (0 until nBuckets).map(_ -> v).toMap, base)
@@ -337,8 +339,11 @@ final class CowStore(spark: SparkSession, root: String,
       "__bkt is the store's reserved partition column; rename or drop it")
     val man = base.map(manifest).getOrElse(Map.empty)
     if (man.isEmpty) {
-      writeFull(dedup.fold(incoming) { case (t, tb) =>
-        DedupLatest(incoming, keys, t, tb) })
+      // First load — but pinned to OUR base, not a re-read of current:
+      // two racing initial loads must not last-write-win (the loser
+      // retries and re-enters as a proper merge).
+      writeFullAt(dedup.fold(incoming) { case (t, tb) =>
+        DedupLatest(incoming, keys, t, tb) }, base)
       return
     }
     val v = allocateVersion(base.get + 1)

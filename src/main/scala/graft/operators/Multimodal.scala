@@ -305,9 +305,25 @@ object Multimodal {
     * signed either endianness, 8-bit signed/unsigned); anything else —
     * and anything javax.sound rejects — is None, so the caller falls
     * back to the byte-hash family instead of fingerprinting a
-    * mis-decoded stream. */
-  private[operators] def monoSamples(payload: Array[Byte])
-      : Option[Array[Float]] =
+    * mis-decoded stream.
+    *
+    * Long clips are DECIMATED: past `maxFrames` total frames, only
+    * every ⌈n/maxFrames⌉-th frame is converted, bounding the
+    * per-payload float work at ~maxFrames regardless of clip length.
+    * The envelope fingerprint doesn't need full-rate PCM — each of
+    * [[aHash64]]'s 72 bins still averages ≥ maxFrames/72 ≈ 900 RMS
+    * samples, and decimation is frame-POSITION-proportional, so two
+    * re-encodings of one recording (the dedup contract) subsample the
+    * same instants and keep hashing together; clips at or under
+    * maxFrames (~8 s at 8 kHz, ~1.5 s at 44.1 kHz) decode
+    * bit-identically to the full-rate path. Measured (ScaleBench
+    * audio_decim leg, SCALE.md r18): ~1.8-2.0× per-clip on an 18 s
+    * 8 kHz clip (stride 3; header parse + readAllBytes bound the
+    * win), growing with stride — a 3-minute 44.1 kHz clip strides
+    * ~121×, so the float loop all but vanishes. Zero planted-pair
+    * drift (StreamSpec long-clip hash-equality test). */
+  private[graft] def monoSamples(payload: Array[Byte],
+      maxFrames: Int = 1 << 16): Option[Array[Float]] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.BufferedInputStream(
@@ -321,17 +337,20 @@ object Multimodal {
           val nFrames = bytes.length / (bps * ch)
           if (nFrames == 0) None
           else {
-            val mono = new Array[Float](nFrames)
-            var f = 0
-            while (f < nFrames) {
+            val stride = math.max(1, (nFrames + maxFrames - 1) / maxFrames)
+            val kept = (nFrames + stride - 1) / stride
+            val mono = new Array[Float](kept)
+            var k = 0
+            while (k < kept) {
+              val f = k * stride
               var acc = 0f
               var c = 0
               while (c < ch) {
                 acc += read(bytes, (f * ch + c) * bps)
                 c += 1
               }
-              mono(f) = acc / ch
-              f += 1
+              mono(k) = acc / ch
+              k += 1
             }
             Some(mono)
           }
@@ -524,9 +543,14 @@ object Multimodal {
     * comparison decisive by a 0.028-RMS margin, ~25× the worst-case
     * 8-bit quantization noise, so the SAME bits encoded as WAV-16,
     * AIFF-16 (big-endian container) or lossy WAV-8 must dedup while
-    * different bits must not. `format` ∈ wav16 | wav8 | aiff16. */
-  def toneEnvelopeAudio(bits: Long, format: String): Array[Byte] = {
-    val perBin = 80
+    * different bits must not. `format` ∈ wav16 | wav8 | aiff16.
+    * `perBin` (a multiple of 8 — whole sine periods, so bin RMS stays
+    * exactly amplitude/√2) scales clip LENGTH without changing the
+    * envelope: large values build the long clips the decode
+    * decimation path must hash identically. */
+  def toneEnvelopeAudio(bits: Long, format: String,
+      perBin: Int = 80): Array[Byte] = {
+    require(perBin > 0 && perBin % 8 == 0, "perBin must be a multiple of 8")
     val samples = new Array[Float](72 * perBin)
     var idx = 0
     var y = 0

@@ -232,6 +232,24 @@ class CowStoreSpec extends AnyFunSuite {
         batchB, Seq("k"))))
   }
 
+  test("two racing INITIAL loads: the loser's full-load must not " +
+      "replace the winner's table") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    // both writers see an empty store (base = None); A commits first
+    store.upsertAt(rows(0 until 10, "A"), None, None)
+    intercept[graft.cdc.ConcurrentWriteException] {
+      store.upsertAt(rows(5 until 15, "B"), None, None)
+    }
+    assert(collectSet(store.read().get) == collectSet(rows(0 until 10, "A")),
+      "winner's initial load intact")
+    // the retry re-enters as a MERGE against the winner's table
+    store.upsert(rows(5 until 15, "B"))
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(rows(0 until 10, "A"), rows(5 until 15, "B"),
+        Seq("k"))))
+  }
+
   test("compact collapses the fragmented tail; result-invisible; " +
       "vacuum then retires the tail dirs") {
     val root = freshRoot()

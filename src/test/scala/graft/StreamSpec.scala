@@ -918,6 +918,31 @@ class StreamSpec extends AnyFunSuite {
       s"canon map: $canon")
   }
 
+  test("audio decode decimation: long clips subsample past the frame " +
+      "cap yet hash identically across re-encodings") {
+    val bits = 0xC4D1E0F39A2B5786L
+    // perBin 2000 → 144k frames (18 s at 8 kHz) — past the 65536-frame
+    // cap, stride 3; the short 0.72 s clips in the ahash test stay on
+    // the bit-identical full-rate path (stride 1)
+    val wavL = Multimodal.toneEnvelopeAudio(bits, "wav16", perBin = 2000)
+    // decimation actually engaged: 144k frames decode to 48k samples,
+    // while an uncapped decode keeps all of them
+    assert(Multimodal.monoSamples(wavL).get.length == 48000)
+    assert(Multimodal.monoSamples(wavL, Int.MaxValue).get.length == 144000)
+    // the envelope fingerprint survives decimation exactly — and the
+    // dedup contract (container + lossy re-encodes hash together)
+    // holds on the decimated path too
+    assert(Multimodal.aHash64(wavL).contains(bits))
+    assert(Multimodal.aHash64(
+      Multimodal.toneEnvelopeAudio(bits, "aiff16", perBin = 2000))
+      .contains(bits))
+    val h8 = Multimodal.aHash64(
+      Multimodal.toneEnvelopeAudio(bits, "wav8", perBin = 2000))
+      .getOrElse(fail("wav8 must decode"))
+    assert(java.lang.Long.bitCount(h8 ^ bits) <= 4,
+      s"8-bit long-clip re-encode drifted ${java.lang.Long.bitCount(h8 ^ bits)} bits")
+  }
+
   test("multimodal: stub decode is deterministic, batch shape preserved") {
     val media = Seq((1L, "image", "fake-jpeg-bytes-here".getBytes),
       (2L, "audio", "fake-wav-bytes".getBytes))
