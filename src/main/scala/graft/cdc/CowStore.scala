@@ -27,9 +27,14 @@ final class ConcurrentWriteException(msg: String)
   *   <root>/v_00000001/__bkt=0/part-*.parquet   // full load: all buckets
   *   <root>/v_00000002/_CLAIM                   // writer's exclusive stake
   *   <root>/v_00000002/__bkt=3/part-*.parquet   // upsert touching bucket 3
+  *   <root>/v_00000002/_SCHEMA                  // authoritative schema JSON
   *   <root>/v_00000002/_MANIFEST                // "0 1", "1 1", ..., "3 2"
   *   <root>/_CURRENT                            // "v_00000002"
   * }}}
+  *
+  * `_SCHEMA` is the schema-in-log: reads pass it explicitly, so files
+  * written before an additive [[upsert evolution]] null-fill the
+  * later columns with zero rewrites and zero per-file footer merges.
   *
   * `upsert(batch)`:
   *  1. the batch's AFFECTED bucket set (`pmod(hash(keys), nBuckets)`)
@@ -108,6 +113,7 @@ final class CowStore(spark: SparkSession, root: String,
   private def versionDir(v: Int) = new Path(rootPath, f"v_$v%08d")
   private def manifestPath(v: Int) = new Path(versionDir(v), "_MANIFEST")
   private def claimPath(v: Int) = new Path(versionDir(v), "_CLAIM")
+  private def schemaPath(v: Int) = new Path(versionDir(v), "_SCHEMA")
   private def bucketDir(owner: Int, b: Int) =
     new Path(versionDir(owner), s"__bkt=$b")
 
@@ -156,6 +162,27 @@ final class CowStore(spark: SparkSession, root: String,
   def currentManifest: Map[Int, Int] =
     currentVersion.map(manifest).getOrElse(Map.empty)
 
+  /** The AUTHORITATIVE table schema as of version `v` (the Delta
+    * schema-in-log idea): written at publish time, consulted at read
+    * time so files older than a schema [[evolution|upsert]] null-fill
+    * the columns added after them — no rewrite, no per-file footer
+    * merge at 100 TB. None only for pre-`_SCHEMA` stores (readers then
+    * fall back to parquet inference). */
+  def schemaOf(v: Int): Option[org.apache.spark.sql.types.StructType] =
+    if (!fs.exists(schemaPath(v))) None
+    else {
+      val in = fs.open(schemaPath(v))
+      val text = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(text)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+
+  /** Authoritative current schema (None before the first write or on
+    * a pre-`_SCHEMA` store). */
+  def currentSchema: Option[org.apache.spark.sql.types.StructType] =
+    currentVersion.flatMap(schemaOf)
+
   /** Existing data dirs for `buckets` under the current manifest —
     * partitionBy never writes empty buckets, so absent dirs are
     * simply skipped. */
@@ -166,19 +193,29 @@ final class CowStore(spark: SparkSession, root: String,
         .filter(fs.exists).map(_.toString)
     }
 
-  private def readPaths(paths: Seq[String]): Option[DataFrame] =
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  /** Schema-aware path read: with an authoritative schema the parquet
+    * reader null-fills columns a file predates (additive evolution's
+    * read side) and skips footer inference; without one (pre-`_SCHEMA`
+    * store) it infers. */
+  private def readPaths(paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
+    if (paths.isEmpty) None
+    else Some(schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(paths: _*))
 
-  /** Full current table (all buckets, resolved through the manifest). */
+  /** Full current table (all buckets, resolved through the manifest,
+    * read under the current authoritative schema). */
   def read(): Option[DataFrame] = {
     val man = currentManifest
-    readPaths(bucketPaths(man, man.keys.toSeq.sorted))
+    readPaths(bucketPaths(man, man.keys.toSeq.sorted), currentSchema)
   }
 
   /** Only `buckets` of the current table — the pruned read the merge
     * uses; exposed for key-range-restricted consumers. */
   def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
-    readPaths(bucketPaths(currentManifest, buckets.distinct))
+    readPaths(bucketPaths(currentManifest, buckets.distinct),
+      currentSchema)
 
   /** Time travel: the table as of (un-vacuumed) version `v`, resolved
     * through THAT version's manifest — inherited buckets read their
@@ -191,7 +228,9 @@ final class CowStore(spark: SparkSession, root: String,
     if (!fs.exists(manifestPath(v))) None
     else {
       val man = manifest(v)
-      readPaths(bucketPaths(man, man.keys.toSeq.sorted))
+      // THAT version's schema: time travel to before an evolution
+      // returns the old shape, exactly as Delta/Iceberg do.
+      readPaths(bucketPaths(man, man.keys.toSeq.sorted), schemaOf(v))
     }
 
   /** Re-bucket maintenance: the bucket count is fixed at table
@@ -268,11 +307,15 @@ final class CowStore(spark: SparkSession, root: String,
   }
 
   private def publish(v: Int, man: Map[Int, Int],
-      expectedBase: Option[Int]): Unit = {
+      expectedBase: Option[Int],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     // Detect a lost race BEFORE publishing the manifest: an aborted
     // version must never carry one, or the crash-forward fallback
     // (newest dir WITH a manifest) could resurrect it as current.
     checkBase(expectedBase)
+    // Authoritative schema first (manifest stays the commit marker).
+    val sout = fs.create(schemaPath(v), true)
+    try sout.write(schema.json.getBytes("UTF-8")) finally sout.close()
     val tmpMan = new Path(versionDir(v), "_MANIFEST.tmp")
     val out = fs.create(tmpMan, true)
     try out.write(man.toSeq.sorted
@@ -306,7 +349,7 @@ final class CowStore(spark: SparkSession, root: String,
   private def writeFullAt(df: DataFrame, base: Option[Int]): Unit = {
     val v = allocateVersion(base.getOrElse(0) + 1)
     writeBuckets(df.select(df.columns.map(col).toSeq: _*), v)
-    publish(v, (0 until nBuckets).map(_ -> v).toMap, base)
+    publish(v, (0 until nBuckets).map(_ -> v).toMap, base, df.schema)
   }
 
   /** C1 delete+insert merge, rewriting only the batch's buckets. Pass
@@ -316,11 +359,22 @@ final class CowStore(spark: SparkSession, root: String,
     * ≤1-row-per-key invariant (true after every previous merge — the
     * [[Upsert.withDedupMaintained]] argument). Concurrency: loses with
     * a retryable [[ConcurrentWriteException]] if another writer
-    * commits between the snapshot read and the pointer swap. */
+    * commits between the snapshot read and the pointer swap.
+    *
+    * `evolve = true` ADDS the batch's unknown columns to the stored
+    * schema instead of dropping them (S7's default) — additive-only
+    * schema evolution, the Delta `mergeSchema` contract: the widened
+    * schema publishes with this version, old files are NEVER
+    * rewritten (readers null-fill from the authoritative schema), and
+    * time travel to an earlier version returns the earlier shape.
+    * Type changes are NOT evolution — an existing column still casts
+    * to its stored type (parquet files must stay type-stable or the
+    * vectorized reader breaks on old files). */
   def upsert(incoming: DataFrame,
-      dedup: Option[(String, Seq[String])] = None): Unit = {
+      dedup: Option[(String, Seq[String])] = None,
+      evolve: Boolean = false): Unit = {
     if (incoming.isEmpty) return
-    upsertAt(incoming, dedup, currentVersion)
+    upsertAt(incoming, dedup, currentVersion, evolve)
   }
 
   /** [[upsert]] pinned to an explicit base snapshot — the seam the
@@ -328,7 +382,8 @@ final class CowStore(spark: SparkSession, root: String,
     * base: first commit wins, second throws). Production callers use
     * [[upsert]], which bases on the current version. */
   private[graft] def upsertAt(incoming: DataFrame,
-      dedup: Option[(String, Seq[String])], base: Option[Int]): Unit = {
+      dedup: Option[(String, Seq[String])], base: Option[Int],
+      evolve: Boolean = false): Unit = {
     val missingKeys = keys.filterNot(incoming.columns.contains)
     require(missingKeys.isEmpty,
       s"incoming batch lacks key column(s) ${missingKeys.mkString(",")}" +
@@ -347,25 +402,37 @@ final class CowStore(spark: SparkSession, root: String,
       return
     }
     val v = allocateVersion(base.get + 1)
-    // 0. align the batch to the STORED schema — the reference's drift
+    // 0. align the batch to the TARGET schema — the reference's drift
     // tolerance (base_loader.py:290-299): missing stored columns
-    // null-fill, unknown incoming fields drop, compatible types cast.
-    // This MUST precede the bucket derivation: hash(int) ≠ hash(long)
-    // for the same value, so a type-drifted key routed pre-cast would
-    // probe (and rewrite) the wrong buckets. One footer read — every
-    // bucket shares the schema because alignment maintains it.
-    val inc = bucketPaths(man, man.keys.toSeq.sorted).headOption match {
-      case Some(p) => graft.schema.Normalize.alignToSchema(incoming,
-        spark.read.parquet(p).schema)
-      case None => incoming
+    // null-fill, unknown incoming fields drop (or, under evolve, are
+    // APPENDED to the stored schema), compatible types cast. This
+    // MUST precede the bucket derivation: hash(int) ≠ hash(long) for
+    // the same value, so a type-drifted key routed pre-cast would
+    // probe (and rewrite) the wrong buckets. The stored schema comes
+    // from the authoritative `_SCHEMA` (one tiny file read), falling
+    // back to one parquet footer on pre-`_SCHEMA` stores.
+    val stored = schemaOf(base.get).orElse(
+      bucketPaths(man, man.keys.toSeq.sorted).headOption
+        .map(p => spark.read.parquet(p).schema))
+    val target = stored.map { s =>
+      if (!evolve) s
+      else {
+        val known = s.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          s.fields ++ incoming.schema.fields.filterNot(f =>
+            known.contains(f.name)))
+      }
     }
+    val inc = target.fold(incoming)(s =>
+      graft.schema.Normalize.alignToSchema(incoming, s))
     // 1. affected buckets: ≤ nBuckets ints of driver state.
     val affected = inc.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    // 2+3. pruned read of exactly those buckets, then the same
-    // anti-join+union (+ optional keep-latest) as the unbucketed
-    // kernel.
-    val merged = readPaths(bucketPaths(man, affected)) match {
+    // 2+3. pruned read of exactly those buckets (under the target
+    // schema, so pre-evolution files null-fill any just-added
+    // columns), then the same anti-join+union (+ optional
+    // keep-latest) as the unbucketed kernel.
+    val merged = readPaths(bucketPaths(man, affected), target) match {
       case Some(prev) =>
         val up = Upsert(prev, inc, keys)
         dedup.fold(up) { case (t, tb) => DedupLatest(up, keys, t, tb) }
@@ -375,7 +442,7 @@ final class CowStore(spark: SparkSession, root: String,
     }
     // 4. rewrite affected buckets only; inherit the rest by reference.
     writeBuckets(merged, v)
-    publish(v, man ++ affected.map(_ -> v), base)
+    publish(v, man ++ affected.map(_ -> v), base, merged.schema)
   }
 
   /** Maintenance: rewrite the FRAGMENTED TAIL so the current manifest
@@ -414,8 +481,15 @@ final class CowStore(spark: SparkSession, root: String,
     val tail = man.filterNot { case (_, o) => keep.contains(o) }
       .keys.toSeq.sorted
     val v = allocateVersion(base.get + 1)
-    readPaths(bucketPaths(man, tail)).foreach(writeBuckets(_, v))
-    publish(v, man ++ tail.map(_ -> v), base)
+    // Read the tail under the authoritative schema (pre-evolution
+    // files null-fill) and republish that same schema — compaction
+    // is layout maintenance, never a schema event.
+    val sch = schemaOf(base.get)
+    val tailDf = readPaths(bucketPaths(man, tail), sch)
+    tailDf.foreach(writeBuckets(_, v))
+    publish(v, man ++ tail.map(_ -> v), base,
+      sch.orElse(tailDf.map(_.schema))
+        .getOrElse(new org.apache.spark.sql.types.StructType()))
   }
 
   /** Reference-aware vacuum: drop version dirs older than the current

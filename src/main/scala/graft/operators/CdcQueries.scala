@@ -153,6 +153,27 @@ object CdcQueries {
         .orderBy("o_orderkey")
     },
 
+    // Additive schema EVOLUTION through the COW merge (the Delta
+    // mergeSchema contract, rebuilt on the _SCHEMA-per-version log):
+    // the batch carries a column the table has never seen
+    // (o_channel); evolve=true widens the authoritative schema and
+    // publishes it with the new version — old files are NEVER
+    // rewritten, readers null-fill from the explicit schema, and
+    // time travel to v1 still returns the original shape
+    // (CowStoreSpec). Oracle: surviving dest rows read o_channel
+    // NULL, batch rows carry it.
+    "q_cdc_upsert_evolve" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val root = freshCowRoot("evolve")
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      store.upsert(ordersIncoming(s, d).withColumn("o_channel",
+        lit("web")), evolve = true)
+      store.read().get.orderBy("o_orderkey")
+    },
+
     // C2 — upsert + global keep-latest-per-key dedup (base_loader.py:340-475).
     "q_cdc_upsert_dedup" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
@@ -481,6 +502,20 @@ object CdcQueries {
         |    CAST(NULL AS VARCHAR) AS o_orderpriority
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    // Evolution restated: the upsert result plus the widened column —
+    // NULL on surviving destination rows, populated on batch rows.
+    "q_cdc_upsert_evolve" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+        |    o_orderpriority, 'web' AS o_channel
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT dest.*, CAST(NULL AS VARCHAR) AS o_channel FROM dest
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |UNION ALL SELECT * FROM inc
         |ORDER BY o_orderkey""".stripMargin,
     // The keep-latest winner is closed-form (the V variant is strictly

@@ -304,6 +304,48 @@ class CowStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("additive schema evolution: new column widens the schema " +
+      "without rewriting old files; time travel keeps the old shape") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 100, "old"))            // v1 (k,tag,v)
+    val evolved = Seq((90L, "new", 900.0, "x"), (120L, "new", 1200.0, "y"))
+      .toDF("k", "tag", "v", "extra")
+    store.upsert(evolved, evolve = true)                 // v2 widens
+    val cur = store.read().get
+    assert(cur.columns.toSeq == Seq("k", "tag", "v", "extra"))
+    // untouched buckets still live in v1's files (no rewrite) yet
+    // read back with the new column null-filled
+    val man = store.currentManifest
+    assert(man.values.toSet.contains(1), "old version still inherited")
+    val olds = cur.where(col("tag") === "old")
+    assert(olds.count() == 99 && olds.where(col("extra").isNotNull).isEmpty)
+    assert(cur.where(col("tag") === "new")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((90L, "x"), (120L, "y")))
+    // WITHOUT evolve the same batch drops the unknown column (S7)
+    store.upsert(Seq((5L, "plain", 50.0, "z")).toDF("k", "tag", "v", "extra2"))
+    assert(!store.read().get.columns.contains("extra2"))
+    assert(store.read().get.columns.contains("extra"),
+      "a non-evolve upsert keeps the already-evolved schema")
+    // time travel: v1 has the ORIGINAL shape
+    assert(store.readVersion(1).get.columns.toSeq == Seq("k", "tag", "v"))
+    assert(store.schemaOf(1).get.fieldNames.toSeq == Seq("k", "tag", "v"))
+    assert(store.currentSchema.get.fieldNames.toSeq ==
+      Seq("k", "tag", "v", "extra"))
+    // a later merge of an old-shape batch null-fills the evolved col
+    store.upsert(rows(0 until 2, "late"))
+    val late = store.read().get.where(col("tag") === "late")
+    assert(late.count() == 2 && late.where(col("extra").isNotNull).isEmpty)
+    // and compaction preserves the evolved schema + contents
+    val before = store.read().get.collect().map(_.toSeq).toSet
+    store.compact(maxReferenced = 1)
+    store.vacuum()
+    assert(store.read().get.collect().map(_.toSeq).toSet == before)
+    assert(store.currentSchema.get.fieldNames.toSeq ==
+      Seq("k", "tag", "v", "extra"))
+  }
+
   test("missing pointer crash-forwards to the newest manifest version") {
     val root = freshRoot()
     val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
