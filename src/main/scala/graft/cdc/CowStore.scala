@@ -331,13 +331,21 @@ final class CowStore(spark: SparkSession, root: String,
     * because the claimed dir is exclusively ours and already holds the
     * `_CLAIM` marker (overwrite would delete it). One file per bucket
     * by default — each bucket is batch-or-smaller here; a deployment
-    * sizing multi-GB buckets would repartition by (__bkt, salt). */
-  private def writeBuckets(df: DataFrame, v: Int): Unit = {
+    * sizing multi-GB buckets would repartition by (__bkt, salt).
+    * `sortBy` additionally orders rows WITHIN each bucket's file
+    * (prefixing `__bkt` keeps every bucket contiguous when several
+    * share a task) — min/max row-group pruning then works on the
+    * sorted columns, the MergeTree ORDER BY idea. */
+  private def writeBuckets(df: DataFrame, v: Int,
+      sortBy: Seq[String] = Nil): Unit = {
     require(!df.columns.contains("__bkt"),
       "__bkt is the store's reserved partition column; rename or drop it")
-    df.withColumn("__bkt", bucketOf)
+    val bucketed = df.withColumn("__bkt", bucketOf)
       .repartition(col("__bkt"))
-      .write.mode("append").partitionBy("__bkt")
+    val arranged =
+      if (sortBy.isEmpty) bucketed
+      else bucketed.sortWithinPartitions(("__bkt" +: sortBy).map(col): _*)
+    arranged.write.mode("append").partitionBy("__bkt")
       .parquet(versionDir(v).toString)
   }
 
@@ -460,8 +468,18 @@ final class CowStore(spark: SparkSession, root: String,
     * claimed version. Result-invisible: same rows before and after
     * (`q_cdc_upsert_compacted` shares `q_cdc_upsert`'s oracle); a
     * subsequent [[vacuum]] reclaims the retired dirs. CAS-checked like
-    * any write; no-op when already within budget. */
-  def compact(maxReferenced: Int = 1): Unit = {
+    * any write; no-op when already within budget.
+    *
+    * `clusterBy` makes the rewrite also CLUSTER the rewritten buckets
+    * (rows sorted within each bucket's file by the given columns — the
+    * OPTIMIZE-ZORDER/MergeTree-ORDER-BY maintenance idea, in its
+    * lexicographic form; multi-dimensional use composes
+    * `Layout.zvalue` upstream): incremental merges append in arrival
+    * order, compaction is exactly when a deployment restores scan
+    * order for min/max row-group pruning. Row SET unchanged —
+    * clustering is layout, never semantics. */
+  def compact(maxReferenced: Int = 1, clusterBy: Seq[String] = Nil)
+      : Unit = {
     require(maxReferenced >= 1, "maxReferenced must be >= 1")
     val base = currentVersion
     val man = base.map(manifest).getOrElse(Map.empty)
@@ -486,7 +504,7 @@ final class CowStore(spark: SparkSession, root: String,
     // is layout maintenance, never a schema event.
     val sch = schemaOf(base.get)
     val tailDf = readPaths(bucketPaths(man, tail), sch)
-    tailDf.foreach(writeBuckets(_, v))
+    tailDf.foreach(writeBuckets(_, v, clusterBy))
     publish(v, man ++ tail.map(_ -> v), base,
       sch.orElse(tailDf.map(_.schema))
         .getOrElse(new org.apache.spark.sql.types.StructType()))

@@ -304,6 +304,31 @@ class CowStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compact(clusterBy): rewritten bucket files are sorted within " +
+      "file; row set identical") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    // arrival order deliberately scrambles v: write descending-k
+    // batches so no file is accidentally sorted
+    store.writeFull(rows(0 until 50, "old"))
+    (0 until 6).foreach { i =>
+      store.upsert(rows((40 - i * 7) until (40 - i * 7 + 5), s"b$i"))
+    }
+    val before = collectSet(store.read().get)
+    store.compact(maxReferenced = 1, clusterBy = Seq("v"))
+    store.vacuum()
+    assert(collectSet(store.read().get) == before, "row set unchanged")
+    // every rewritten bucket file is internally sorted by v
+    val vdir = new java.io.File(f"$root/v_${store.versions().max}%08d")
+    val bdirs = vdir.listFiles().filter(_.getName.startsWith("__bkt="))
+    assert(bdirs.nonEmpty)
+    bdirs.foreach { b =>
+      val vs = spark.read.parquet(b.toString)
+        .select("v").collect().map(_.getDouble(0)).toSeq
+      assert(vs == vs.sorted, s"bucket ${b.getName} not clustered: $vs")
+    }
+  }
+
   test("additive schema evolution: new column widens the schema " +
       "without rewriting old files; time travel keeps the old shape") {
     val root = freshRoot()
