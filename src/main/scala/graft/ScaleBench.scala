@@ -865,6 +865,28 @@ object ScaleBench {
     require(csFragB == csFragA,
       s"compact changed table contents: $csFragB vs $csFragA")
 
+    // ---- change data feed (r18): what changed between the full load
+    // (v1) and the first upsert (v2) of the cow stores above. The
+    // manifest makes this ∝ changed buckets — readChanges reads ONLY
+    // the owner-changed buckets at both versions, while the naive
+    // full-table diff re-scans the whole table twice. Claim: the
+    // pruned f×/1× ratio stays ≈ flat (the batch is fixed) while the
+    // full diff grows with the table; checksum equality pins that
+    // pruning lost nothing.
+    def changesAt(tag: String, nBuckets: Int) = {
+      val store = new graft.cdc.CowStore(spark, s"$dir/cow_$tag",
+        Seq("event_id"), nBuckets)
+      val (tP, csP) = timed(runs)(consume(store.readChanges(1, 2).get))
+      val (tF, csF) = timed(runs)(consume(graft.cdc.Diff.snapshotDiff(
+        store.readVersion(1).get, store.readVersion(2).get,
+        Seq("event_id"))))
+      require(csP == csF,
+        s"pruned change feed != full-table diff: $csP vs $csF")
+      (tP, tF, csP)
+    }
+    val (tChg1, tChgFull1, csChg1) = changesAt("1", 64)
+    val (tChgF, tChgFullF, csChgF) = changesAt("f", 64 * factor)
+
     // ---- consistent-read pin (r17 ask #4): two staggered "loads"
     // pinned to their common watermark before consumption. Cost shape
     // under test: two column-pruned max() scans + a broadcast 1-row
@@ -1021,6 +1043,12 @@ object ScaleBench {
       s""""cow_frag_dirs":[$fragDirsBefore,$fragDirsAfter],""" +
       s""""cow_frag_read":[${f2(tFragRead)},${f2(tCompRead)}],""" +
       s""""cow_compact_sec":${f2(tCompact)},""" +
+      // change feed: pruned stays ∝ batch (xflat ≈ 1) while the naive
+      // full diff grows with the table — the manifest-diff dividend
+      s""""chg_pruned":[${f2(tChg1)},${f2(tChgF)}],""" +
+      s""""chg_full":[${f2(tChgFull1)},${f2(tChgFullF)}],""" +
+      s""""chg_xflat":${f2(tChgF / math.max(tChg1, 1e-9))},""" +
+      s""""chg_rows":[${csChg1._1},${csChgF._1}],""" +
       s""""cread_pin_1x":${f2(tPin1)},"cread_pin_fx":${f2(tPinF)},"cread_pin_xlin":${xlin(tPin1, tPinF)},""" +
       s""""cread_pin_rows":[${csPin1._1},${csPinF._1}],""" +
       s""""cread_walk_sec":${f2(tWalk)},"cread_walk_versions":50,""" +

@@ -142,6 +142,11 @@ final class CowStore(spark: SparkSession, root: String,
 
   def exists: Boolean = currentVersion.isDefined
 
+  /** The committed current version number (None before the first
+    * write) — the cursor an incremental consumer remembers between
+    * [[readChangesSince]] drains. */
+  def version: Option[Int] = currentVersion
+
   def versions(): Seq[Int] =
     if (!fs.exists(rootPath)) Nil
     else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
@@ -452,6 +457,192 @@ final class CowStore(spark: SparkSession, root: String,
     writeBuckets(merged, v)
     publish(v, man ++ affected.map(_ -> v), base, merged.schema)
   }
+
+  /** Cast a key probe to the STORED key types before bucket routing —
+    * the same pre-derivation discipline as the upsert's alignment:
+    * `hash(int) ≠ hash(long)` for the same value, so an uncast probe
+    * would prune (and scan) the wrong buckets and silently miss rows. */
+  private def castKeys(probe: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val p = probe.select(keys.map(col): _*)
+    schema.fold(p) { s =>
+      val types = s.fields.map(f => f.name -> f.dataType).toMap
+      p.select(keys.map(k =>
+        types.get(k).fold(col(k))(t => col(k).cast(t).as(k))): _*)
+    }
+  }
+
+  /** Stored schema as of `base`, with the pre-`_SCHEMA` footer
+    * fallback the merge paths share. */
+  private def storedSchema(man: Map[Int, Int], base: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(base).orElse(
+      bucketPaths(man, man.keys.toSeq.sorted).headOption
+        .map(p => spark.read.parquet(p).schema))
+
+  /** Hard delete by key — the missing leg of the DML triad (insert and
+    * update are both [[upsert]] under delete+insert semantics). Bucket-
+    * pruned exactly like the merge: the probe's bucket set is one
+    * config-bounded distinct-collect, only buckets that both hold the
+    * probe's keys AND exist in the manifest are read back and rewritten
+    * key-filtered; every other bucket is inherited by reference. A
+    * bucket emptied by the delete simply has no dir under the new
+    * version (reads skip absent dirs), so full-bucket deletes cost one
+    * empty write, never a tombstone scan. Keys absent from the table
+    * are row-level no-ops (their bucket is rewritten unchanged — cost
+    * bounded by the probe's bucket count, never checked row-by-row);
+    * an EMPTY probe commits nothing at all. CAS-checked like any
+    * write. */
+  def delete(keyRows: DataFrame): Unit = deleteAt(keyRows, currentVersion)
+
+  private[graft] def deleteAt(keyRows: DataFrame, base: Option[Int])
+      : Unit = {
+    val missingKeys = keys.filterNot(keyRows.columns.contains)
+    require(missingKeys.isEmpty,
+      s"delete probe lacks key column(s) ${missingKeys.mkString(",")}")
+    val man = base.map(manifest).getOrElse(Map.empty)
+    if (man.isEmpty) return // nothing stored, nothing to delete
+    val stored = storedSchema(man, base.get)
+    val probe = castKeys(keyRows, stored).distinct()
+    val affected = probe.select(bucketOf.as("__bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+      .filter(man.contains) // never-written buckets hold nothing
+    readPaths(bucketPaths(man, affected), stored).foreach { prev =>
+      val v = allocateVersion(base.get + 1)
+      writeBuckets(prev.join(probe, keys, "left_anti"), v)
+      publish(v, man ++ affected.map(_ -> v), base,
+        stored.getOrElse(prev.schema))
+    }
+  }
+
+  /** Apply an I/U/D CDC batch ([[Upsert.applyOps]] semantics — delete
+    * every batch key, re-insert the non-delete rows) through the
+    * bucket-pruned copy-on-write merge. The affected-bucket set covers
+    * ALL batch keys, delete events included, so a delete-heavy batch
+    * prunes exactly like an upsert-heavy one. The batch is expected
+    * pre-collapsed to ≤1 row per key (collapse a multi-event history
+    * with [[DedupLatest]] on the event-order column first); payload
+    * drift follows the same [[graft.schema.Normalize.alignToSchema]]
+    * tolerance as [[upsert]], with `opCol` riding alongside the
+    * aligned payload and consumed before the write. */
+  def applyCdc(batch: DataFrame, opCol: String,
+      deleteOps: Seq[String] = Seq("D", "d", "delete")): Unit = {
+    if (batch.isEmpty) return
+    applyCdcAt(batch, opCol, deleteOps, currentVersion)
+  }
+
+  private[graft] def applyCdcAt(batch: DataFrame, opCol: String,
+      deleteOps: Seq[String], base: Option[Int]): Unit = {
+    val missingKeys = keys.filterNot(batch.columns.contains)
+    require(missingKeys.isEmpty,
+      s"CDC batch lacks key column(s) ${missingKeys.mkString(",")}")
+    require(batch.columns.contains(opCol),
+      s"CDC batch lacks the op column '$opCol'")
+    require(!keys.contains(opCol), "the op column cannot be a key")
+    require(opCol != "__bkt", "__bkt cannot be the op column")
+    require(!batch.columns.contains("__bkt"),
+      "__bkt is the store's reserved partition column; rename or drop it")
+    def nonDelete(df: DataFrame): DataFrame =
+      // NULL/unknown ops are upserts — Upsert.applyOps' contract.
+      df.where(!coalesce(col(opCol).isin(deleteOps: _*), lit(false)))
+    val man = base.map(manifest).getOrElse(Map.empty)
+    if (man.isEmpty) {
+      // First load: no destination to delete against — the non-delete
+      // rows ARE the table (pinned to OUR base, as upsertAt's).
+      val inserts = nonDelete(batch).drop(opCol)
+      if (!inserts.isEmpty) writeFullAt(inserts, base)
+      return
+    }
+    val stored = storedSchema(man, base.get)
+    // Align payload to the stored schema with opCol riding along (the
+    // op is batch metadata, never part of the authoritative schema) —
+    // BEFORE bucket derivation, as in upsertAt.
+    val aligned = stored.fold(batch) { s =>
+      require(!s.fieldNames.contains(opCol),
+        s"stored schema already carries '$opCol' — the op column is " +
+          "batch metadata and must not collide with payload")
+      graft.schema.Normalize.alignToSchema(batch,
+        org.apache.spark.sql.types.StructType(s.fields :+ batch.schema(opCol)))
+    }
+    val affected = aligned.select(bucketOf.as("__bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val v = allocateVersion(base.get + 1)
+    val merged = readPaths(bucketPaths(man, affected), stored) match {
+      case Some(prev) =>
+        Upsert.applyOps(prev, aligned, keys, opCol, deleteOps)
+      case None => nonDelete(aligned).drop(opCol)
+    }
+    writeBuckets(merged, v)
+    publish(v, man ++ affected.map(_ -> v), base, merged.schema)
+  }
+
+  /** Change data feed — what changed between (un-vacuumed) versions
+    * `fromV` and `toV`: one row per key whose presence or content
+    * differs, `(keys*, change)` with `change` ∈ added / removed /
+    * changed ([[Diff.snapshotDiff]]'s contract). The version layout
+    * makes this INCREMENTAL: data files are immutable, so a bucket can
+    * only differ if its manifest OWNER differs — the diff reads exactly
+    * the buckets whose ownership changed, at both versions, and never
+    * touches the inherited 100 TB (an hourly batch touching 5 buckets
+    * diffs 10 bucket dirs regardless of table size; this is Delta's
+    * change-data-feed idea recovered from the manifest alone, no
+    * per-row change files). A [[compact]]/[[delete]]-rewritten bucket
+    * with identical rows diffs to nothing — correct, though a window
+    * spanning a compaction pays a scan of the compacted bytes
+    * (downstream consumers should drain BEFORE maintenance, as with
+    * Delta OPTIMIZE). Rows compare under `toV`'s authoritative schema,
+    * so evolution-widened columns participate (pre-evolution rows
+    * null-fill — a row whose only change is a new column's value
+    * reports `changed`, as Delta CDF does). None when either version
+    * never published a manifest (or was vacuumed). */
+  def readChanges(fromV: Int, toV: Int): Option[DataFrame] =
+    changedSlices(fromV, toV).map { case (o, n) =>
+      Diff.snapshotDiff(o, n, keys)
+    }
+
+  /** [[readChanges]] with PAYLOADS ([[Diff.changeRows]]'s row shape —
+    * post-images for added/changed, pre-image for removed, all under
+    * `toV`'s schema): the form a downstream APPLIER consumes — see
+    * [[IncrementalMart]]. Same changed-owner bucket pruning. */
+  def readChangeRows(fromV: Int, toV: Int): Option[DataFrame] =
+    changedSlices(fromV, toV).map { case (o, n) =>
+      Diff.changeRows(o, n, keys)
+    }
+
+  /** The changed-owner bucket slices of versions `fromV`/`toV` (see
+    * [[readChanges]] for why owner-diff pruning is complete). */
+  private def changedSlices(fromV: Int, toV: Int)
+      : Option[(DataFrame, DataFrame)] = {
+    require(fromV <= toV, s"readChanges wants fromV <= toV, got $fromV > $toV")
+    if (!fs.exists(manifestPath(fromV)) || !fs.exists(manifestPath(toV)))
+      None
+    else {
+      val mOld = manifest(fromV)
+      val mNew = manifest(toV)
+      val changed = (mOld.keySet ++ mNew.keySet).toSeq.sorted
+        .filter(b => mOld.get(b) != mNew.get(b))
+      // toV's schema governs the compare (CDF convention); fall back to
+      // fromV's, then to a footer, for pre-_SCHEMA stores.
+      val sch = schemaOf(toV).orElse(schemaOf(fromV))
+        .orElse(bucketPaths(mNew, mNew.keys.toSeq.sorted).headOption
+          .map(p => spark.read.parquet(p).schema))
+        .orElse(bucketPaths(mOld, mOld.keys.toSeq.sorted).headOption
+          .map(p => spark.read.parquet(p).schema))
+      sch.map { s =>
+        def slice(man: Map[Int, Int]): DataFrame =
+          readPaths(bucketPaths(man, changed), Some(s)).getOrElse(
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), s))
+        (slice(mOld), slice(mNew))
+      }
+    }
+  }
+
+  /** [[readChanges]] from `sinceV` to the current version — the shape
+    * an incremental downstream consumer (mart refresh, cache
+    * invalidation) polls with, remembering the version it last drained. */
+  def readChangesSince(sinceV: Int): Option[DataFrame] =
+    currentVersion.flatMap(cur => readChanges(sinceV, cur))
 
   /** Maintenance: rewrite the FRAGMENTED TAIL so the current manifest
     * references at most `maxReferenced` version dirs. Without it, dir

@@ -58,6 +58,48 @@ object Diff {
     * count as a change (schema drift is [[graft.schema.Normalize]]'s
     * job, not the diff's).
     */
+  /** [[snapshotDiff]] with PAYLOADS — the full-row change set a
+    * downstream consumer applies (Delta CDF's row shape): `added` /
+    * `changed` rows carry the NEW side's columns (post-image),
+    * `removed` rows the OLD side's (pre-image), plus the `change` tag.
+    * Column set = `newSnap`'s columns (the newer schema governs, as a
+    * CDC reader expects); a removed row's pre-image is read under that
+    * same shape. Unlike the keys-only diff, the full-outer shuffle
+    * here carries row payloads on both sides — callers wanting the
+    * cheap audit use [[snapshotDiff]]; this form exists for consumers
+    * that APPLY the changes. */
+  def changeRows(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], compareCols: Seq[String] = Seq.empty): DataFrame = {
+    val payload = newSnap.columns.filterNot(keys.contains).toSeq
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else payload.filter(oldSnap.columns.contains)
+    val (d1, d2) = digest(cmp)
+    // The pre-image rides newSnap's column set: columns the old side
+    // lacks (schema evolution) null-fill via alignToSchema.
+    val oldAligned = graft.schema.Normalize.alignToSchema(
+      oldSnap, newSnap.schema)
+    val o = oldAligned.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__orow") :+
+      d1.as("__od1") :+ d2.as("__od2"): _*)
+    val n = newSnap.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__nrow") :+
+      d1.as("__nd1") :+ d2.as("__nd2"): _*)
+    val tagged = o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__od1").isNull && col("__od2").isNull, lit(Added))
+          .when(col("__nd1").isNull && col("__nd2").isNull, lit(Removed))
+          .when(col("__od1") =!= col("__nd1") ||
+            col("__od2") =!= col("__nd2"), lit(Changed)))
+      .where(col("change").isNotNull)
+      .withColumn("__row",
+        when(col("change") === Removed, col("__orow"))
+          .otherwise(col("__nrow")))
+    tagged.select(keys.map(col) ++
+      payload.map(c => col("__row").getField(c).as(c)) :+
+      col("change"): _*)
+  }
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keys: Seq[String], compareCols: Seq[String] = Seq.empty): DataFrame = {
     val cmp =

@@ -48,6 +48,57 @@ object Upsert {
       track: String, tieBreak: Seq[String] = Nil): DataFrame =
     DedupLatest(apply(dest, incoming, keys), keys, track, tieBreak)
 
+  /** CDC op-apply — the I/U/D generalization of the delete+insert
+    * merge (the reference's loader only ever sees upserts because its
+    * extract queries filter to live rows, `base_loader.py:275-338`; a
+    * log-based CDC feed — Debezium/DMS shaped — additionally carries
+    * explicit delete events, and this is the standard one-pass apply
+    * for such a batch):
+    *
+    *  - EVERY batch key is deleted from the destination (the delete
+    *    phase of delete+insert — one left-anti join, AQE-broadcast for
+    *    micro-batches);
+    *  - rows whose `opCol` is NOT in `deleteOps` are inserted back
+    *    (insert and update are the same operation under delete+insert,
+    *    so I vs U tags need no distinct handling).
+    *
+    * The batch is expected pre-collapsed to ≤1 row per key (the shape
+    * every log compactor / `DedupLatest` emits); callers holding a
+    * multi-event history per key collapse it FIRST with
+    * [[DedupLatest]] on the event-order column, so "latest op wins" is
+    * decided by the caller's ordering, not by this kernel. When a key
+    * still carries both a delete row and a non-delete row, the
+    * non-delete row lands (its insert follows the shared delete phase)
+    * — deterministic, spec-pinned.
+    *
+    * `opCol` is consumed here and never reaches the destination.
+    * Schema drift on the payload follows [[apply]]'s tolerance. */
+  def applyOps(dest: DataFrame, batch: DataFrame, keys: Seq[String],
+      opCol: String, deleteOps: Seq[String] = Seq("D", "d", "delete"))
+      : DataFrame = {
+    require(keys.nonEmpty, "applyOps requires at least one key column")
+    require(batch.columns.contains(opCol),
+      s"batch lacks the op column '$opCol'")
+    require(!keys.contains(opCol), "the op column cannot be a key")
+    require(!dest.columns.contains(opCol),
+      s"destination already carries a column named '$opCol' — the op " +
+        "column is batch metadata and must not collide with payload")
+    val missingKeys = keys.filterNot(batch.columns.contains)
+    require(missingKeys.isEmpty,
+      s"batch lacks key column(s) ${missingKeys.mkString(",")}")
+    if (batch.isEmpty) dest
+    else {
+      val allKeys = batch.select(keys.map(col): _*).distinct()
+      // NULL / unrecognized ops are upserts (the conservative read of a
+      // malformed feed: data lands rather than silently vanishing) —
+      // the coalesce keeps the three-valued NOT from dropping them.
+      val inserts = graft.schema.Normalize.alignToSchema(
+        batch.where(!coalesce(col(opCol).isin(deleteOps: _*), lit(false))),
+        dest.schema)
+      dest.join(allKeys, keys, "left_anti").unionByName(inserts)
+    }
+  }
+
   /** C2 steady-state fast path: when `dest` already satisfies the
     * ≤1-row-per-key invariant (true after every previous merge), the
     * post-union global window in [[withDedup]] is wasted work — after the

@@ -174,6 +174,112 @@ object CdcQueries {
       store.read().get.orderBy("o_orderkey")
     },
 
+    // Hard delete by key through the COW path — the DML leg the
+    // reference's loader never needs (its extract filters to live
+    // rows) but every log-based CDC feed carries. Bucket-pruned like
+    // the merge; the probe deliberately includes keys the table never
+    // held (no-ops) and deletes that empty whole buckets. Oracle is
+    // the surviving-set restatement.
+    "q_cdc_delete" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val root = freshCowRoot("delete")
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      val probe = dest.where(col("o_orderkey") % 9 === 4)
+        .select("o_orderkey")
+        .unionByName(dest.select((col("o_orderkey") + 100000000L)
+          .as("o_orderkey")).limit(100)) // absent keys: must no-op
+      store.delete(probe)
+      store.read().get
+        .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
+    // I/U/D op-apply (Upsert.applyOps — the Debezium/DMS-shaped batch
+    // the delete+insert merge generalizes to): every batch key is
+    // deleted, non-delete rows re-inserted. The U slice mutates
+    // status/price; the D slice is key-disjoint from it (earlier
+    // orders), so each event kind's effect is separately visible. The
+    // oracle restates delete-all-keys + insert-non-deletes.
+    "q_cdc_apply_ops" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val batch = ordersIncoming(s, d).withColumn("op", lit("U"))
+        .unionByName(dest
+          .where(col("o_orderkey") % 9 === 4 &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .withColumn("op", lit("D")))
+      graft.cdc.Upsert.applyOps(dest, batch, Seq("o_orderkey"), "op")
+        .orderBy("o_orderkey")
+    },
+
+    // Change data feed over the COW layout (CowStore.readChanges):
+    // data files are immutable, so only buckets whose manifest OWNER
+    // changed can differ — the diff reads exactly those buckets at
+    // both versions and never scans the inherited rest. The fixture
+    // drives all three change kinds through ONE applyCdc batch
+    // (U-updates on the overlap, U-inserts past the dest horizon,
+    // D-deletes on early keys); the oracle diffs the FULL before/after
+    // tables — matching it proves bucket-pruning lost nothing.
+    "q_cdc_changes" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val batch = ordersIncoming(s, d).withColumn("op", lit("U"))
+        .unionByName(dest
+          .where(col("o_orderkey") % 9 === 4 &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .withColumn("op", lit("D")))
+      val root = freshCowRoot("changes")
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      val v1 = store.versions().last
+      store.applyCdc(batch, "op")
+      store.readChangesSince(v1).get.orderBy("o_orderkey")
+    },
+
+    // Incremental mart maintenance over the change feed
+    // (cdc.IncrementalMart): the reference rebuilds marts in full 5
+    // minutes after every extract (all_schedules.py:40-52); here the
+    // mart — a filtered/projected/derived row-wise view — is patched
+    // from readChangeRows instead, through ONE applyCdc batch whose
+    // cost ∝ churn. The fixture exercises the corruption case a naive
+    // upsert-only refresh gets wrong: odd-key updates flip to status
+    // 'U', which the mart's isin('O','F') filter no longer emits —
+    // those rows must be DELETED from the mart, not left stale. The
+    // oracle restates transform(final source) — incremental must equal
+    // the rebuild.
+    "q_cdc_mart_incremental" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val batch = ordersIncoming(s, d)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 2 === 0, lit("F")).otherwise(lit("U")))
+        .withColumn("op", lit("U"))
+        .unionByName(dest
+          .where(col("o_orderkey") % 9 === 4 &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .withColumn("op", lit("D")))
+      def martOf(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("o_orderstatus").isin("O", "F"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("double_price"),
+            col("o_orderdate"))
+      val source = new graft.cdc.CowStore(s, freshCowRoot("mart_src"),
+        Seq("o_orderkey"), nBuckets = 16)
+      val mart = new graft.cdc.CowStore(s, freshCowRoot("mart_dst"),
+        Seq("o_orderkey"), nBuckets = 16)
+      source.writeFull(dest)
+      val cursor = graft.cdc.IncrementalMart.build(source, martOf, mart).get
+      source.applyCdc(batch, "op")
+      graft.cdc.IncrementalMart.refresh(source, cursor, martOf, mart,
+        Seq("o_orderkey"))
+      mart.read().get.orderBy("o_orderkey")
+    },
+
     // C2 — upsert + global keep-latest-per-key dedup (base_loader.py:340-475).
     "q_cdc_upsert_dedup" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
@@ -535,6 +641,82 @@ object CdcQueries {
         |  FROM inc0)
         |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc0)
         |UNION ALL SELECT * FROM win
+        |ORDER BY o_orderkey""".stripMargin,
+    // Surviving set after the keyed delete (absent-key probes no-op).
+    "q_cdc_delete" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-07-01'
+        |  AND o_orderkey % 9 <> 4
+        |ORDER BY o_orderkey""".stripMargin,
+    // Delete-all-batch-keys + insert-non-deletes, restated.
+    "q_cdc_apply_ops" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |del AS (
+        |  SELECT o_orderkey FROM dest
+        |  WHERE o_orderkey % 9 = 4 AND o_orderdate < TIMESTAMP '2000-01-01')
+        |SELECT * FROM dest
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |UNION ALL SELECT * FROM inc
+        |ORDER BY o_orderkey""".stripMargin,
+    // The change feed restated as a FULL before/after diff (the engine
+    // reads only changed-owner buckets; matching the full diff proves
+    // the pruning lost nothing). Same IS DISTINCT FROM tuple compare
+    // as q_cdc_snapshot_diff.
+    "q_cdc_changes" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |del AS (
+        |  SELECT o_orderkey FROM dest
+        |  WHERE o_orderkey % 9 = 4 AND o_orderdate < TIMESTAMP '2000-01-01'),
+        |fin AS (
+        |  SELECT * FROM dest
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL SELECT * FROM inc)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM dest o FULL OUTER JOIN fin n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |  OR (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+        |      o.o_orderpriority)
+        |     IS DISTINCT FROM
+        |     (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate,
+        |      n.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    // The incremental mart must equal transform(final source) — a
+    // stale filtered-out update or an unapplied delete diverges here.
+    "q_cdc_mart_incremental" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'F' ELSE 'U' END
+        |      AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |del AS (
+        |  SELECT o_orderkey FROM dest
+        |  WHERE o_orderkey % 9 = 4 AND o_orderdate < TIMESTAMP '2000-01-01'),
+        |fin AS (
+        |  SELECT * FROM dest
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL SELECT * FROM inc)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS double_price, o_orderdate
+        |FROM fin WHERE o_orderstatus IN ('O', 'F')
         |ORDER BY o_orderkey""".stripMargin,
     "q_cdc_upsert_dedup" ->
       """WITH inc AS (

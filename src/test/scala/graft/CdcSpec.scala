@@ -265,6 +265,42 @@ class CdcSpec extends AnyFunSuite {
       && versions(1).getAs[java.sql.Timestamp](Scd2.ValidTo) == null)
   }
 
+  test("applyOps: deletes remove, upserts replace/append, NULL and " +
+      "unknown ops land as upserts") {
+    val dest = df(Seq((1L, "a", "t1"), (2L, "b", "t1"), (3L, "c", "t1")))
+    val batch = df(Seq((2L, "b2", "t2"), (3L, "ignored", "t2"),
+        (4L, "d", "t2"), (5L, "e", "t2")))
+      .withColumn("op",
+        when(col("id") === 2L, lit("U"))     // update
+          .when(col("id") === 3L, lit("D"))  // delete
+          .when(col("id") === 4L, lit("I"))  // insert (≡ upsert)
+          .otherwise(lit(null: String)))     // NULL op → upsert
+    val got = Upsert.applyOps(dest, batch, Seq("id"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e")))
+    // the op column never reaches the destination
+    assert(!Upsert.applyOps(dest, batch, Seq("id"), "op")
+      .columns.contains("op"))
+  }
+
+  test("applyOps: a key carrying both a delete and a non-delete row " +
+      "lands the non-delete row; empty batch is a no-op; op-name " +
+      "collision with dest payload is rejected") {
+    val dest = df(Seq((1L, "a", "t1")))
+    val both = df(Seq((1L, "kept", "t2"), (1L, "dropped", "t2")))
+      .withColumn("op", when(col("attr") === "kept", lit("U"))
+        .otherwise(lit("D")))
+    val got = Upsert.applyOps(dest, both, Seq("id"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "kept")))
+    val empty = df(Seq.empty).withColumn("op", lit("D"))
+    assert(Upsert.applyOps(dest, empty, Seq("id"), "op")
+      .collect().toSet == dest.collect().toSet)
+    intercept[IllegalArgumentException] { // "track" is dest payload
+      Upsert.applyOps(dest, both.drop("op"), Seq("id"), "track")
+    }
+  }
+
   test("SCD2 is stable when nothing changed (idempotent re-run)") {
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")

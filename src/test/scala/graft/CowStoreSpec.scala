@@ -371,6 +371,178 @@ class CowStoreSpec extends AnyFunSuite {
       Seq("k", "tag", "v", "extra"))
   }
 
+  test("delete removes exactly the probed keys, bucket-pruned; absent " +
+      "keys no-op; an empty probe commits nothing") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 16)
+    store.writeFull(rows(0 until 400, "old")) // v1
+    val probe = (Seq(7L, 42L, 300L) ++ Seq(99999L)).toDF("k")
+    store.delete(probe) // v2
+    val got = collectSet(store.read().get)
+    assert(got == collectSet(rows(0 until 400, "old")
+      .where(!col("k").isin(7L, 42L, 300L))))
+    // untouched buckets inherited: v1 still referenced
+    val man = store.currentManifest
+    assert(man.values.toSet == Set(1, 2))
+    val touched = probe.where(col("k") =!= 99999L)
+      .select(store.bucketOf).distinct().collect().map(_.getInt(0)).toSet
+    assert(man.filter(_._2 == 2).keySet.subsetOf(
+      touched + probe.where(col("k") === 99999L)
+        .select(store.bucketOf).head().getInt(0)))
+    // an empty probe commits no new version
+    val vmax = store.versions().max
+    store.delete(Seq(123456789L).toDF("k").where(col("k") < 0))
+    assert(store.versions().max == vmax)
+    // int-typed probe keys cast to the stored long before routing
+    store.delete(Seq(7, 8).toDF("k")) // 7 already gone; 8 present
+    assert(collectSet(store.read().get) ==
+      collectSet(rows(0 until 400, "old")
+        .where(!col("k").isin(7L, 8L, 42L, 300L))))
+  }
+
+  test("applyCdc equals the applyOps kernel; first load on an empty " +
+      "store keeps only non-delete rows") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    val dest = rows(0 until 200, "old")
+    store.writeFull(dest)
+    val batch = rows(150 until 230, "new").withColumn("op",
+        when(col("k") % 2 === 0, lit("U")).otherwise(lit("I")))
+      .unionByName(rows(10 until 20, "x").withColumn("op", lit("D")))
+    store.applyCdc(batch, "op")
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert.applyOps(dest, batch, Seq("k"), "op")))
+    // empty batch: no-op, no version churn
+    val vmax = store.versions().max
+    store.applyCdc(rows(0 until 0, "e").withColumn("op", lit("D")), "op")
+    assert(store.versions().max == vmax)
+    // first load: deletes have nothing to act on; non-deletes land
+    val store2 = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    store2.applyCdc(batch, "op")
+    assert(collectSet(store2.read().get) ==
+      collectSet(rows(150 until 230, "new")))
+    // payload drift through the CDC batch: missing column null-fills
+    store.applyCdc(Seq((5L, "drifted")).toDF("k", "tag")
+      .withColumn("op", lit("U")), "op")
+    val r5 = store.read().get.where(col("k") === 5L).collect()
+    assert(r5.length == 1 && r5(0).getString(1) == "drifted"
+      && r5(0).isNullAt(2))
+  }
+
+  test("readChanges diffs ONLY changed-owner buckets yet equals the " +
+      "full-table diff; compaction windows diff empty; vacuumed or " +
+      "unknown versions return None") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 16)
+    store.writeFull(rows(0 until 300, "old"))               // v1
+    val batch = rows(290 until 320, "new").withColumn("op", lit("U"))
+      .unionByName(rows(3 until 6, "d").withColumn("op", lit("D")))
+    store.applyCdc(batch, "op")                             // v2
+    val got = store.readChanges(1, 2).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // full-table truth via Diff over the time-traveled snapshots
+    val want = graft.cdc.Diff.snapshotDiff(
+        store.readVersion(1).get, store.readVersion(2).get, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.count(_._2 == "removed") == 3)
+    assert(got.count(_._2 == "added") == 20)   // 300..319
+    assert(got.count(_._2 == "changed") == 10) // 290..299
+    // same-version window: empty
+    assert(store.readChanges(2, 2).get.isEmpty)
+    // a compaction-only window: ownership changed, rows didn't
+    store.compact(maxReferenced = 1)                        // v3
+    assert(store.readChanges(2, 3).get.isEmpty)
+    // readChangesSince composes from a remembered version to current
+    assert(store.readChangesSince(1).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == got)
+    // unknown / vacuumed versions: None (not an exception)
+    assert(store.readChanges(1, 99).isEmpty)
+    store.vacuum() // retires v1 and v2 (v3 owns everything)
+    assert(store.readChanges(1, 3).isEmpty)
+  }
+
+  test("readChanges compares under the NEWER version's schema: an " +
+      "evolution-widened column participates") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 20, "old"))                // v1
+    store.upsert(Seq((5L, "old", 50.0, "x")).toDF("k", "tag", "v", "extra"),
+      evolve = true)                                        // v2
+    val got = store.readChanges(1, 2).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // k=5 kept tag/v identical — only the evolved column's value makes
+    // it 'changed' (pre-evolution rows null-fill `extra`)
+    assert(got == Set((5L, "changed")))
+  }
+
+  test("readChangeRows carries post-images for added/changed and the " +
+      "pre-image for removed, under the newer schema") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 50, "old"))                // v1
+    val batch = rows(45 until 55, "new").withColumn("op", lit("U"))
+      .unionByName(rows(2 until 4, "x").withColumn("op", lit("D")))
+    store.applyCdc(batch, "op")                             // v2
+    val got = store.readChangeRows(1, 2).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      .toSet
+    val want =
+      (45 until 50).map(k => (k.toLong, "new", "changed")).toSet ++
+        (50 until 55).map(k => (k.toLong, "new", "added")) ++
+        (2 until 4).map(k => (k.toLong, "old", "removed"))
+    assert(got == want)
+    // keys-only feed agrees with the row feed's tags
+    assert(store.readChanges(1, 2).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      got.map { case (k, _, c) => (k, c) })
+  }
+
+  test("IncrementalMart: incremental refresh equals a full rebuild — " +
+      "including filtered-out updates (delete, not stale) — across " +
+      "multiple drains; cursor semantics") {
+    def martOf(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("v") < 400.0) // updates can move rows OUT of the mart
+        .select(col("k"), col("tag"), (col("v") * 2).as("v2"))
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val mart = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    source.writeFull(rows(0 until 100, "old")) // v in [0, 990]
+    val c0 = graft.cdc.IncrementalMart.build(source, martOf, mart).get
+    // drain 1: an I/U/D mix; the +77 pushes k=33..39 (old v 330..390,
+    // IN the mart) past the 400 filter — they must VANISH from the
+    // mart, the case a naive upsert-only refresh leaves stale
+    val b1 = rows(30 until 45, "u1")
+      .withColumn("v", col("v") + 77.0).withColumn("op", lit("U"))
+      .unionByName(rows(5 until 8, "d").withColumn("op", lit("D")))
+    source.applyCdc(b1, "op")
+    val c1 = graft.cdc.IncrementalMart.refresh(source, c0, martOf, mart,
+      Seq("k")).get
+    // drain 2: plain upsert — an update moving k=40,41 back INTO the
+    // mart, plus genuinely new in-filter keys
+    source.upsert(rows(40 until 42, "u2").withColumn("v", col("v") - 100.0)
+      .union(rows(100 until 110, "u2").withColumn("v", col("v") - 800.0)))
+    val c2 = graft.cdc.IncrementalMart.refresh(source, c1, martOf, mart,
+      Seq("k")).get
+    val rebuilt = martOf(source.read().get)
+    assert(mart.read().get.collect().map(_.toSeq).toSet ==
+      rebuilt.collect().map(_.toSeq).toSet)
+    assert(c0 == 1 && c1 > c0 && c2 > c1)
+    // idempotent re-drain of an already-applied window converges
+    graft.cdc.IncrementalMart.refresh(source, c1, martOf, mart, Seq("k"))
+    assert(mart.read().get.collect().map(_.toSeq).toSet ==
+      rebuilt.collect().map(_.toSeq).toSet)
+    // a transform that drops the key column is rejected
+    intercept[IllegalArgumentException] {
+      graft.cdc.IncrementalMart.refresh(source, c1,
+        df => df.select(col("tag")), mart, Seq("k"))
+    }
+    // a vacuumed-away cursor returns None (consumer must rebuild)
+    source.writeFull(source.read().get)
+    source.vacuum()
+    assert(graft.cdc.IncrementalMart.refresh(source, c1, martOf, mart,
+      Seq("k")).isEmpty)
+  }
+
   test("missing pointer crash-forwards to the newest manifest version") {
     val root = freshRoot()
     val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
