@@ -77,4 +77,49 @@ object Scd2 {
   /** Current-row view (P8): `WHERE valid_to IS NULL` (dim_users.sql:15). */
   def currentRows(snapshot: DataFrame): DataFrame =
     snapshot.where(col(ValidTo).isNull)
+
+  /** SCD2 maintenance from a CHANGE FEED ([[CowStore.readChangeRows]]'s
+    * row shape — attr columns + a `change` tag) instead of a full
+    * staged snapshot. The reference's dbt snapshot re-stages the whole
+    * table every run (users_snapshot.sql:1-18, select * over staging);
+    * at 100 TB the history join's staged side should be the CHURN, not
+    * the table.
+    *
+    * The no-delete case is [[apply]] by composition — zero new kernel
+    * logic, because the kernel's "key missing from staged stays open"
+    * rule (the dbt default) makes absent-because-unchanged
+    * indistinguishable from present-and-unchanged: both emit the open
+    * row untouched (Scd2 parity is spec-pinned, deletes included).
+    * Changed-on-a-non-check-column rows pass through the kernel's own
+    * `checkCols` comparison exactly as a full-staged run would.
+    *
+    * `invalidateHardDeletes = true` additionally CLOSES the open rows
+    * of `removed` keys (`valid_to = asOf`, no successor) — dbt's
+    * `invalidate_hard_deletes` flag, which the full-staged form cannot
+    * express without re-deriving the delete set by anti-join; the feed
+    * carries it directly. One extra broadcast-able left join keyed on
+    * the (tiny) removed-key set; closed history rows never rejoin. */
+  def applyChanges(current: DataFrame, changes: DataFrame,
+      keys: Seq[String], checkCols: Seq[String],
+      asOf: java.sql.Timestamp,
+      invalidateHardDeletes: Boolean = false): DataFrame = {
+    require(changes.columns.contains("change"),
+      "changes must carry the change-feed tag column `change` " +
+        "(readChangeRows / Diff.changeRows output)")
+    val staged = changes.where(col("change") =!= Diff.Removed)
+      .drop("change")
+    val snap = apply(current, staged, keys, checkCols, asOf)
+    if (!invalidateHardDeletes) snap
+    else {
+      val delKeys = changes.where(col("change") === Diff.Removed)
+        .select(keys.map(col): _*).distinct()
+        .withColumn("__del", lit(true))
+      snap.join(delKeys, keys, "left")
+        .withColumn(ValidTo,
+          when(col("__del") && col(ValidTo).isNull, lit(asOf))
+            .otherwise(col(ValidTo)))
+        .drop("__del")
+        .select(snap.columns.map(col).toSeq: _*)
+    }
+  }
 }

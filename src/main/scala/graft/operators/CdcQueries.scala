@@ -357,6 +357,40 @@ object CdcQueries {
         .orderBy("c_custkey", Scd2.ValidFrom)
     },
 
+    // C6 driven by the CHANGE FEED (Scd2.applyChanges): the dbt
+    // snapshot re-stages the whole table every run; here the staged
+    // side is readChangeRows' churn — changed keys close+insert, added
+    // keys insert, unchanged keys never enter the join, and removed
+    // keys' open rows are CLOSED (invalidate_hard_deletes, which the
+    // full-staged form cannot express). D keys are %7∧¬%3 so the
+    // change kinds stay disjoint; the oracle states each leg closed-
+    // form.
+    "q_cdc_scd2_changes" -> { (s, d) =>
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val src = new graft.cdc.CowStore(s, freshCowRoot("scd2chg"),
+        Seq("c_custkey"), nBuckets = 16)
+      src.writeFull(c)
+      val batch = c.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .withColumn("op", lit("U"))
+        .unionByName(c.where(col("c_custkey") % 5 === 0).select(
+            (col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("new_"), col("c_name")).as("c_name"),
+            lit("NEW").as("c_mktsegment"))
+          .withColumn("op", lit("I")))
+        .unionByName(c.where(col("c_custkey") % 7 === 0 &&
+            col("c_custkey") % 3 =!= 0)
+          .withColumn("op", lit("D")))
+      src.applyCdc(batch, "op")
+      val changes = src.readChangeRows(1, src.version.get).get
+      graft.cdc.Scd2.applyChanges(graft.cdc.Scd2.init(c, t1), changes,
+          Seq("c_custkey"), Seq("c_mktsegment"), asOf,
+          invalidateHardDeletes = true)
+        .orderBy("c_custkey", graft.cdc.Scd2.ValidFrom)
+    },
+
     // P8 companion — current-row view over the SCD2 result.
     "q_cdc_scd2_current" -> { (s, d) =>
       val snapshot = queries("q_cdc_scd2")(s, d)
@@ -761,6 +795,32 @@ object CdcQueries {
         |  UNION ALL
         |  SELECT c_custkey, c_name, 'MOVED', TIMESTAMP '2024-02-01',
         |    CAST(NULL AS TIMESTAMP) FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new_' || c_name, 'NEW',
+        |    TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP)
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    // Each change-feed leg closed-form: changed (%3) close+insert,
+    // hard-deleted (%7∧¬%3) close only, added (+1e6, %5) insert,
+    // untouched stay open at t1.
+    "q_cdc_scd2_changes" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT * FROM cur WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, valid_from,
+        |    TIMESTAMP '2024-02-01' FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'MOVED', TIMESTAMP '2024-02-01',
+        |    CAST(NULL AS TIMESTAMP) FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, valid_from,
+        |    TIMESTAMP '2024-02-01' FROM cur
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
         |  UNION ALL
         |  SELECT c_custkey + 1000000, 'new_' || c_name, 'NEW',
         |    TIMESTAMP '2024-02-01', CAST(NULL AS TIMESTAMP)

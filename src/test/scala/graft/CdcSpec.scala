@@ -301,6 +301,38 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd2.applyChanges: change-feed-driven snapshot equals the " +
+      "full-staged run (deletes stay open by default); " +
+      "invalidateHardDeletes closes them with no successor") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    // key1: check-col change; key2: untouched; key3: hard-deleted;
+    // key4: NON-check column change (stays open, old payload — dbt
+    // check semantics); key5: added
+    val v1 = df(Seq((1L, "a", "p"), (2L, "b", "q"), (3L, "c", "r"),
+      (4L, "d", "s")))
+    val v2 = df(Seq((1L, "a2", "p"), (2L, "b", "q"), (4L, "d", "s2"),
+      (5L, "e", "t")))
+    val cur = Scd2.init(v1, t1)
+    val full = Scd2(cur, v2, Seq("id"), Seq("attr"), t2)
+    val ch = Diff.changeRows(v1, v2, Seq("id"))
+    val viaFeed = Scd2.applyChanges(cur, ch, Seq("id"), Seq("attr"), t2)
+    assert(viaFeed.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet,
+      "feed-driven and full-staged snapshots must be identical")
+    // the feed-driven run's staged side is only the churn
+    assert(ch.count() == 4) // changed 1, changed 4, removed 3, added 5
+    val hard = Scd2.applyChanges(cur, ch, Seq("id"), Seq("attr"), t2,
+      invalidateHardDeletes = true)
+    val k3 = hard.where(col("id") === 3L).collect()
+    assert(k3.length == 1 &&
+      k3(0).getAs[java.sql.Timestamp](Scd2.ValidTo) == t2,
+      "hard delete closes the open row with no successor")
+    // everything else identical to the default run
+    assert(hard.where(col("id") =!= 3L).collect().map(_.toSeq).toSet ==
+      viaFeed.where(col("id") =!= 3L).collect().map(_.toSeq).toSet)
+  }
+
   test("SCD2 is stable when nothing changed (idempotent re-run)") {
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
