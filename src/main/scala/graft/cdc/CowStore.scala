@@ -707,9 +707,24 @@ final class CowStore(spark: SparkSession, root: String,
     * dirs (a writer staked the version but never published a
     * manifest) below the current version are aborted commits — their
     * writer's CAS can no longer succeed (its base predates the
-    * current version) — and are reclaimed too. */
-  def vacuum(): Unit = currentVersion.foreach { cur =>
-    val live = currentManifest.values.toSet + cur
+    * current version) — and are reclaimed too.
+    *
+    * `retainLast` is the CDF/time-travel retention window (Delta's
+    * `delta.deletedFileRetentionDuration` idea in version units): the
+    * newest `retainLast` COMMITTED versions stay fully readable — each
+    * retained version keeps every older dir its own manifest still
+    * references, so [[readVersion]]/[[readChanges]] over the retained
+    * window keep working after maintenance. An incremental consumer
+    * ([[IncrementalMart]]) that may fall `k` drains behind needs
+    * `retainLast >= k + 1`; one that fell further behind gets `None`
+    * and rebuilds (the standard CDF retention contract). Default 0 =
+    * current-only, the tightest reclaim. */
+  def vacuum(retainLast: Int = 0): Unit = currentVersion.foreach { cur =>
+    val retained = versions()
+      .filter(v => v <= cur && fs.exists(manifestPath(v)))
+      .takeRight(math.max(retainLast, 1))
+    val live = retained.flatMap(v => manifest(v).values).toSet ++
+      retained + cur
     versions().filter(v => v < cur && !live.contains(v)).foreach { v =>
       fs.delete(versionDir(v), true)
     }

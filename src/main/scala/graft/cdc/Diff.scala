@@ -70,6 +70,9 @@ object Diff {
     * that APPLY the changes. */
   def changeRows(oldSnap: DataFrame, newSnap: DataFrame,
       keys: Seq[String], compareCols: Seq[String] = Seq.empty): DataFrame = {
+    require(!newSnap.columns.contains("change") &&
+        !oldSnap.columns.contains("change"),
+      "`change` is the change feed's tag column; rename the input column")
     val payload = newSnap.columns.filterNot(keys.contains).toSeq
     val cmp =
       if (compareCols.nonEmpty) compareCols

@@ -65,6 +65,9 @@ object IncrementalMart {
         require(missingKeys.isEmpty,
           s"transform must preserve key column(s) " +
             missingKeys.mkString(","))
+        require(!upserts.columns.contains(Op),
+          s"$Op is the refresh's reserved op column; the transform " +
+            "must not emit it")
         // every changed key the transform did not re-emit is deleted:
         // removed keys AND updates the transform now filters out
         val dels = chC.select(keys.map(col): _*).distinct()

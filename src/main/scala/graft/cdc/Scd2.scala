@@ -111,6 +111,8 @@ object Scd2 {
     val snap = apply(current, staged, keys, checkCols, asOf)
     if (!invalidateHardDeletes) snap
     else {
+      require(!current.columns.contains("__del"),
+        "__del is applyChanges' reserved marker column; rename it")
       val delKeys = changes.where(col("change") === Diff.Removed)
         .select(keys.map(col): _*).distinct()
         .withColumn("__del", lit(true))

@@ -543,6 +543,33 @@ class CowStoreSpec extends AnyFunSuite {
       Seq("k")).isEmpty)
   }
 
+  test("vacuum(retainLast) keeps a CDF/time-travel window readable: " +
+      "retained versions keep their manifest deps; tighter reclaims " +
+      "drop them") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 100, "old")) // v1
+    store.upsert(rows(0 until 3, "a"))        // v2
+    store.upsert(rows(4 until 7, "b"))        // v3
+    store.writeFull(store.read().get)         // v4: owns every bucket
+    val before = collectSet(store.read().get)
+    // retain the last 2 committed versions: v3 stays readable, and
+    // keeping it transitively keeps v1/v2 (its manifest references
+    // them) — the change feed over the retained window still works
+    store.vacuum(retainLast = 2)
+    assert(store.readVersion(3).isDefined,
+      "retained version stays fully readable (its deps survive)")
+    assert(collectSet(store.readVersion(3).get) == before,
+      "v3 == v4's content here (the full rewrite changed no rows)")
+    assert(store.readChanges(3, 4).isDefined,
+      "the change feed over the retained window still works")
+    // tightest reclaim: current-only (the pre-retention default)
+    store.vacuum()
+    assert(store.versions() == Seq(4))
+    assert(store.readChanges(3, 4).isEmpty, "window fell out of retention")
+    assert(collectSet(store.read().get) == before)
+  }
+
   test("missing pointer crash-forwards to the newest manifest version") {
     val root = freshRoot()
     val store = new CowStore(spark, root, Seq("k"), nBuckets = 4)
