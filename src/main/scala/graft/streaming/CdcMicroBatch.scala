@@ -111,6 +111,45 @@ object CdcMicroBatch {
     q.awaitTermination()
   }
 
+  /** End-to-end streaming CDC: drain micro-batches into the COW
+    * source AND patch a downstream row-wise mart from the change feed
+    * after each committed batch — the reference's extract-then-marts
+    * cadence (`all_schedules.py:40-52`, marts cron'd 5 minutes after
+    * extracts) collapsed into one converging stream, with the mart
+    * work ∝ churn instead of a rebuild per run. The feed cursor rides
+    * the driver closure between batches; on a checkpoint replay the
+    * re-upsert is idempotent and the re-drained window re-applies the
+    * same patch ([[graft.cdc.IncrementalMart]]'s convergence
+    * contract), so stream state needs no custom store. A mart that
+    * does not exist yet is built from the first drained snapshot. */
+  def runAvailableNowCowMart(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: graft.cdc.CowStore,
+      mart: graft.cdc.CowStore, transform: DataFrame => DataFrame,
+      keys: Seq[String], checkpoint: String): Unit = {
+    var cursor = store.version.getOrElse(0)
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsert(batch)
+        // store.version is Some after the upsert, so build().get is
+        // total here; a refresh whose cursor fell out of retention
+        // (None) rebuilds — the IncrementalMart contract.
+        def rebuild(): Int =
+          graft.cdc.IncrementalMart.build(store, transform, mart).get
+        cursor =
+          if (!mart.exists || cursor == 0) rebuild()
+          else graft.cdc.IncrementalMart.refresh(store, cursor,
+            transform, mart, keys).getOrElse(rebuild())
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuous variant: start a ProcessingTime-triggered upsert stream
     * (the reference's 15-min cadence analog); caller manages lifecycle. */
   def runContinuous(spark: SparkSession, sourceDir: String,
