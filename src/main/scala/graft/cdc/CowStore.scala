@@ -526,13 +526,15 @@ final class CowStore(spark: SparkSession, root: String,
     * tolerance as [[upsert]], with `opCol` riding alongside the
     * aligned payload and consumed before the write. */
   def applyCdc(batch: DataFrame, opCol: String,
-      deleteOps: Seq[String] = Seq("D", "d", "delete")): Unit = {
+      deleteOps: Seq[String] = Seq("D", "d", "delete"),
+      evolve: Boolean = false): Unit = {
     if (batch.isEmpty) return
-    applyCdcAt(batch, opCol, deleteOps, currentVersion)
+    applyCdcAt(batch, opCol, deleteOps, currentVersion, evolve)
   }
 
   private[graft] def applyCdcAt(batch: DataFrame, opCol: String,
-      deleteOps: Seq[String], base: Option[Int]): Unit = {
+      deleteOps: Seq[String], base: Option[Int],
+      evolve: Boolean = false): Unit = {
     val missingKeys = keys.filterNot(batch.columns.contains)
     require(missingKeys.isEmpty,
       s"CDC batch lacks key column(s) ${missingKeys.mkString(",")}")
@@ -554,20 +556,32 @@ final class CowStore(spark: SparkSession, root: String,
       return
     }
     val stored = storedSchema(man, base.get)
-    // Align payload to the stored schema with opCol riding along (the
+    stored.foreach(s => require(!s.fieldNames.contains(opCol),
+      s"stored schema already carries '$opCol' — the op column is " +
+        "batch metadata and must not collide with payload"))
+    // evolve follows upsert's additive contract: the batch's unknown
+    // non-op columns widen the authoritative schema; old files are
+    // never rewritten (readers null-fill).
+    val target = stored.map { s =>
+      if (!evolve) s
+      else {
+        val known = s.fieldNames.toSet + opCol
+        org.apache.spark.sql.types.StructType(
+          s.fields ++ batch.schema.fields.filterNot(f =>
+            known.contains(f.name)))
+      }
+    }
+    // Align payload to the target schema with opCol riding along (the
     // op is batch metadata, never part of the authoritative schema) —
     // BEFORE bucket derivation, as in upsertAt.
-    val aligned = stored.fold(batch) { s =>
-      require(!s.fieldNames.contains(opCol),
-        s"stored schema already carries '$opCol' — the op column is " +
-          "batch metadata and must not collide with payload")
+    val aligned = target.fold(batch) { s =>
       graft.schema.Normalize.alignToSchema(batch,
         org.apache.spark.sql.types.StructType(s.fields :+ batch.schema(opCol)))
     }
     val affected = aligned.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val v = allocateVersion(base.get + 1)
-    val merged = readPaths(bucketPaths(man, affected), stored) match {
+    val merged = readPaths(bucketPaths(man, affected), target) match {
       case Some(prev) =>
         Upsert.applyOps(prev, aligned, keys, opCol, deleteOps)
       case None => nonDelete(aligned).drop(opCol)

@@ -427,6 +427,15 @@ class CowStoreSpec extends AnyFunSuite {
     val r5 = store.read().get.where(col("k") === 5L).collect()
     assert(r5.length == 1 && r5(0).getString(1) == "drifted"
       && r5(0).isNullAt(2))
+    // evolve through the CDC batch (upsert parity): the unknown column
+    // widens the schema, the op column never does
+    store.applyCdc(Seq((6L, "e", 60.0, "x")).toDF("k", "tag", "v", "extra")
+      .withColumn("op", lit("U")), "op", evolve = true)
+    assert(store.read().get.columns.toSeq == Seq("k", "tag", "v", "extra"))
+    assert(store.read().get.where(col("k") === 6L)
+      .head().getString(3) == "x")
+    assert(store.read().get.where(col("k") === 5L)
+      .head().isNullAt(3), "pre-evolution rows null-fill")
   }
 
   test("readChanges diffs ONLY changed-owner buckets yet equals the " +
