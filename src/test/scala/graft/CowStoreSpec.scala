@@ -552,6 +552,21 @@ class CowStoreSpec extends AnyFunSuite {
       Seq("k")).isEmpty)
   }
 
+  test("a delete racing an upsert loses the CAS like any write") {
+    val root = freshRoot()
+    val store = new CowStore(spark, root, Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 100, "old")) // v1
+    store.upsertAt(rows(10 until 15, "A"), None, Some(1))
+    intercept[graft.cdc.ConcurrentWriteException] {
+      store.deleteAt(rows(12 until 20, "x").select("k"), Some(1))
+    }
+    // winner's merge intact; the retry against the fresh base works
+    store.delete(rows(12 until 20, "x").select("k"))
+    assert(collectSet(store.read().get) ==
+      collectSet(Upsert(rows(0 until 100, "old"), rows(10 until 15, "A"),
+        Seq("k")).where(col("k") < 12 || col("k") >= 20)))
+  }
+
   test("vacuum(retainLast) keeps a CDF/time-travel window readable: " +
       "retained versions keep their manifest deps; tighter reclaims " +
       "drop them") {
