@@ -623,18 +623,33 @@ final class CowStore(spark: SparkSession, root: String,
       Diff.changeRows(o, n, keys)
     }
 
-  /** The changed-owner bucket slices of versions `fromV`/`toV` (see
-    * [[readChanges]] for why owner-diff pruning is complete). */
-  private def changedSlices(fromV: Int, toV: Int)
-      : Option[(DataFrame, DataFrame)] = {
-    require(fromV <= toV, s"readChanges wants fromV <= toV, got $fromV > $toV")
+  /** The buckets whose manifest OWNER differs between (un-vacuumed)
+    * versions `fromV` and `toV` — the only buckets whose CONTENT can
+    * differ, since version data files are immutable (the pruning
+    * argument under [[readChanges]]). Exposed for consumers that
+    * maintain per-bucket derived state ([[graft.quality.IncrementalProfile]])
+    * and only want to recompute the churned buckets. None when either
+    * version never published a manifest (or was vacuumed). */
+  def changedBuckets(fromV: Int, toV: Int): Option[Seq[Int]] = {
+    require(fromV <= toV,
+      s"changedBuckets wants fromV <= toV, got $fromV > $toV")
     if (!fs.exists(manifestPath(fromV)) || !fs.exists(manifestPath(toV)))
       None
     else {
       val mOld = manifest(fromV)
       val mNew = manifest(toV)
-      val changed = (mOld.keySet ++ mNew.keySet).toSeq.sorted
-        .filter(b => mOld.get(b) != mNew.get(b))
+      Some((mOld.keySet ++ mNew.keySet).toSeq.sorted
+        .filter(b => mOld.get(b) != mNew.get(b)))
+    }
+  }
+
+  /** The changed-owner bucket slices of versions `fromV`/`toV` (see
+    * [[readChanges]] for why owner-diff pruning is complete). */
+  private def changedSlices(fromV: Int, toV: Int)
+      : Option[(DataFrame, DataFrame)] =
+    changedBuckets(fromV, toV).flatMap { changed =>
+      val mOld = manifest(fromV)
+      val mNew = manifest(toV)
       // toV's schema governs the compare (CDF convention); fall back to
       // fromV's, then to a footer, for pre-_SCHEMA stores.
       val sch = schemaOf(toV).orElse(schemaOf(fromV))
@@ -650,7 +665,6 @@ final class CowStore(spark: SparkSession, root: String,
         (slice(mOld), slice(mNew))
       }
     }
-  }
 
   /** [[readChanges]] from `sinceV` to the current version — the shape
     * an incremental downstream consumer (mart refresh, cache

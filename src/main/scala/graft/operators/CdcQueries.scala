@@ -280,6 +280,39 @@ object CdcQueries {
       mart.read().get.orderBy("o_orderkey")
     },
 
+    // Incrementally-maintained table profile over the COW store
+    // (quality.IncrementalProfile): per-(bucket,column) mergeable stat
+    // rows refreshed ONLY for manifest-changed buckets (counts add,
+    // min/max fold, distinct rides a union-able HLL sketch), so the
+    // profile of a 100 TB destination stays current at churn cost.
+    // The exact columns here equal a from-scratch profile of the final
+    // table — the oracle restates them per column; the HLL estimate is
+    // spec-gated (engine-specific bytes, the statsApprox precedent).
+    "q_profile_incremental" -> { (s, d) =>
+      import graft.quality.IncrementalProfile
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val batch = ordersIncoming(s, d).withColumn("op", lit("U"))
+        .unionByName(dest
+          .where(col("o_orderkey") % 9 === 4 &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .withColumn("op", lit("D")))
+      val src = new graft.cdc.CowStore(s, freshCowRoot("iprof_src"),
+        Seq("o_orderkey"), nBuckets = 16)
+      val stats = new graft.cdc.CowStore(s, freshCowRoot("iprof_stats"),
+        Seq("bkt", "col_name"), nBuckets = 8)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "o_orderstatus")
+      src.writeFull(dest)
+      val c0 = IncrementalProfile.build(src, cols, stats).get
+      src.applyCdc(batch, "op")
+      IncrementalProfile.refresh(src, c0, cols, stats)
+      IncrementalProfile.global(stats).get
+        .select("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+          "min_str", "max_str")
+        .orderBy("col_name")
+    },
+
     // C2 — upsert + global keep-latest-per-key dedup (base_loader.py:340-475).
     "q_cdc_upsert_dedup" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
@@ -752,6 +785,49 @@ object CdcQueries {
         |  o_totalprice * 2 AS double_price, o_orderdate
         |FROM fin WHERE o_orderstatus IN ('O', 'F')
         |ORDER BY o_orderkey""".stripMargin,
+    // The incremental profile's exact columns restated per column over
+    // the FINAL table (the q_profile_stats pattern minus n_distinct,
+    // which is HLL-approximate and spec-gated instead).
+    "q_profile_incremental" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |del AS (
+        |  SELECT o_orderkey FROM dest
+        |  WHERE o_orderkey % 9 = 4 AND o_orderdate < TIMESTAMP '2000-01-01'),
+        |fin AS (
+        |  SELECT * FROM dest
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL SELECT * FROM inc)
+        |SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_custkey) AS n_nulls,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM fin
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  epoch(min(o_orderdate)), epoch(max(o_orderdate)), NULL, NULL
+        |FROM fin
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |  CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE),
+        |  NULL, NULL FROM fin
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(*) - count(o_orderpriority), NULL, NULL,
+        |  min(o_orderpriority), max(o_orderpriority) FROM fin
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM fin
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  min(o_totalprice), max(o_totalprice), NULL, NULL FROM fin
+        |ORDER BY col_name""".stripMargin,
     "q_cdc_upsert_dedup" ->
       """WITH inc AS (
         |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,

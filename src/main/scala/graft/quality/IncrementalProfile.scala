@@ -1,0 +1,166 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
+
+import graft.cdc.CowStore
+
+/** Incrementally-maintained table profile over a [[CowStore]] — the
+  * [[Profile]] summary (row count, per-column nulls, min/max,
+  * approximate distinct) kept current at CHURN cost instead of a full
+  * rescan per load. The reference re-probes its destinations after
+  * every sync (dbt schema tests + ad-hoc `count()/uniq()`); at 100 TB
+  * a per-load full profile re-reads the world to re-derive statistics
+  * over rows that did not change.
+  *
+  * Mechanism: the store's buckets partition its rows, and every
+  * Profile statistic is MERGEABLE across a partition of the data —
+  * counts add, min/max fold, and distinct rides a DataSketches HLL
+  * (`hll_sketch_agg`), whose union over disjoint row sets is exact
+  * sketch semantics (the [[graft.operators.DistinctSketch]] contract).
+  * So the maintained state is one stat row per (bucket, column) in its
+  * own (tiny) CowStore, and a [[refresh]] recomputes ONLY the buckets
+  * `CowStore.changedBuckets` reports — immutable version files mean an
+  * unchanged-owner bucket cannot have changed — applying the patch as
+  * one I/U/D [[CowStore.applyCdc]] batch (buckets emptied by deletes
+  * drop their rows; the same anti-join shape as
+  * [[graft.cdc.IncrementalMart]]). [[global]] folds the ≤ nBuckets ×
+  * nCols stat rows: sums, min/max re-folds, and one `hll_union_agg`
+  * per column.
+  *
+  * Exactness: everything except `n_distinct_approx` is EXACT and
+  * equals a from-scratch [[Profile.stats]] of the current table
+  * (`q_profile_incremental` pins that against the DuckDB oracle);
+  * the distinct estimate is the [[Profile.statsApprox]] trade —
+  * deletes make exact distinct non-mergeable (you cannot subtract
+  * from a count), while the HLL union over the SURVIVING buckets'
+  * re-aggregated sketches stays correct because vanished rows'
+  * contributions are recomputed away with their bucket, never
+  * subtracted.
+  */
+object IncrementalProfile {
+
+  private val Op = "__op"
+
+  private def isNum(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case _: NumericType | TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+
+  private def asNum(df: DataFrame, c: String)(v: Column): Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType | DateType => v.cast(TimestampType).cast("double")
+      case _ => v.cast("double")
+    }
+
+  /** Per-(bucket, column) mergeable stat rows of `df` (which must
+    * carry the `bkt` tag): one column-pruned groupBy(bkt) leg per
+    * profiled column, unioned — [[Profile.profiled]]'s Expand-free
+    * shape with bucket granularity. */
+  private[graft] def bucketStats(df: DataFrame, cols: Seq[String],
+      lgK: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(isNum(df, c) || df.schema(c).dataType == StringType,
+        s"unsupported profile type for $c: ${df.schema(c).dataType}")
+    }
+    val legs = cols.map { c =>
+      // hll_sketch_agg accepts int/bigint/string/binary only — sketch
+      // the STRING form, an injective encoding for every profile type
+      // (distinct values stay distinct; the estimate is approximate
+      // anyway). The encoding is fixed per column, so unions across
+      // refreshes stay coherent.
+      val agged = df.select(col("bkt"), col(c)).groupBy(col("bkt")).agg(
+        count(lit(1)).as("__n"), count(col(c)).as("__nn"),
+        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as("__hll"),
+        min(col(c)).as("__mn"), max(col(c)).as("__mx"))
+      if (isNum(df, c))
+        agged.select(col("bkt"), lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col("__nn")).as("n_nulls"),
+          asNum(df, c)(col("__mn")).as("min_num"),
+          asNum(df, c)(col("__mx")).as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"),
+          col("__hll").as("hll"))
+      else
+        agged.select(col("bkt"), lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col("__nn")).as("n_nulls"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("__mn").cast("string").as("min_str"),
+          col("__mx").cast("string").as("max_str"),
+          col("__hll").as("hll"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
+  private def tagged(source: CowStore, df: DataFrame): DataFrame =
+    df.withColumn("bkt", source.bucketOf)
+
+  /** First build (or rebuild): full-table bucket stats into `stats`
+    * (a CowStore keyed on `("bkt", "col_name")`); returns the source
+    * version covered — the cursor [[refresh]] resumes from. */
+  def build(source: CowStore, cols: Seq[String], stats: CowStore,
+      lgK: Int = 12): Option[Int] =
+    source.version.map { cur =>
+      source.read().foreach(df =>
+        stats.writeFull(bucketStats(tagged(source, df), cols, lgK)))
+      cur
+    }
+
+  /** Patch the stat rows for the buckets that changed between `sinceV`
+    * and the current version — recompute ∝ churn, never the table.
+    * Returns the new cursor; None when the source has no committed
+    * version or `sinceV` fell out of retention (rebuild then). */
+  def refresh(source: CowStore, sinceV: Int, cols: Seq[String],
+      stats: CowStore, lgK: Int = 12): Option[Int] =
+    source.version.flatMap { cur =>
+      source.changedBuckets(sinceV, cur).map { changed =>
+        if (changed.nonEmpty) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          // every (changed bucket × column) stat key — config-bounded
+          val allKeys = changed.flatMap(b => cols.map(c => (b, c)))
+            .toDF("bkt", "col_name")
+          val batch = source.readBuckets(changed) match {
+            case Some(slice) =>
+              val recomputed = bucketStats(tagged(source, slice), cols, lgK)
+              // keys the recompute did not re-emit lost all their rows
+              val dels = allKeys.join(
+                recomputed.select("bkt", "col_name"),
+                Seq("bkt", "col_name"), "left_anti")
+              recomputed.withColumn(Op, lit("U")).unionByName(
+                graft.schema.Normalize.alignToSchema(dels,
+                  recomputed.schema).withColumn(Op, lit("D")))
+            case None => // every changed bucket is now empty
+              allKeys.withColumn(Op, lit("D"))
+          }
+          stats.applyCdc(batch, Op)
+        }
+        cur
+      }
+    }
+
+  /** The table profile folded from the maintained stat rows —
+    * ≤ nBuckets × nCols inputs, never the table: counts sum, min/max
+    * re-fold, distinct is one HLL union per column. Output matches
+    * [[Profile.stats]]'s shape with `n_distinct_approx` in place of
+    * the exact `n_distinct`. */
+  def global(stats: CowStore): Option[DataFrame] =
+    stats.read().map { rows =>
+      rows.groupBy(col("col_name")).agg(
+          sum(col("n_rows")).as("n_rows"),
+          sum(col("n_nulls")).as("n_nulls"),
+          coalesce(hll_sketch_estimate(hll_union_agg(col("hll"),
+            lit(false))), lit(0L)).as("n_distinct_approx"),
+          min(col("min_num")).as("min_num"),
+          max(col("max_num")).as("max_num"),
+          min(col("min_str")).as("min_str"),
+          max(col("max_str")).as("max_str"))
+    }
+}

@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.quality.Check
+import graft.quality.{Check, Profile}
 
 /** Declarative data-quality rules (the dbt schema-test analog). */
 class QualitySpec extends AnyFunSuite {
@@ -326,5 +326,58 @@ class QualitySpec extends AnyFunSuite {
       .as[(Option[String], Long, Long)].collect()
       .map { case (g, n, h) => g -> ((n, h)) }.toMap
     assert(s(None) == ((11L, 1L)) && s(Some("a")) == ((10L, 0L)))
+  }
+
+  test("IncrementalProfile: churn-cost refresh equals a from-scratch " +
+      "exact profile; HLL distinct within tolerance; emptied buckets " +
+      "drop their stat rows") {
+    import graft.cdc.CowStore
+    import graft.quality.IncrementalProfile
+    def freshRoot() =
+      java.nio.file.Files.createTempDirectory("graft-iprof").toString
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, tag, k * 10.0)).toDF("k", "tag", "v")
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val stats = new CowStore(spark, freshRoot(), Seq("bkt", "col_name"),
+      nBuckets = 4)
+    val cols = Seq("k", "tag", "v")
+    source.writeFull(rows(0 until 500, "old"))
+    val c0 = IncrementalProfile.build(source, cols, stats).get
+    // churn 1: updates + deletes (D empties no whole bucket yet)
+    val b1 = rows(450 until 520, "new").withColumn("op", lit("U"))
+      .unionByName(rows(10 until 40, "d").withColumn("op", lit("D")))
+    source.applyCdc(b1, "op")
+    val c1 = IncrementalProfile.refresh(source, c0, cols, stats).get
+    def exactOf(df: org.apache.spark.sql.DataFrame) =
+      Profile.stats(df, cols)
+        .select("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+          "min_str", "max_str")
+        .collect().map(_.toSeq).toSet
+    def incr() = IncrementalProfile.global(stats).get
+      .select("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+        "min_str", "max_str")
+      .collect().map(_.toSeq).toSet
+    assert(incr() == exactOf(source.read().get))
+    // churn 2: delete EVERYTHING (all buckets empty) → stat rows gone
+    val c2 = IncrementalProfile.refresh(source, c1, cols, stats).get
+    assert(c2 == c1, "no churn → same cursor")
+    source.delete(source.read().get.select("k"))
+    IncrementalProfile.refresh(source, c2, cols, stats)
+    assert(IncrementalProfile.global(stats).forall(_.isEmpty),
+      "a fully-emptied table has no stat rows")
+    // rebuild-after-churn on a repopulated table, then HLL tolerance
+    source.upsert(rows(0 until 300, "re"))
+    val c3 = IncrementalProfile.refresh(source,
+      source.version.get - 1, cols, stats).get
+    assert(incr() == exactOf(source.read().get))
+    val approx = IncrementalProfile.global(stats).get
+      .where(col("col_name") === "k")
+      .select("n_distinct_approx").head().getLong(0)
+    assert(math.abs(approx - 300L) <= 300 * 0.1,
+      s"HLL distinct off: $approx vs 300")
+    // vacuumed-away cursor → None (consumer rebuilds)
+    source.writeFull(source.read().get)
+    source.vacuum()
+    assert(IncrementalProfile.refresh(source, c3, cols, stats).isEmpty)
   }
 }
