@@ -887,6 +887,39 @@ object ScaleBench {
     val (tChg1, tChgFull1, csChg1) = changesAt("1", 64)
     val (tChgF, tChgFullF, csChgF) = changesAt("f", 64 * factor)
 
+    // ---- incrementally-maintained profile (r18): per-(bucket,column)
+    // mergeable stat rows refreshed only for manifest-changed buckets.
+    // Claim: refresh cost ∝ churn (flat f×/1× on the FIXED batch)
+    // while the naive from-scratch re-profile grows with the table.
+    // refresh(c0, …) is idempotent over its window, so timed(runs)
+    // re-measures identical work.
+    def iprofAt(tag: String, nBuckets: Int) = {
+      val store = new graft.cdc.CowStore(spark, s"$dir/cow_$tag",
+        Seq("event_id"), nBuckets)
+      val stats = new graft.cdc.CowStore(spark, s"$dir/iprof_$tag",
+        Seq("bkt", "col_name"), 8)
+      val pcols = Seq("event_id", "user_id", "value")
+      val c0 = graft.quality.IncrementalProfile
+        .build(store, pcols, stats).get
+      store.upsert(cowBatch.withColumn("value", col("value") + 2.0))
+      val (tRef, _) = timed(runs) {
+        graft.quality.IncrementalProfile.refresh(store, c0, pcols, stats)
+        (0L, 0L)
+      }
+      val (tFull, _) = timed(runs)(
+        consume(graft.quality.Profile.stats(store.read().get, pcols)))
+      // the maintained exact columns must equal the from-scratch ones
+      val inc = graft.quality.IncrementalProfile.global(stats).get
+        .select("col_name", "n_rows", "n_nulls", "min_num", "max_num")
+      val scr = graft.quality.Profile.stats(store.read().get, pcols)
+        .select("col_name", "n_rows", "n_nulls", "min_num", "max_num")
+      require(consume(inc) == consume(scr),
+        "incremental profile diverged from the from-scratch profile")
+      (tRef, tFull)
+    }
+    val (tIp1, tIpFull1) = iprofAt("1", 64)
+    val (tIpF, tIpFullF) = iprofAt("f", 64 * factor)
+
     // ---- consistent-read pin (r17 ask #4): two staggered "loads"
     // pinned to their common watermark before consumption. Cost shape
     // under test: two column-pruned max() scans + a broadcast 1-row
@@ -1049,6 +1082,10 @@ object ScaleBench {
       s""""chg_full":[${f2(tChgFull1)},${f2(tChgFullF)}],""" +
       s""""chg_xflat":${f2(tChgF / math.max(tChg1, 1e-9))},""" +
       s""""chg_rows":[${csChg1._1},${csChgF._1}],""" +
+      // incremental profile: refresh flat (∝ churn) vs full re-profile
+      s""""iprof_refresh":[${f2(tIp1)},${f2(tIpF)}],""" +
+      s""""iprof_full":[${f2(tIpFull1)},${f2(tIpFullF)}],""" +
+      s""""iprof_xflat":${f2(tIpF / math.max(tIp1, 1e-9))},""" +
       s""""cread_pin_1x":${f2(tPin1)},"cread_pin_fx":${f2(tPinF)},"cread_pin_xlin":${xlin(tPin1, tPinF)},""" +
       s""""cread_pin_rows":[${csPin1._1},${csPinF._1}],""" +
       s""""cread_walk_sec":${f2(tWalk)},"cread_walk_versions":50,""" +
