@@ -50,7 +50,7 @@ object SparkEntry {
     * no-quadratic-stage design if declared as an operator. */
   def gateQueries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.gateQueries ++ ExtQueries.gateQueries ++
-      StreamQueries.gateQueries
+      StreamQueries.gateQueries ++ CdcQueries.gateQueries
 
   /** The driver-checked correctness surface: every raw operator key,
     * with gate variants overriding where one exists. [[Verify]] dumps

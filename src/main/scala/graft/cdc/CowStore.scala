@@ -29,8 +29,15 @@ final class ConcurrentWriteException(msg: String)
   *   <root>/v_00000002/__bkt=3/part-*.parquet   // upsert touching bucket 3
   *   <root>/v_00000002/_SCHEMA                  // authoritative schema JSON
   *   <root>/v_00000002/_MANIFEST                // "0 1", "1 1", ..., "3 2"
-  *   <root>/_CURRENT                            // "v_00000002"
+  *   <root>/v_00000003/dv/part-*.parquet        // MoR delete: key tombstones
+  *   <root>/v_00000003/_DVS                     // "3 3" (bucket -> dv versions)
+  *   <root>/_CURRENT                            // "v_00000003"
   * }}}
+  *
+  * A merge-on-read [[delete]] commits ONLY tombstones (`dv/` key rows,
+  * bytes ∝ probe) plus a per-bucket register (`_DVS`); reads anti-join
+  * them away until the next data write of the bucket folds them in
+  * ([[delete]]'s scaladoc has the full contract).
   *
   * `_SCHEMA` is the schema-in-log: reads pass it explicitly, so files
   * written before an additive [[upsert evolution]] null-fill the
@@ -114,6 +121,13 @@ final class CowStore(spark: SparkSession, root: String,
   private def manifestPath(v: Int) = new Path(versionDir(v), "_MANIFEST")
   private def claimPath(v: Int) = new Path(versionDir(v), "_CLAIM")
   private def schemaPath(v: Int) = new Path(versionDir(v), "_SCHEMA")
+  // NOT underscore-prefixed: the tombstone dir is READ as parquet, and
+  // Spark's hidden-path convention (leading _/.) makes every read of an
+  // "_DV" root log "All paths were ignored" warnings. No data reader
+  // can stumble into it — reads resolve explicit `__bkt=` dirs through
+  // the manifest, never a version root.
+  private def dvDir(v: Int) = new Path(versionDir(v), "dv")
+  private def dvsPath(v: Int) = new Path(versionDir(v), "_DVS")
   private def bucketDir(owner: Int, b: Int) =
     new Path(versionDir(owner), s"__bkt=$b")
 
@@ -167,6 +181,35 @@ final class CowStore(spark: SparkSession, root: String,
   def currentManifest: Map[Int, Int] =
     currentVersion.map(manifest).getOrElse(Map.empty)
 
+  /** bucket -> tombstone versions, for version `v` (the deletion-vector
+    * register — see [[delete]]'s merge-on-read mode). A bucket's list
+    * names the versions whose `dv/` key files must be ANTI-JOINED away
+    * when reading that bucket at `v`. Empty for pre-DV versions and for
+    * every bucket whose data was (re)written at or after its last
+    * tombstone — a data rewrite always FOLDS pending tombstones in and
+    * clears the register, so a listed tombstone is always newer than
+    * its bucket's data and applying it can never drop a re-inserted
+    * row. */
+  private[cdc] def dvsOf(v: Int): Map[Int, Seq[Int]] =
+    if (!fs.exists(dvsPath(v))) Map.empty
+    else {
+      val in = fs.open(dvsPath(v))
+      val text = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(b, vs) = line.split(" ", 2)
+        b.toInt -> vs.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+      }.toMap
+    }
+
+  /** Buckets carrying unapplied tombstones at the current version —
+    * exposed so maintenance policy can see MoR debt ([[compact]] folds
+    * it). */
+  def pendingDvBuckets: Seq[Int] =
+    currentVersion.map(dvsOf(_).collect {
+      case (b, vs) if vs.nonEmpty => b
+    }.toSeq.sorted).getOrElse(Nil)
+
   /** The AUTHORITATIVE table schema as of version `v` (the Delta
     * schema-in-log idea): written at publish time, consulted at read
     * time so files older than a schema [[evolution|upsert]] null-fill
@@ -209,33 +252,73 @@ final class CowStore(spark: SparkSession, root: String,
     else Some(schema.fold(spark.read)(s => spark.read.schema(s))
       .parquet(paths: _*))
 
+  private def emptyFrame(s: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+
+  /** The one read kernel every consumer resolves through: `buckets` of
+    * the table under manifest `man`, with version `dvs`' applicable
+    * tombstones ANTI-JOINED away (merge-on-read). Tombstone files are
+    * ∝ deleted keys — tiny next to data — so AQE broadcasts the anti
+    * side; a bucket set with no registered tombstones pays zero extra
+    * work (the common case: any data rewrite folds and clears them). */
+  private def readSlice(man: Map[Int, Int], dvs: Map[Int, Seq[Int]],
+      buckets: Seq[Int],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[DataFrame] =
+    readPaths(bucketPaths(man, buckets), schema).map { data =>
+      val dvVersions = buckets.flatMap(b => dvs.getOrElse(b, Nil))
+        .distinct.sorted
+      // Per-version applicability: tombstone version t applies ONLY to
+      // buckets whose register still lists t — a bucket rewritten since
+      // (register cleared, tombstones folded) must NOT have t's stale
+      // tombstones shadow its re-inserted keys, even though t's `_DV`
+      // file also holds that bucket's old probe rows.
+      val tombs = dvVersions.flatMap { t =>
+        val allowed = buckets.filter(b =>
+          dvs.getOrElse(b, Nil).contains(t))
+        if (!fs.exists(dvDir(t))) None
+        else Some(spark.read.parquet(dvDir(t).toString)
+          .where(col("__bkt").isin(allowed: _*))
+          .select(keys.map(col): _*))
+      }
+      if (tombs.isEmpty) data
+      else data.join(tombs.reduce(_ unionByName _).distinct(), keys,
+        "left_anti")
+    }
+
   /** Full current table (all buckets, resolved through the manifest,
-    * read under the current authoritative schema). */
-  def read(): Option[DataFrame] = {
-    val man = currentManifest
-    readPaths(bucketPaths(man, man.keys.toSeq.sorted), currentSchema)
-  }
+    * read under the current authoritative schema). An existing table
+    * every row of which was deleted reads as an EMPTY frame under the
+    * authoritative schema (ADVICE r18) — `None` means never-written
+    * (or a pre-`_SCHEMA` store with no surviving files), so
+    * `store.read().get` stays total on any committed table. */
+  def read(): Option[DataFrame] = currentVersion.flatMap(readVersion)
 
   /** Only `buckets` of the current table — the pruned read the merge
     * uses; exposed for key-range-restricted consumers. */
   def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
-    readPaths(bucketPaths(currentManifest, buckets.distinct),
-      currentSchema)
+    currentVersion.flatMap(v =>
+      readSlice(manifest(v), dvsOf(v), buckets.distinct, schemaOf(v)))
 
   /** Time travel: the table as of (un-vacuumed) version `v`, resolved
     * through THAT version's manifest — inherited buckets read their
-    * owning older versions' files, exactly as a current read does.
-    * None when `v` never published a manifest. Purely path-based, so
-    * it stays correct even across a [[rebucket]] (an old manifest's
-    * bucket ids belong to the old modulus, but a manifest read never
-    * consults [[bucketOf]]). */
+    * owning older versions' files, exactly as a current read does;
+    * that version's registered tombstones apply. None when `v` never
+    * published a manifest; an empty committed version reads as an
+    * empty frame under its schema. Purely path-based, so it stays
+    * correct even across a [[rebucket]] (an old manifest's bucket ids
+    * belong to the old modulus, but a manifest read never consults
+    * [[bucketOf]]). */
   def readVersion(v: Int): Option[DataFrame] =
     if (!fs.exists(manifestPath(v))) None
     else {
       val man = manifest(v)
       // THAT version's schema: time travel to before an evolution
       // returns the old shape, exactly as Delta/Iceberg do.
-      readPaths(bucketPaths(man, man.keys.toSeq.sorted), schemaOf(v))
+      readSlice(man, dvsOf(v), man.keys.toSeq.sorted, schemaOf(v))
+        .orElse(schemaOf(v).map(emptyFrame))
     }
 
   /** Re-bucket maintenance: the bucket count is fixed at table
@@ -313,7 +396,8 @@ final class CowStore(spark: SparkSession, root: String,
 
   private def publish(v: Int, man: Map[Int, Int],
       expectedBase: Option[Int],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      dvs: Map[Int, Seq[Int]] = Map.empty): Unit = {
     // Detect a lost race BEFORE publishing the manifest: an aborted
     // version must never carry one, or the crash-forward fallback
     // (newest dir WITH a manifest) could resurrect it as current.
@@ -321,6 +405,17 @@ final class CowStore(spark: SparkSession, root: String,
     // Authoritative schema first (manifest stays the commit marker).
     val sout = fs.create(schemaPath(v), true)
     try sout.write(schema.json.getBytes("UTF-8")) finally sout.close()
+    // Deletion-vector register next (same commit-marker discipline:
+    // only the manifest makes any of it visible). Written only when
+    // non-empty — the common no-MoR-debt version carries no file.
+    val liveDvs = dvs.filter(_._2.nonEmpty)
+    if (liveDvs.nonEmpty) {
+      val dout = fs.create(dvsPath(v), true)
+      try dout.write(liveDvs.toSeq.sortBy(_._1)
+        .map { case (b, vs) => s"$b ${vs.mkString(",")}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally dout.close()
+    }
     val tmpMan = new Path(versionDir(v), "_MANIFEST.tmp")
     val out = fs.create(tmpMan, true)
     try out.write(man.toSeq.sorted
@@ -443,9 +538,11 @@ final class CowStore(spark: SparkSession, root: String,
       .collect().map(_.getInt(0)).toSeq.sorted
     // 2+3. pruned read of exactly those buckets (under the target
     // schema, so pre-evolution files null-fill any just-added
-    // columns), then the same anti-join+union (+ optional
-    // keep-latest) as the unbucketed kernel.
-    val merged = readPaths(bucketPaths(man, affected), target) match {
+    // columns; pending MoR tombstones fold in here), then the same
+    // anti-join+union (+ optional keep-latest) as the unbucketed
+    // kernel.
+    val dvs = dvsOf(base.get)
+    val merged = readSlice(man, dvs, affected, target) match {
       case Some(prev) =>
         val up = Upsert(prev, inc, keys)
         dedup.fold(up) { case (t, tb) => DedupLatest(up, keys, t, tb) }
@@ -454,8 +551,10 @@ final class CowStore(spark: SparkSession, root: String,
           DedupLatest(inc, keys, t, tb) }
     }
     // 4. rewrite affected buckets only; inherit the rest by reference.
+    // Rewritten buckets clear their tombstone register (folded above).
     writeBuckets(merged, v)
-    publish(v, man ++ affected.map(_ -> v), base, merged.schema)
+    publish(v, man ++ affected.map(_ -> v), base, merged.schema,
+      dvs -- affected)
   }
 
   /** Cast a key probe to the STORED key types before bucket routing —
@@ -492,11 +591,28 @@ final class CowStore(spark: SparkSession, root: String,
     * are row-level no-ops (their bucket is rewritten unchanged — cost
     * bounded by the probe's bucket count, never checked row-by-row);
     * an EMPTY probe commits nothing at all. CAS-checked like any
-    * write. */
-  def delete(keyRows: DataFrame): Unit = deleteAt(keyRows, currentVersion)
+    * write.
+    *
+    * `mor = true` is the MERGE-ON-READ form (Delta deletion vectors /
+    * Iceberg MoR, reduced to this layout — VERDICT r18 ask #2): the
+    * copy-on-write rewrite makes a 1-row delete cost a full bucket
+    * rewrite, so write volume for delete-heavy CDC (GDPR erasure
+    * streams, TTL sweeps) is ∝ bucket size, not ∝ churn. MoR instead
+    * commits a version whose only data is the probe's KEY TOMBSTONES
+    * (`dv/` parquet, bytes ∝ probe) and whose manifest is UNCHANGED —
+    * the `_DVS` register maps each affected bucket to its tombstone
+    * versions, and every read anti-joins them away ([[readSlice]]).
+    * Result-invisible vs the COW form (`q_cdc_delete_mor` shares
+    * `q_cdc_delete`'s oracle verbatim); the change feed sees a
+    * register diff as a changed bucket, so CDF stays correct. Reads
+    * pay the (broadcast) anti-join until the NEXT data write of the
+    * bucket — any rewrite folds pending tombstones in and clears the
+    * register, and [[compact]] force-folds all MoR debt. */
+  def delete(keyRows: DataFrame, mor: Boolean = false): Unit =
+    deleteAt(keyRows, currentVersion, mor)
 
-  private[graft] def deleteAt(keyRows: DataFrame, base: Option[Int])
-      : Unit = {
+  private[graft] def deleteAt(keyRows: DataFrame, base: Option[Int],
+      mor: Boolean = false): Unit = {
     val missingKeys = keys.filterNot(keyRows.columns.contains)
     require(missingKeys.isEmpty,
       s"delete probe lacks key column(s) ${missingKeys.mkString(",")}")
@@ -507,11 +623,24 @@ final class CowStore(spark: SparkSession, root: String,
     val affected = probe.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
       .filter(man.contains) // never-written buckets hold nothing
-    readPaths(bucketPaths(man, affected), stored).foreach { prev =>
+    val dvs = dvsOf(base.get)
+    if (mor) stored.foreach { sch =>
+      // Tombstones only for buckets that exist — a probe entirely in
+      // never-written buckets commits nothing, like the COW form.
+      if (affected.nonEmpty) {
+        val v = allocateVersion(base.get + 1)
+        probe.withColumn("__bkt", bucketOf)
+          .where(col("__bkt").isin(affected: _*))
+          .write.mode("append").parquet(dvDir(v).toString)
+        publish(v, man, base, sch,
+          dvs ++ affected.map(b => b -> (dvs.getOrElse(b, Nil) :+ v)))
+      }
+    }
+    else readSlice(man, dvs, affected, stored).foreach { prev =>
       val v = allocateVersion(base.get + 1)
       writeBuckets(prev.join(probe, keys, "left_anti"), v)
       publish(v, man ++ affected.map(_ -> v), base,
-        stored.getOrElse(prev.schema))
+        stored.getOrElse(prev.schema), dvs -- affected)
     }
   }
 
@@ -581,13 +710,15 @@ final class CowStore(spark: SparkSession, root: String,
     val affected = aligned.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val v = allocateVersion(base.get + 1)
-    val merged = readPaths(bucketPaths(man, affected), target) match {
+    val dvs = dvsOf(base.get)
+    val merged = readSlice(man, dvs, affected, target) match {
       case Some(prev) =>
         Upsert.applyOps(prev, aligned, keys, opCol, deleteOps)
       case None => nonDelete(aligned).drop(opCol)
     }
     writeBuckets(merged, v)
-    publish(v, man ++ affected.map(_ -> v), base, merged.schema)
+    publish(v, man ++ affected.map(_ -> v), base, merged.schema,
+      dvs -- affected)
   }
 
   /** Change data feed — what changed between (un-vacuumed) versions
@@ -623,28 +754,37 @@ final class CowStore(spark: SparkSession, root: String,
       Diff.changeRows(o, n, keys)
     }
 
-  /** The buckets whose manifest OWNER differs between (un-vacuumed)
-    * versions `fromV` and `toV` — the only buckets whose CONTENT can
-    * differ, since version data files are immutable (the pruning
-    * argument under [[readChanges]]). Exposed for consumers that
-    * maintain per-bucket derived state ([[graft.quality.IncrementalProfile]])
-    * and only want to recompute the churned buckets. None when either
-    * version never published a manifest (or was vacuumed). */
-  def changedBuckets(fromV: Int, toV: Int): Option[Seq[Int]] = {
-    require(fromV <= toV,
-      s"changedBuckets wants fromV <= toV, got $fromV > $toV")
-    if (!fs.exists(manifestPath(fromV)) || !fs.exists(manifestPath(toV)))
+  /** The buckets whose manifest OWNER or tombstone register differs
+    * between (un-vacuumed) versions `fromV` and `toV` — the only
+    * buckets whose CONTENT can differ, since version data and `_DV`
+    * files are immutable (the pruning argument under [[readChanges]];
+    * a merge-on-read [[delete]] changes no owner, but it changes the
+    * bucket's register entry, so the feed still sees it). Exposed for
+    * consumers that maintain per-bucket derived state
+    * ([[graft.quality.IncrementalProfile]]) and only want to recompute
+    * the churned buckets. None when either version never published a
+    * manifest (or was vacuumed) — INCLUDING `fromV > toV` (a persisted
+    * cursor ahead of the table: store recreated, restored from backup,
+    * or root swapped; ADVICE r18): that is not a committed window, and
+    * None is the documented fell-out-of-retention rebuild signal every
+    * consumer already handles, where a throw would crash the drain. */
+  def changedBuckets(fromV: Int, toV: Int): Option[Seq[Int]] =
+    if (fromV > toV ||
+        !fs.exists(manifestPath(fromV)) || !fs.exists(manifestPath(toV)))
       None
     else {
       val mOld = manifest(fromV)
       val mNew = manifest(toV)
+      val dOld = dvsOf(fromV)
+      val dNew = dvsOf(toV)
       Some((mOld.keySet ++ mNew.keySet).toSeq.sorted
-        .filter(b => mOld.get(b) != mNew.get(b)))
+        .filter(b => mOld.get(b) != mNew.get(b) ||
+          dOld.getOrElse(b, Nil) != dNew.getOrElse(b, Nil)))
     }
-  }
 
-  /** The changed-owner bucket slices of versions `fromV`/`toV` (see
-    * [[readChanges]] for why owner-diff pruning is complete). */
+  /** The changed bucket slices of versions `fromV`/`toV` (see
+    * [[readChanges]] for why owner+register-diff pruning is complete),
+    * each read with its own version's tombstones applied. */
   private def changedSlices(fromV: Int, toV: Int)
       : Option[(DataFrame, DataFrame)] =
     changedBuckets(fromV, toV).flatMap { changed =>
@@ -658,11 +798,9 @@ final class CowStore(spark: SparkSession, root: String,
         .orElse(bucketPaths(mOld, mOld.keys.toSeq.sorted).headOption
           .map(p => spark.read.parquet(p).schema))
       sch.map { s =>
-        def slice(man: Map[Int, Int]): DataFrame =
-          readPaths(bucketPaths(man, changed), Some(s)).getOrElse(
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), s))
-        (slice(mOld), slice(mNew))
+        def slice(man: Map[Int, Int], dvs: Map[Int, Seq[Int]]): DataFrame =
+          readSlice(man, dvs, changed, Some(s)).getOrElse(emptyFrame(s))
+        (slice(mOld, dvsOf(fromV)), slice(mNew, dvsOf(toV)))
       }
     }
 
@@ -703,9 +841,16 @@ final class CowStore(spark: SparkSession, root: String,
     val base = currentVersion
     val man = base.map(manifest).getOrElse(Map.empty)
     if (man.isEmpty) return
+    val dvs = dvsOf(base.get)
+    // MoR debt is folded here regardless of fragmentation: a bucket
+    // with registered tombstones joins the rewrite tail even when its
+    // owner would otherwise survive by inheritance, so compact() always
+    // leaves a tombstone-free table (the Delta OPTIMIZE-rewrites-DVs
+    // contract).
+    val dvCarriers = dvs.collect { case (b, vs) if vs.nonEmpty => b }.toSet
     val byOwner: Map[Int, Seq[Int]] =
       man.groupBy(_._2).map { case (o, m) => o -> m.keys.toSeq.sorted }
-    if (byOwner.size <= maxReferenced) return
+    if (byOwner.size <= maxReferenced && dvCarriers.isEmpty) return
     def liveBytes(owner: Int, buckets: Seq[Int]): Long =
       buckets.map { b =>
         val d = bucketDir(owner, b)
@@ -715,18 +860,20 @@ final class CowStore(spark: SparkSession, root: String,
       .map { case (o, bs) => (liveBytes(o, bs), o) }
       .sortBy { case (bytes, o) => (-bytes, -o) }
       .take(maxReferenced - 1).map(_._2).toSet
-    val tail = man.filterNot { case (_, o) => keep.contains(o) }
-      .keys.toSeq.sorted
+    val tail = man.filter { case (b, o) =>
+      !keep.contains(o) || dvCarriers.contains(b) }.keys.toSeq.sorted
     val v = allocateVersion(base.get + 1)
     // Read the tail under the authoritative schema (pre-evolution
-    // files null-fill) and republish that same schema — compaction
-    // is layout maintenance, never a schema event.
+    // files null-fill; pending tombstones fold in) and republish that
+    // same schema — compaction is layout maintenance, never a schema
+    // event.
     val sch = schemaOf(base.get)
-    val tailDf = readPaths(bucketPaths(man, tail), sch)
+    val tailDf = readSlice(man, dvs, tail, sch)
     tailDf.foreach(writeBuckets(_, v, clusterBy))
     publish(v, man ++ tail.map(_ -> v), base,
       sch.orElse(tailDf.map(_.schema))
-        .getOrElse(new org.apache.spark.sql.types.StructType()))
+        .getOrElse(new org.apache.spark.sql.types.StructType()),
+      dvs -- tail)
   }
 
   /** Reference-aware vacuum: drop version dirs older than the current
@@ -751,7 +898,12 @@ final class CowStore(spark: SparkSession, root: String,
     val retained = versions()
       .filter(v => v <= cur && fs.exists(manifestPath(v)))
       .takeRight(math.max(retainLast, 1))
-    val live = retained.flatMap(v => manifest(v).values).toSet ++
+    // A retained version keeps alive every dir its manifest references
+    // AND every tombstone version its register references — a MoR
+    // delete's `_DV` files are load-bearing for reads at any version
+    // whose register lists them.
+    val live = retained.flatMap(v =>
+      manifest(v).values ++ dvsOf(v).values.flatten).toSet ++
       retained + cur
     versions().filter(v => v < cur && !live.contains(v)).foreach { v =>
       fs.delete(versionDir(v), true)

@@ -197,6 +197,33 @@ object CdcQueries {
         .orderBy("o_orderkey")
     },
 
+    // The same delete through the MERGE-ON-READ path (Delta deletion
+    // vectors / Iceberg MoR on this layout): the commit writes only
+    // key tombstones (bytes ∝ probe, never ∝ bucket — the write-
+    // amplification fix for erasure/TTL streams; ScaleBench's del_mor
+    // leg measures it) and every read anti-joins them away. The final
+    // read here goes THROUGH live tombstones — the MoR read path is
+    // what the oracle certifies; the compact() fold's result-
+    // invisibility and vacuum interplay are CowStoreSpec-pinned.
+    // Shares q_cdc_delete's oracle VERBATIM — merge-on-read is an
+    // execution layout, never a semantics change.
+    "q_cdc_delete_mor" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val root = freshCowRoot("delete_mor")
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      val probe = dest.where(col("o_orderkey") % 9 === 4)
+        .select("o_orderkey")
+        .unionByName(dest.select((col("o_orderkey") + 100000000L)
+          .as("o_orderkey")).limit(100)) // absent keys: must no-op
+      store.delete(probe, mor = true)
+      store.read().get
+        .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
     // I/U/D op-apply (Upsert.applyOps — the Debezium/DMS-shaped batch
     // the delete+insert merge generalizes to): every batch key is
     // deleted, non-delete rows re-inserted. The U slice mutates
@@ -277,6 +304,60 @@ object CdcQueries {
       source.applyCdc(batch, "op")
       graft.cdc.IncrementalMart.refresh(source, cursor, martOf, mart,
         Seq("o_orderkey"))
+      mart.read().get.orderBy("o_orderkey")
+    },
+
+    // Dim-aware incremental mart (IncrementalMart.refreshWithDims —
+    // VERDICT r18 "what's missing" #2): the mart broadcast-enriches
+    // orders against a customer dim that CHANGES between drains (the
+    // reference's own mart joins the SCD2 dim_users). The registered
+    // dim feed maps changed dim keys to affected fact keys (one join
+    // on the fk), and the refresh re-derives exactly the source churn
+    // PLUS those fact rows — the rows a dim-blind refresh leaves
+    // stale. The fixture's dim change (%4 custkeys → PROMO) hits many
+    // facts the fact-churn window never touches, so stale enrichment
+    // diverges from the oracle, which restates transform(final source,
+    // final dim) — incremental must equal the rebuild.
+    "q_cdc_mart_dim_change" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val dim = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val source = new graft.cdc.CowStore(s, freshCowRoot("dmart_src"),
+        Seq("o_orderkey"), nBuckets = 16)
+      val dimStore = new graft.cdc.CowStore(s, freshCowRoot("dmart_dim"),
+        Seq("c_custkey"), nBuckets = 16)
+      val mart = new graft.cdc.CowStore(s, freshCowRoot("dmart_dst"),
+        Seq("o_orderkey"), nBuckets = 16)
+      source.writeFull(dest)
+      dimStore.writeFull(dim)
+      def martOf(df: org.apache.spark.sql.DataFrame) = {
+        val dc = broadcast(dimStore.read().get)
+        df.join(dc, df("o_custkey") === dc("c_custkey"), "left")
+          .select(df("o_orderkey"), df("o_custkey"),
+            dc("c_mktsegment").as("cust_segment"),
+            df("o_totalprice"), df("o_orderstatus"))
+      }
+      val dims = Seq(graft.cdc.IncrementalMart.Dim(dimStore,
+        Some(ch => source.read().get
+          .join(ch.select("c_custkey").distinct(),
+            col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey"))))
+      val cursor = graft.cdc.IncrementalMart
+        .buildWithDims(source, martOf, mart, dims).get
+      // fact churn: updates past the horizon + deletes on early keys
+      val batch = ordersIncoming(s, d).withColumn("op", lit("U"))
+        .unionByName(dest
+          .where(col("o_orderkey") % 9 === 4 &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .withColumn("op", lit("D")))
+      source.applyCdc(batch, "op")
+      // dim churn: every %4==1 customer moves to PROMO — most of the
+      // affected orders saw NO fact churn
+      dimStore.upsert(dim.where(col("c_custkey") % 4 === 1)
+        .withColumn("c_mktsegment", lit("PROMO")))
+      graft.cdc.IncrementalMart.refreshWithDims(source, cursor, martOf,
+        mart, Seq("o_orderkey"), dims)
       mart.read().get.orderBy("o_orderkey")
     },
 
@@ -564,7 +645,104 @@ object CdcQueries {
     }
   )
 
+  /** Verify-only truth gates (the [[graft.SparkEntry.gateQueries]]
+    * contract: may embed truth baselines the bench must not time). */
+  val gateQueries: Map[String, Q] = Map(
+    // The maintained profile's QUANTILES under the GK ε-rank contract,
+    // gated over the full store lifecycle (build → I/U/D applyCdc →
+    // changed-bucket refresh → global fold): for every profiled
+    // numeric column and p ∈ {.25,.5,.75}, the merged-sketch answer's
+    // EXACT rank interval in the final table must overlap
+    // ceil(p·n) ± ε·n (+1 boundary slack) — the same contract
+    // functions.Quantiles documents for approx_percentile and
+    // QuantilesSpec pins for the merge; values themselves are
+    // engine-specific sketch output and never oracle-pinned (the
+    // statsApprox precedent). n_vals is DuckDB-restated so the gate
+    // can't pass on an empty frame.
+    "q_profile_incremental_quantiles" -> { (s, d) =>
+      import graft.quality.IncrementalProfile
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val batch = ordersIncoming(s, d).withColumn("op", lit("U"))
+        .unionByName(dest
+          .where(col("o_orderkey") % 9 === 4 &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .withColumn("op", lit("D")))
+      val src = new graft.cdc.CowStore(s, freshCowRoot("iq_src"),
+        Seq("o_orderkey"), nBuckets = 16)
+      val stats = new graft.cdc.CowStore(s, freshCowRoot("iq_stats"),
+        Seq("bkt", "col_name"), nBuckets = 8)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate")
+      src.writeFull(dest)
+      val c0 = IncrementalProfile.build(src, cols, stats).get
+      src.applyCdc(batch, "op")
+      IncrementalProfile.refresh(src, c0, cols, stats)
+      val ps = Seq(0.25, 0.5, 0.75)
+      // ≤ nCols×|ps| driver values — config-bounded state (the
+      // K-centroid precedent), never table data
+      val approx: Map[String, Seq[Double]] =
+        IncrementalProfile.global(stats, ps).get
+          .select("col_name", "quantiles")
+          .where(col("quantiles").isNotNull)
+          .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val fin = src.read().get
+      val eps = graft.functions.GkSketch.DefaultEps
+      val legs = cols.map { c =>
+        // IncrementalProfile.asNum's numeric form: TIMESTAMP_NTZ has
+        // no direct double cast — route through TIMESTAMP (session tz
+        // UTC), then epoch seconds
+        val numc = fin.schema(c).dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.DateType =>
+            col(c).cast("timestamp").cast("double")
+          case _ => col(c).cast("double")
+        }
+        val vs = approx(c)
+        val aggs = count(numc).as("n_vals") +:
+          ps.zip(vs).zipWithIndex.flatMap { case ((_, v), i) => Seq(
+            sum(when(numc < v, 1L).otherwise(0L)).as(s"lo_$i"),
+            sum(when(numc <= v, 1L).otherwise(0L)).as(s"hi_$i")) }
+        val one = fin.agg(aggs.head, aggs.tail: _*)
+        val perP = ps.zipWithIndex.map { case (p, i) =>
+          one.select(lit(c).as("col_name"), lit(p).as("p"),
+            col("n_vals"),
+            (col(s"hi_$i") >= ceil(lit(p) * col("n_vals")) -
+                lit(eps) * col("n_vals") - 1 &&
+              col(s"lo_$i") + 1 <= ceil(lit(p) * col("n_vals")) +
+                lit(eps) * col("n_vals") + 1).as("rank_within_eps")) }
+        perP.reduce(_ unionByName _)
+      }
+      legs.reduce(_ unionByName _).orderBy("col_name", "p")
+    }
+  )
+
   val oracle: Map[String, String] = Map(
+    // Constant-truth restatement (the recall-gate pattern): the
+    // booleans must all be true; n_vals is real so the gate cannot
+    // pass vacuously.
+    "q_profile_incremental_quantiles" ->
+      """WITH fin AS (
+        |  SELECT * FROM (
+        |    SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01')
+        |  WHERE o_orderkey NOT IN (
+        |      SELECT o_orderkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |    AND NOT (o_orderkey % 9 = 4
+        |      AND o_orderdate < TIMESTAMP '2000-01-01')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |p AS (SELECT CAST(x AS DOUBLE) AS p
+        |      FROM (VALUES (0.25), (0.5), (0.75)) v(x))
+        |SELECT col_name, p, n_vals, true AS rank_within_eps FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_vals
+        |  FROM fin
+        |  UNION ALL SELECT 'o_custkey', count(o_custkey) FROM fin
+        |  UNION ALL SELECT 'o_totalprice', count(o_totalprice) FROM fin
+        |  UNION ALL SELECT 'o_orderdate', count(o_orderdate) FROM fin), p
+        |ORDER BY col_name, p""".stripMargin,
     "q_quality_violations" ->
       """SELECT * FROM (
         |  SELECT 'unique' AS rule, 'l_orderkey' AS column_name,
@@ -715,6 +893,13 @@ object CdcQueries {
         |WHERE o_orderdate < TIMESTAMP '2000-07-01'
         |  AND o_orderkey % 9 <> 4
         |ORDER BY o_orderkey""".stripMargin,
+    // VERBATIM q_cdc_delete restatement — merge-on-read tombstones and
+    // their compaction fold must be invisible to semantics.
+    "q_cdc_delete_mor" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-07-01'
+        |  AND o_orderkey % 9 <> 4
+        |ORDER BY o_orderkey""".stripMargin,
     // Delete-all-batch-keys + insert-non-deletes, restated.
     "q_cdc_apply_ops" ->
       """WITH dest AS (
@@ -784,6 +969,33 @@ object CdcQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice * 2 AS double_price, o_orderdate
         |FROM fin WHERE o_orderstatus IN ('O', 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+    // transform(final source, final dim) restated — a dim-blind
+    // refresh keeps pre-PROMO segments on unchurned facts and
+    // diverges.
+    "q_cdc_mart_dim_change" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        |del AS (
+        |  SELECT o_orderkey FROM dest
+        |  WHERE o_orderkey % 9 = 4 AND o_orderdate < TIMESTAMP '2000-01-01'),
+        |fin AS (
+        |  SELECT * FROM dest
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |  UNION ALL SELECT * FROM inc),
+        |dimf AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 1 THEN 'PROMO' ELSE c_mktsegment END
+        |      AS c_mktsegment
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, c_mktsegment AS cust_segment,
+        |  o_totalprice, o_orderstatus
+        |FROM fin LEFT JOIN dimf ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     // The incremental profile's exact columns restated per column over
     // the FINAL table (the q_profile_stats pattern minus n_distinct,

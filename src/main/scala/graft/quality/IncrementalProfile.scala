@@ -8,8 +8,10 @@ import graft.cdc.CowStore
 
 /** Incrementally-maintained table profile over a [[CowStore]] — the
   * [[Profile]] summary (row count, per-column nulls, min/max,
-  * approximate distinct) kept current at CHURN cost instead of a full
-  * rescan per load. The reference re-probes its destinations after
+  * approximate distinct, and — r19 — approximate PERCENTILES via a
+  * mergeable GK sketch per (bucket, numeric column),
+  * [[graft.functions.GkSketch]]) kept current at CHURN cost instead
+  * of a full rescan per load. The reference re-probes its destinations after
   * every sync (dbt schema tests + ad-hoc `count()/uniq()`); at 100 TB
   * a per-load full profile re-reads the world to re-derive statistics
   * over rows that did not change.
@@ -72,12 +74,19 @@ object IncrementalProfile {
       // the STRING form, an injective encoding for every profile type
       // (distinct values stay distinct; the estimate is approximate
       // anyway). The encoding is fixed per column, so unions across
-      // refreshes stay coherent.
-      val agged = df.select(col("bkt"), col(c)).groupBy(col("bkt")).agg(
-        count(lit(1)).as("__n"), count(col(c)).as("__nn"),
-        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as("__hll"),
-        min(col(c)).as("__mn"), max(col(c)).as("__mx"))
-      if (isNum(df, c))
+      // refreshes stay coherent. Numeric columns additionally carry a
+      // mergeable GK quantile sketch ([[graft.functions.GkSketch]]) in
+      // the same stat row — percentiles then ride the identical
+      // changed-bucket refresh instead of needing a rescan (VERDICT
+      // r18 ask #4); string columns have no ordered-quantile meaning
+      // here and store NULL.
+      if (isNum(df, c)) {
+        val agged = df.select(col("bkt"), col(c)).groupBy(col("bkt")).agg(
+          count(lit(1)).as("__n"), count(col(c)).as("__nn"),
+          hll_sketch_agg(col(c).cast("string"), lit(lgK)).as("__hll"),
+          min(col(c)).as("__mn"), max(col(c)).as("__mx"),
+          graft.functions.GkSketch.sketchAgg(asNum(df, c)(col(c)))
+            .as("__qs"))
         agged.select(col("bkt"), lit(c).as("col_name"),
           col("__n").as("n_rows"),
           (col("__n") - col("__nn")).as("n_nulls"),
@@ -85,8 +94,13 @@ object IncrementalProfile {
           asNum(df, c)(col("__mx")).as("max_num"),
           lit(null).cast("string").as("min_str"),
           lit(null).cast("string").as("max_str"),
-          col("__hll").as("hll"))
-      else
+          col("__hll").as("hll"),
+          col("__qs").as("qsk"))
+      } else {
+        val agged = df.select(col("bkt"), col(c)).groupBy(col("bkt")).agg(
+          count(lit(1)).as("__n"), count(col(c)).as("__nn"),
+          hll_sketch_agg(col(c).cast("string"), lit(lgK)).as("__hll"),
+          min(col(c)).as("__mn"), max(col(c)).as("__mx"))
         agged.select(col("bkt"), lit(c).as("col_name"),
           col("__n").as("n_rows"),
           (col("__n") - col("__nn")).as("n_nulls"),
@@ -94,7 +108,9 @@ object IncrementalProfile {
           lit(null).cast("double").as("max_num"),
           col("__mn").cast("string").as("min_str"),
           col("__mx").cast("string").as("max_str"),
-          col("__hll").as("hll"))
+          col("__hll").as("hll"),
+          lit(null).cast("binary").as("qsk"))
+      }
     }
     legs.reduce(_ unionByName _)
   }
@@ -148,10 +164,17 @@ object IncrementalProfile {
 
   /** The table profile folded from the maintained stat rows —
     * ≤ nBuckets × nCols inputs, never the table: counts sum, min/max
-    * re-fold, distinct is one HLL union per column. Output matches
-    * [[Profile.stats]]'s shape with `n_distinct_approx` in place of
-    * the exact `n_distinct`. */
-  def global(stats: CowStore): Option[DataFrame] =
+    * re-fold, distinct is one HLL union per column, and quantiles are
+    * one GK-sketch union per numeric column queried at `ps`
+    * (`quantiles` array<double>, positionally aligned with `ps`; NULL
+    * for string columns). Output matches [[Profile.stats]]'s shape
+    * with `n_distinct_approx` in place of the exact `n_distinct` plus
+    * the quantile column; the quantile ε-rank contract is
+    * [[graft.functions.Quantiles]]' approx contract (GK), pinned by
+    * QuantilesSpec and gated over the full store lifecycle by
+    * `q_profile_incremental_quantiles`. */
+  def global(stats: CowStore,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): Option[DataFrame] =
     stats.read().map { rows =>
       rows.groupBy(col("col_name")).agg(
           sum(col("n_rows")).as("n_rows"),
@@ -161,6 +184,9 @@ object IncrementalProfile {
           min(col("min_num")).as("min_num"),
           max(col("max_num")).as("max_num"),
           min(col("min_str")).as("min_str"),
-          max(col("max_str")).as("max_str"))
+          max(col("max_str")).as("max_str"),
+          graft.functions.GkSketch.quantilesOf(
+            graft.functions.GkSketch.mergeAgg(col("qsk")), ps)
+            .as("quantiles"))
     }
 }

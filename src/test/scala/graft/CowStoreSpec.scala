@@ -400,6 +400,103 @@ class CowStoreSpec extends AnyFunSuite {
         .where(!col("k").isin(7L, 8L, 42L, 300L))))
   }
 
+  test("merge-on-read delete: same result as the COW delete at " +
+      "tombstone cost — manifest unchanged, write bytes ∝ probe") {
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val (cowRoot, morRoot) = (freshRoot(), freshRoot())
+    val cow = new CowStore(spark, cowRoot, Seq("k"), nBuckets = 16)
+    val mor = new CowStore(spark, morRoot, Seq("k"), nBuckets = 16)
+    cow.writeFull(rows(0 until 400, "old")) // v1
+    mor.writeFull(rows(0 until 400, "old")) // v1
+    val probe = (Seq(7L, 42L) ++ Seq(99999L)).toDF("k") // absent key no-ops
+    cow.delete(probe)
+    mor.delete(probe, mor = true)
+    assert(collectSet(mor.read().get) == collectSet(cow.read().get))
+    // the MoR commit rewrote NO data bucket: every owner is still v1
+    assert(mor.currentManifest.values.toSet == Set(1))
+    assert(mor.pendingDvBuckets.nonEmpty)
+    // tombstone bytes ∝ probe, a small fraction of one rewritten bucket
+    val morBytes = dirBytes(new java.io.File(f"$morRoot/v_${2}%08d"))
+    val cowBytes = dirBytes(new java.io.File(f"$cowRoot/v_${2}%08d"))
+    assert(morBytes < cowBytes / 2,
+      s"MoR wrote $morBytes vs COW's $cowBytes — tombstones should be tiny")
+    // readForKeys and readBuckets see through the tombstones too
+    assert(mor.readForKeys(Seq(7L, 8L).toDF("k")).get
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(8L))
+  }
+
+  test("MoR tombstones fold into the NEXT data write of their bucket " +
+      "and only that bucket's register clears") {
+    val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 16)
+    store.writeFull(rows(0 until 400, "old")) // v1
+    store.delete(Seq(7L, 42L).toDF("k"), mor = true) // v2, tombstones
+    val b7 = rows(7 until 8, "x").select(store.bucketOf).head().getInt(0)
+    val b42 = rows(42 until 43, "x").select(store.bucketOf).head().getInt(0)
+    assume(b7 != b42, "fixture wants the two keys in distinct buckets")
+    // re-insert key 7: the upsert rewrites b7, folding its tombstone —
+    // the new row must NOT be shadowed by the stale tombstone
+    store.upsert(rows(7 until 8, "back"))
+    assert(store.read().get.where(col("k") === 7L).count() == 1)
+    assert(store.read().get.where(col("k") === 42L).count() == 0,
+      "the other bucket's tombstone still applies")
+    assert(store.pendingDvBuckets == Seq(b42))
+    // a second MoR delete stacks on the register; both still apply
+    store.delete(Seq(100L).toDF("k"), mor = true)
+    assert(store.read().get.where(col("k").isin(42L, 100L)).count() == 0)
+    // compact force-folds ALL MoR debt even with no fragmentation to
+    // speak of; rows unchanged; vacuum then reclaims the _DV versions
+    val before = collectSet(store.read().get)
+    store.compact(maxReferenced = 2)
+    assert(store.pendingDvBuckets.isEmpty)
+    assert(collectSet(store.read().get) == before)
+    store.vacuum()
+    assert(collectSet(store.read().get) == before)
+  }
+
+  test("change feed and time travel stay correct across a MoR delete; " +
+      "retention keeps _DV versions alive") {
+    val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 100, "old")) // v1
+    store.delete(Seq(5L, 9L).toDF("k"), mor = true) // v2
+    // CDF: the register diff marks the buckets changed; the feed
+    // reports exactly the two removals with pre-images
+    val ch = store.readChanges(1, 2).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set(5L -> "removed", 9L -> "removed"))
+    val pre = store.readChangeRows(1, 2).get
+      .where(col("change") === "removed")
+      .select("k", "tag", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(pre == Set((5L, "old", 50.0), (9L, "old", 90.0)))
+    // time travel: v1 pre-delete, v2 post
+    assert(store.readVersion(1).get.where(col("k") === 5L).count() == 1)
+    assert(store.readVersion(2).get.where(col("k") === 5L).count() == 0)
+    // another bucket's upsert then current-only vacuum: v2's _DV files
+    // are still referenced by the current register and must survive
+    store.upsert(rows(64 until 66, "new")) // v3 (different buckets)
+    store.vacuum()
+    assert(store.read().get.where(col("k").isin(5L, 9L)).count() == 0,
+      "tombstones survive vacuum while the register references them")
+  }
+
+  test("a delete that empties every bucket leaves an EXISTING, EMPTY, " +
+      "readable table; a stale cursor window returns None not a throw") {
+    val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 50, "old"))
+    store.delete(rows(0 until 50, "old").select("k"))
+    assert(store.exists)
+    val empty = store.read().get // ADVICE r18: .get stays total
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("k", "tag", "v"))
+    assert(store.readVersion(2).get.count() == 0)
+    // cursor ahead of the table (store recreated / restored): the
+    // documented rebuild signal, not an IllegalArgumentException
+    assert(store.changedBuckets(9, 2).isEmpty)
+    assert(store.readChangesSince(9).isEmpty)
+  }
+
   test("applyCdc equals the applyOps kernel; first load on an empty " +
       "store keeps only non-delete rows") {
     val root = freshRoot()
@@ -550,6 +647,72 @@ class CowStoreSpec extends AnyFunSuite {
     source.vacuum()
     assert(graft.cdc.IncrementalMart.refresh(source, c1, martOf, mart,
       Seq("k")).isEmpty)
+  }
+
+  test("IncrementalMart.refreshWithDims: a dim change patches exactly " +
+      "the affected fact rows; no mapping or lost dim window degrades " +
+      "to rebuild") {
+    import graft.cdc.IncrementalMart
+    import graft.cdc.IncrementalMart.{Cursor, Dim}
+    def factRows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, (k % 10).toLong, tag)).toDF("k", "fk", "tag")
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 16)
+    val dimStore = new CowStore(spark, freshRoot(), Seq("dk"), nBuckets = 4)
+    val mart = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 16)
+    source.writeFull(factRows(0 until 200, "f"))
+    dimStore.writeFull((0 until 10).map(i => (i.toLong, s"seg$i"))
+      .toDF("dk", "seg"))
+    def martOf(df: org.apache.spark.sql.DataFrame) = {
+      val dc = broadcast(dimStore.read().get)
+      df.join(dc, df("fk") === dc("dk"), "left")
+        .select(df("k"), df("fk"), dc("seg"), df("tag"))
+    }
+    val dims = Seq(Dim(dimStore, Some(ch => source.read().get
+      .join(ch.select("dk").distinct(), col("fk") === col("dk"))
+      .select("k"))))
+    val c0 = IncrementalMart.buildWithDims(source, martOf, mart, dims).get
+    // fact churn AND a dim change hitting rows the churn doesn't touch
+    source.upsert(factRows(190 until 210, "f2"))
+    dimStore.upsert(Seq((3L, "MOVED")).toDF("dk", "seg"))
+    val martV0 = mart.version.get
+    val c1 = IncrementalMart.refreshWithDims(source, c0, martOf, mart,
+      Seq("k"), dims).get
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(setOf(mart.read().get) == setOf(martOf(source.read().get)),
+      "dim-affected rows (fk=3, keys 3,13,...,193) must re-enrich")
+    // churn-cost evidence: the refresh PATCHED (mart advanced by
+    // applyCdc versions), it did not writeFull-rebuild — a rebuild
+    // would own every bucket under one fresh version
+    assert(mart.currentManifest.values.toSet.size > 1,
+      "refresh must patch buckets, not rewrite the whole mart")
+    assert(mart.version.get > martV0)
+    // no dim advance: plain source churn refreshes as before
+    source.upsert(factRows(0 until 3, "f3"))
+    val c2 = IncrementalMart.refreshWithDims(source, c1, martOf, mart,
+      Seq("k"), dims).get
+    assert(setOf(mart.read().get) == setOf(martOf(source.read().get)))
+    assert(c2.dimVs == c1.dimVs && c2.sourceV > c1.sourceV)
+    // a mapping-less dim registration rebuilds on any advance
+    dimStore.upsert(Seq((4L, "MOVED2")).toDF("dk", "seg"))
+    val blind = Seq(Dim(dimStore, None))
+    val c3 = IncrementalMart.refreshWithDims(source,
+      Cursor(c2.sourceV, c2.dimVs), martOf, mart, Seq("k"), blind).get
+    assert(setOf(mart.read().get) == setOf(martOf(source.read().get)))
+    assert(mart.currentManifest.values.toSet.size == 1,
+      "rebuild is a full load: one owner for every bucket")
+    // a dim feed window lost to vacuum also degrades to rebuild
+    dimStore.upsert(Seq((5L, "MOVED3")).toDF("dk", "seg"))
+    dimStore.writeFull(dimStore.read().get)
+    dimStore.vacuum()
+    val c4 = IncrementalMart.refreshWithDims(source, c3, martOf, mart,
+      Seq("k"), dims).get
+    assert(setOf(mart.read().get) == setOf(martOf(source.read().get)))
+    // a reordered/mis-sized dim registration is rejected
+    intercept[IllegalArgumentException] {
+      IncrementalMart.refreshWithDims(source, Cursor(c4.sourceV, Nil),
+        martOf, mart, Seq("k"), dims)
+    }
   }
 
   test("a delete racing an upsert loses the CAS like any write") {

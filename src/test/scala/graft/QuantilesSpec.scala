@@ -58,6 +58,43 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("GkSketch: partitioned sketch + merge honors the same ε rank " +
+      "contract; bytes round-trip; nulls and string-column NULL " +
+      "sketches fold away") {
+    import graft.functions.GkSketch
+    val eps = GkSketch.DefaultEps
+    val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    // partition the sample into 16 'buckets', sketch each, MERGE —
+    // the IncrementalProfile shape — and query the union
+    val perBucket = df.withColumn("bkt", pmod(col("id"), lit(16)))
+      .groupBy("bkt").agg(GkSketch.sketchAgg(col("v")).as("qsk"))
+    val got = perBucket.agg(GkSketch.quantilesOf(
+      GkSketch.mergeAgg(col("qsk")), ps)).head().getSeq[Double](0)
+    ps.zip(got).foreach { case (p, x) =>
+      val r = rankOf(x, values)
+      assert(math.abs(r - p * n) <= eps * n + 1,
+        s"merged sketch p=$p: rank $r vs target ${p * n}")
+      assert(values.contains(x), "GK returns column elements")
+    }
+    // byte round-trip is exact (stable layout, parquet-storable)
+    val one = df.agg(GkSketch.sketchAgg(col("v"))).head()
+      .getAs[Array[Byte]](0)
+    val rt = GkSketch.toBytes(GkSketch.fromBytes(one))
+    assert(one.sameElements(rt))
+    // nulls skipped like any SQL agg; all-null + NULL sketches merge
+    // to NULL; an empty sketch queries NaN
+    val withNulls = df.select(when(col("id") % 2 === 0, col("v")).as("v"))
+    val sk = withNulls.agg(GkSketch.sketchAgg(col("v"))).head()
+      .getAs[Array[Byte]](0)
+    assert(GkSketch.fromBytes(sk).count == n / 2)
+    val allNull = df.select(lit(null).cast("binary").as("qsk"))
+    assert(allNull.agg(GkSketch.mergeAgg(col("qsk"))).head().isNullAt(0))
+    val empty = df.limit(0).agg(GkSketch.sketchAgg(col("v"))).head()
+      .getAs[Array[Byte]](0)
+    assert(spark.range(1).select(GkSketch.quantilesOf(lit(empty),
+      Seq(0.5)).as("q")).head().getSeq[Double](0).head.isNaN)
+  }
+
   test("exact form interpolates; approx form returns column elements") {
     val two = Seq(1.0, 2.0).toDF("v")
     val exact = two.agg(Quantiles.one("v", 0.5, approx = false))
