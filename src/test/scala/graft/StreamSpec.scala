@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.cdc.{AppendStore, TableStore}
 import graft.operators.{IncrementalDedup, Multimodal}
 import graft.pipeline.{Marts, Runner, Staging}
-import graft.streaming.CdcMicroBatch
+import graft.streaming.{CdcMicroBatch, CowMaintenance}
 
 /** Structured-Streaming CDC (AvailableNow drain + foreachBatch upsert),
   * streaming windowed aggregation, multimodal plumbing, pipeline DAG.
@@ -66,6 +66,123 @@ class StreamSpec extends AnyFunSuite {
     CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store,
       mart, martOf, Seq("k"), tmp("cowmart-ck2"))
     assert(mart.read().get.collect().map(_.toSeq).toSet == want)
+  }
+
+  test("COW mart drain: the persisted cursor covers foreign writes " +
+      "between runs; maintenance cadence bounds version dirs with " +
+      "results unchanged") {
+    import org.apache.spark.sql.types._
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, tag, k * 10.0)).toDF("k", "tag", "v")
+    def martOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("tag"), (col("v") * 2).as("v2"))
+    val src = tmp("cowcur-src")
+    val store = new graft.cdc.CowStore(spark, tmp("cowcur-s"),
+      Seq("k"), nBuckets = 8)
+    val mart = new graft.cdc.CowStore(spark, tmp("cowcur-m"),
+      Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 80, "old"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType), StructField("v", DoubleType)))
+    val ckpt = tmp("cowcur-ck")
+    val maint = Some(CowMaintenance(compactEvery = 2, maxReferenced = 3))
+    rows(40 until 50, "b1").write.mode("append").parquet(src)
+    CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store,
+      mart, martOf, Seq("k"), ckpt, maint)
+    // a FOREIGN writer advances the store between runs — the ADVICE
+    // r18 staleness case: a head-initialized cursor would diff this
+    // window empty and leave the mart silently missing these rows
+    store.upsert(rows(200 until 210, "foreign"))
+    rows(50 until 60, "b2").write.mode("append").parquet(src)
+    CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store,
+      mart, martOf, Seq("k"), ckpt, maint)
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)),
+      "the foreign write's window must reach the mart via the marker")
+    assert(mart.read().get.where(col("k") === 205L).count() == 1)
+    // maintenance cadence: many more single-batch drains; version-dir
+    // count stays bounded by the compact budget + the batches since
+    // the last cadence hit, instead of growing O(batches)
+    (0 until 6).foreach { i =>
+      rows(100 + i until 101 + i, s"m$i").write.mode("append").parquet(src)
+      CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store,
+        mart, martOf, Seq("k"), ckpt, maint)
+    }
+    val owners = store.currentManifest.values.toSet.size
+    assert(owners <= 3 + 2,
+      s"maintenance must bound referenced version dirs, got $owners")
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)),
+      "maintenance is result-invisible through the drain")
+  }
+
+  test("feed-driven streaming SCD2 drain == batch Scd2 kernels over " +
+      "the same I/U/D batches; unknown cursor resyncs; replay and " +
+      "maintenance converge") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.{Diff, Scd2, Upsert}
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    def batchDf(rs: Seq[(Long, String, Double, String)]) =
+      rs.toDF("k", "seg", "v", "op")
+    val b0 = (0L until 20L).map(k => (k, s"s${k % 4}", k * 1.0, "I"))
+    // D keys deliberately disjoint from the %3 U set (applyCdc wants
+    // ≤1 row per key) so each event kind's effect is separately visible
+    val b1 = (0L until 20L).filter(_ % 3 == 0)
+        .map(k => (k, "MOVED", k * 1.0, "U")) ++
+      Seq(16L, 17L, 19L).map(k => (k, "x", 0.0, "D")) ++
+      (30L until 35L).map(k => (k, "NEW", k * 1.0, "I"))
+    val b2 = Seq((0L, "BACK", 0.0, "U"), (3L, "y", 0.0, "D"),
+      (40L, "LATE", 40.0, "I"))
+    val src = tmp("scd2drain-src")
+    val store = new graft.cdc.CowStore(spark, tmp("scd2drain-s"),
+      Seq("k"), nBuckets = 8)
+    val history = new graft.cdc.CowStore(spark, tmp("scd2drain-h"),
+      Seq("k"), nBuckets = 8)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("seg", StringType), StructField("v", DoubleType),
+      StructField("op", StringType)))
+    val ckpt = tmp("scd2drain-ck")
+    def drain(): Unit = CdcMicroBatch.runAvailableNowCowScd2(spark, src,
+      schema, store, history, Seq("k"), Seq("seg"), "op", ckpt,
+      bid => ts(bid.toInt + 1),
+      Some(CowMaintenance(compactEvery = 2, maxReferenced = 3)))
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // batch 0: first load → history inits from the drained snapshot
+    batchDf(b0).write.mode("append").parquet(src)
+    drain()
+    val src0 = batchDf(b0).where(col("op") =!= "D").drop("op")
+    var expected = Scd2.init(src0, ts(1))
+    assert(setOf(history.read().get) == setOf(expected))
+    // batch 1: U closes+inserts, D closes with no successor, I inserts
+    batchDf(b1).write.mode("append").parquet(src)
+    drain()
+    val src1 = Upsert.applyOps(src0, batchDf(b1), Seq("k"), "op")
+    expected = Scd2.applyChanges(expected,
+      Diff.changeRows(src0, src1, Seq("k")), Seq("k"), Seq("seg"),
+      ts(2), invalidateHardDeletes = true)
+    assert(setOf(history.read().get) == setOf(expected))
+    // unknown cursor (marker lost): the drain resyncs full-staged —
+    // which must equal the feed-driven chain over the same window
+    assert(new java.io.File(ckpt, "graft_scd2_cursor").delete())
+    batchDf(b2).write.mode("append").parquet(src)
+    drain()
+    val src2 = Upsert.applyOps(src1, batchDf(b2), Seq("k"), "op")
+    expected = Scd2.applyChanges(expected,
+      Diff.changeRows(src1, src2, Seq("k")), Seq("k"), Seq("seg"),
+      ts(3), invalidateHardDeletes = true)
+    assert(setOf(history.read().get) == setOf(expected))
+    // the spot checks that make the parity meaningful: a closed+
+    // reopened key, a hard-deleted key with no open row, a late insert
+    val h = history.read().get
+    assert(h.where(col("k") === 0L).count() == 3) // s0 → MOVED → BACK
+    assert(h.where(col("k") === 16L && col("valid_to").isNull)
+      .count() == 0, "hard-deleted key has no open row")
+    assert(h.where(col("k") === 40L && col("valid_to").isNull)
+      .count() == 1)
+    // replay with the same checkpoint and no new files: unchanged
+    drain()
+    assert(setOf(history.read().get) == setOf(expected))
   }
 
   test("streaming upsert: two micro-batch drains converge to batch merge") {
