@@ -920,6 +920,65 @@ object ScaleBench {
     val (tIp1, tIpFull1) = iprofAt("1", 64)
     val (tIpF, tIpFullF) = iprofAt("f", 64 * factor)
 
+    // ---- DML write amplification (r19, VERDICT r18 asks #2/#7):
+    // point deletes into a FIXED-bucket store whose buckets GROW with
+    // the table (the deployment reality — bucket count is fixed at
+    // table creation). The copy-on-write delete must rewrite the whole
+    // bucket a key lives in (bytes ∝ bucket, growing f×); the
+    // merge-on-read delete writes key tombstones (bytes ∝ probe, flat
+    // — the del_mor claim). The post-delete read (THROUGH the live
+    // tombstone) must drop exactly the two probed rows — the row-count
+    // require pins MoR read correctness at scale.
+    def dmlDeleteAt(tag: String) = {
+      val root = s"$dir/dml_$tag"
+      val store = new graft.cdc.CowStore(spark, root, Seq("event_id"),
+        nBuckets = 16)
+      store.writeFull(spark.read.parquet(s"$dir/events_$tag"))
+      val ks = spark.read.parquet(s"$dir/events_$tag")
+        .select("event_id").orderBy("event_id").limit(2)
+        .collect().map(_.getLong(0))
+      def verBytes(v: Int) =
+        dirBytes(new java.io.File(f"$root/v_$v%08d"))
+      import spark.implicits._
+      val (nBefore, _) = consume(store.read().get)
+      val (tCowDel, _) = once {
+        store.delete(Seq(ks(0)).toDF("event_id")) }
+      val cowBytes = verBytes(store.versions().max)
+      val (tMorDel, _) = once {
+        store.delete(Seq(ks(1)).toDF("event_id"), mor = true) }
+      val morBytes = verBytes(store.versions().max)
+      val (nAfter, _) = consume(store.read().get)
+      require(nAfter == nBefore - 2,
+        s"point deletes must drop exactly 2 rows: $nBefore -> $nAfter")
+      (tCowDel, cowBytes, tMorDel, morBytes)
+    }
+    val (tCd1, cdB1, tMd1, mdB1) = dmlDeleteAt("1")
+    val (tCdF, cdBF, tMdF, mdBF) = dmlDeleteAt("f")
+
+    // ---- applyCdc (I/U/D) + additive evolution on the scaled-bucket
+    // cow stores: the fixed batch must keep wall + write bytes ∝
+    // batch (xflat ≈ 1) as the destination grows — the same contract
+    // the cow upsert leg pins, now for the op-apply and schema-widen
+    // paths (the two r18 DML surfaces without measured rows).
+    def dmlOpsAt(tag: String, nBuckets: Int) = {
+      val root = s"$dir/cow_$tag"
+      val store = new graft.cdc.CowStore(spark, root, Seq("event_id"),
+        nBuckets)
+      def verBytes(v: Int) =
+        dirBytes(new java.io.File(f"$root/v_$v%08d"))
+      val iud = cowBatch.withColumn("op",
+        when(pmod(col("event_id"), lit(2L)) === 0L, lit("U"))
+          .otherwise(lit("D")))
+      val (tOps, _) = once { store.applyCdc(iud, "op") }
+      val opsBytes = verBytes(store.versions().max)
+      val (tEvo, _) = once { store.upsert(
+        cowBatch.withColumn("evo_col", lit("e")), evolve = true) }
+      val evoBytes = verBytes(store.versions().max)
+      (tOps, opsBytes, tEvo, evoBytes)
+    }
+    val (tOps1, opsB1, tEvo1, evoB1) = dmlOpsAt("1", 64)
+    val (tOpsF, opsBF, tEvoF, evoBF) = dmlOpsAt("f", 64 * factor)
+
     // ---- consistent-read pin (r17 ask #4): two staggered "loads"
     // pinned to their common watermark before consumption. Cost shape
     // under test: two column-pruned max() scans + a broadcast 1-row
@@ -1086,6 +1145,21 @@ object ScaleBench {
       s""""iprof_refresh":[${f2(tIp1)},${f2(tIpF)}],""" +
       s""""iprof_full":[${f2(tIpFull1)},${f2(tIpFullF)}],""" +
       s""""iprof_xflat":${f2(tIpF / math.max(tIp1, 1e-9))},""" +
+      // point-delete write amplification, fixed-bucket store: COW
+      // bytes ∝ the (growing) bucket, MoR bytes ∝ the probe (flat) —
+      // the deletion-vector dividend
+      s""""del_cow_bytes":[$cdB1,$cdBF],"del_mor_bytes":[$mdB1,$mdBF],""" +
+      s""""del_cow_sec":[${f2(tCd1)},${f2(tCdF)}],""" +
+      s""""del_mor_sec":[${f2(tMd1)},${f2(tMdF)}],""" +
+      s""""del_mor_xbytes":${f2(mdBF.toDouble / math.max(mdB1, 1L))},""" +
+      // I/U/D op-apply + additive evolution: wall and write bytes stay
+      // ∝ the fixed batch as the destination grows
+      s""""applycdc_sec":[${f2(tOps1)},${f2(tOpsF)}],""" +
+      s""""applycdc_bytes":[$opsB1,$opsBF],""" +
+      s""""applycdc_xflat":${f2(tOpsF / math.max(tOps1, 1e-9))},""" +
+      s""""evolve_sec":[${f2(tEvo1)},${f2(tEvoF)}],""" +
+      s""""evolve_bytes":[$evoB1,$evoBF],""" +
+      s""""evolve_xflat":${f2(tEvoF / math.max(tEvo1, 1e-9))},""" +
       s""""cread_pin_1x":${f2(tPin1)},"cread_pin_fx":${f2(tPinF)},"cread_pin_xlin":${xlin(tPin1, tPinF)},""" +
       s""""cread_pin_rows":[${csPin1._1},${csPinF._1}],""" +
       s""""cread_walk_sec":${f2(tWalk)},"cread_walk_versions":50,""" +

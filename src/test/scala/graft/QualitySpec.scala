@@ -380,4 +380,41 @@ class QualitySpec extends AnyFunSuite {
     source.vacuum()
     assert(IncrementalProfile.refresh(source, c3, cols, stats).isEmpty)
   }
+
+  test("incremental consumers across a MERGE-ON-READ delete window: " +
+      "profile refresh and mart refresh both see the register diff") {
+    import graft.cdc.{CowStore, IncrementalMart}
+    import graft.quality.IncrementalProfile
+    def freshRoot() =
+      java.nio.file.Files.createTempDirectory("graft-iprof-mor").toString
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, tag, k * 10.0)).toDF("k", "tag", "v")
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val stats = new CowStore(spark, freshRoot(), Seq("bkt", "col_name"),
+      nBuckets = 4)
+    val mart = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val cols = Seq("k", "tag", "v")
+    def martOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), (col("v") + 1).as("v1"))
+    source.writeFull(rows(0 until 400, "old"))
+    val p0 = IncrementalProfile.build(source, cols, stats).get
+    val m0 = IncrementalMart.build(source, martOf, mart).get
+    // the delete commits ONLY tombstones — no bucket owner changes;
+    // changedBuckets must still report the register-diff buckets, and
+    // both consumers must converge on the post-delete table
+    source.delete(rows(0 until 400, "x").where(col("k") % 7 === 3)
+      .select("k"), mor = true)
+    assert(IncrementalProfile.refresh(source, p0, cols, stats).isDefined)
+    val prof = IncrementalProfile.global(stats).get
+      .select("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+        "min_str", "max_str").collect().map(_.toSeq).toSet
+    val exact = Profile.stats(source.read().get, cols)
+      .select("col_name", "n_rows", "n_nulls", "min_num", "max_num",
+        "min_str", "max_str").collect().map(_.toSeq).toSet
+    assert(prof == exact, "profile must absorb the MoR delete")
+    IncrementalMart.refresh(source, m0, martOf, mart, Seq("k"))
+    assert(mart.read().get.collect().map(_.toSeq).toSet ==
+      martOf(source.read().get).collect().map(_.toSeq).toSet,
+      "mart must delete the tombstoned keys' rows")
+  }
 }
