@@ -190,7 +190,7 @@ final class CowStore(spark: SparkSession, root: String,
     * clears the register, so a listed tombstone is always newer than
     * its bucket's data and applying it can never drop a re-inserted
     * row. */
-  private[cdc] def dvsOf(v: Int): Map[Int, Seq[Int]] =
+  private[graft] def dvsOf(v: Int): Map[Int, Seq[Int]] =
     if (!fs.exists(dvsPath(v))) Map.empty
     else {
       val in = fs.open(dvsPath(v))
@@ -607,9 +607,23 @@ final class CowStore(spark: SparkSession, root: String,
     * register diff as a changed bucket, so CDF stays correct. Reads
     * pay the (broadcast) anti-join until the NEXT data write of the
     * bucket — any rewrite folds pending tombstones in and clears the
-    * register, and [[compact]] force-folds all MoR debt. */
+    * register, and [[compact]] force-folds all MoR debt.
+    *
+    * MoR debt is BOUNDED per bucket ([[DvCapPerBucket]]): a bucket
+    * whose register already lists that many tombstone versions takes
+    * its slice of the delete through the folding COW rewrite instead
+    * (register back to zero), while the rest of the probe stays
+    * tombstone-cheap — so a tombstone-only workload (pure erasure
+    * stream, no upserts, no compaction) amortizes to one bucket
+    * rewrite per cap-many deletes and a read never unions more than
+    * cap tombstone files per bucket. The same self-limiting idea as
+    * Delta's OPTIMIZE-triggering DV thresholds, inlined. */
   def delete(keyRows: DataFrame, mor: Boolean = false): Unit =
     deleteAt(keyRows, currentVersion, mor)
+
+  /** Max tombstone versions a bucket's register may hold before a MoR
+    * delete degrades that bucket to the folding COW rewrite. */
+  val DvCapPerBucket = 32
 
   private[graft] def deleteAt(keyRows: DataFrame, base: Option[Int],
       mor: Boolean = false): Unit = {
@@ -625,15 +639,28 @@ final class CowStore(spark: SparkSession, root: String,
       .filter(man.contains) // never-written buckets hold nothing
     val dvs = dvsOf(base.get)
     if (mor) stored.foreach { sch =>
+      // Register at cap? Those buckets' probe slice folds through the
+      // COW rewrite first (one commit), then the still-cheap buckets
+      // tombstone on top of the advanced base (a second commit).
+      val overloaded = affected.filter(b =>
+        dvs.getOrElse(b, Nil).length >= DvCapPerBucket).toSet
+      val morBuckets = affected.filterNot(overloaded)
+      if (overloaded.nonEmpty) {
+        deleteAt(probe.where(bucketOf.isin(overloaded.toSeq: _*)),
+          base, mor = false)
+        if (morBuckets.nonEmpty)
+          deleteAt(probe.where(bucketOf.isin(morBuckets: _*)),
+            currentVersion, mor = true)
+      }
       // Tombstones only for buckets that exist — a probe entirely in
       // never-written buckets commits nothing, like the COW form.
-      if (affected.nonEmpty) {
+      else if (morBuckets.nonEmpty) {
         val v = allocateVersion(base.get + 1)
         probe.withColumn("__bkt", bucketOf)
-          .where(col("__bkt").isin(affected: _*))
+          .where(col("__bkt").isin(morBuckets: _*))
           .write.mode("append").parquet(dvDir(v).toString)
         publish(v, man, base, sch,
-          dvs ++ affected.map(b => b -> (dvs.getOrElse(b, Nil) :+ v)))
+          dvs ++ morBuckets.map(b => b -> (dvs.getOrElse(b, Nil) :+ v)))
       }
     }
     else readSlice(man, dvs, affected, stored).foreach { prev =>

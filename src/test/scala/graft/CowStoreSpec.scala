@@ -455,6 +455,33 @@ class CowStoreSpec extends AnyFunSuite {
     assert(collectSet(store.read().get) == before)
   }
 
+  test("MoR debt is bounded: a bucket at the register cap folds " +
+      "through the COW rewrite; a tombstone-only workload never " +
+      "exceeds cap versions per bucket") {
+    val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 400, "old"))
+    val cap = store.DvCapPerBucket
+    // keys routed to ONE bucket, deleted one at a time — the pure
+    // erasure-stream shape that would otherwise grow the register
+    // (and the read's tombstone union) without bound
+    val b0keys = rows(0 until 400, "x")
+      .withColumn("b", store.bucketOf)
+      .where(col("b") === 0).select("k")
+      .collect().map(_.getLong(0)).take(cap + 8)
+    assume(b0keys.length == cap + 8, "fixture wants cap+8 keys in b0")
+    b0keys.foreach { k =>
+      store.delete(Seq(k).toDF("k"), mor = true)
+    }
+    val reg = store.dvsOf(store.version.get).getOrElse(0, Nil)
+    assert(reg.length <= cap,
+      s"register must stay bounded, got ${reg.length}")
+    assert(reg.length == 7, "the at-cap delete folds (register " +
+      s"resets), then 7 more tombstones stack; got ${reg.length}")
+    // every deleted key is gone; every other row intact
+    assert(store.read().get.where(col("k").isin(b0keys: _*)).count() == 0)
+    assert(store.read().get.count() == 400 - b0keys.length)
+  }
+
   test("change feed and time travel stay correct across a MoR delete; " +
       "retention keeps _DV versions alive") {
     val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
