@@ -680,12 +680,28 @@ final class CowStore(spark: SparkSession, root: String,
     * with [[DedupLatest]] on the event-order column first); payload
     * drift follows the same [[graft.schema.Normalize.alignToSchema]]
     * tolerance as [[upsert]], with `opCol` riding alongside the
-    * aligned payload and consumed before the write. */
+    * aligned payload and consumed before the write.
+    *
+    * `morDeletes = true` routes the batch's DELETE events through the
+    * merge-on-read path instead ([[delete]]'s `mor` contract, caps
+    * included): the deletes commit as tombstones, then the non-delete
+    * rows merge normally — two versions instead of one, but a bucket
+    * only the deletes touch is never rewritten. Equivalent to the
+    * one-commit form because the batch is pre-collapsed to ≤1 row per
+    * key (a key is EITHER deleted or upserted, so delete-then-merge
+    * composes to the same table; spec-pinned). The shape for TTL
+    * sweeps and erasure events arriving mixed into an update feed. */
   def applyCdc(batch: DataFrame, opCol: String,
       deleteOps: Seq[String] = Seq("D", "d", "delete"),
-      evolve: Boolean = false): Unit = {
+      evolve: Boolean = false, morDeletes: Boolean = false): Unit = {
     if (batch.isEmpty) return
-    applyCdcAt(batch, opCol, deleteOps, currentVersion, evolve)
+    if (morDeletes && exists) {
+      val isDel = coalesce(col(opCol).isin(deleteOps: _*), lit(false))
+      delete(batch.where(isDel).select(keys.map(col): _*), mor = true)
+      val ups = batch.where(!isDel).drop(opCol)
+      if (!ups.isEmpty) upsert(ups, evolve = evolve)
+    }
+    else applyCdcAt(batch, opCol, deleteOps, currentVersion, evolve)
   }
 
   private[graft] def applyCdcAt(batch: DataFrame, opCol: String,

@@ -482,6 +482,37 @@ class CowStoreSpec extends AnyFunSuite {
     assert(store.read().get.count() == 400 - b0keys.length)
   }
 
+  test("applyCdc(morDeletes): mixed I/U/D batch equals the one-commit " +
+      "op-apply; delete-only buckets keep their owner (tombstones)") {
+    val (a, b) = (freshRoot(), freshRoot())
+    val one = new CowStore(spark, a, Seq("k"), nBuckets = 16)
+    val mor = new CowStore(spark, b, Seq("k"), nBuckets = 16)
+    val dest = rows(0 until 400, "old")
+    one.writeFull(dest)
+    mor.writeFull(dest)
+    // updates confined to keys < 64; deletes on far keys so some
+    // buckets see ONLY deletes
+    val batch = rows(10 until 40, "new").withColumn("op", lit("U"))
+      .unionByName(rows(300 until 330, "x").withColumn("op", lit("D")))
+    one.applyCdc(batch, "op")
+    mor.applyCdc(batch, "op", morDeletes = true)
+    assert(collectSet(mor.read().get) == collectSet(one.read().get))
+    // a bucket only the deletes touched was never rewritten: its
+    // owner is still v1 and it carries tombstones
+    val delOnly = rows(300 until 330, "x").select(mor.bucketOf)
+      .distinct().collect().map(_.getInt(0)).toSet --
+      rows(10 until 40, "x").select(mor.bucketOf)
+        .distinct().collect().map(_.getInt(0)).toSet
+    assume(delOnly.nonEmpty, "fixture wants delete-only buckets")
+    val man = mor.currentManifest
+    assert(delOnly.forall(man(_) == 1),
+      "delete-only buckets must be inherited, not rewritten")
+    assert(delOnly.subsetOf(mor.pendingDvBuckets.toSet))
+    // replay converges (the streaming-drain idempotence contract)
+    mor.applyCdc(batch, "op", morDeletes = true)
+    assert(collectSet(mor.read().get) == collectSet(one.read().get))
+  }
+
   test("change feed and time travel stay correct across a MoR delete; " +
       "retention keeps _DV versions alive") {
     val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
