@@ -162,6 +162,23 @@ object IncrementalProfile {
       }
     }
 
+  /** Tukey fences per profiled NUMERIC column, derived entirely from
+    * the MAINTAINED stat rows — `(col_name, q1, q3, lo, hi)` — so
+    * [[Outliers.flagWith]] can gate a fresh load against the table's
+    * history distribution with ZERO scan of that history (the r18
+    * verdict's point: Drift/Outliers consume percentiles, and the
+    * maintained profile can now serve them). Quartiles come from the
+    * merged GK sketches (ε-rank contract); an all-NULL or empty
+    * column yields NaN fences, which flag nothing. */
+  def fences(stats: CowStore, k: Double = 1.5): Option[DataFrame] =
+    global(stats, Seq(0.25, 0.75)).map { g =>
+      g.where(col("quantiles").isNotNull)
+        .select(col("col_name"),
+          col("quantiles")(0).as("q1"), col("quantiles")(1).as("q3"))
+        .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    }
+
   /** The table profile folded from the maintained stat rows —
     * ≤ nBuckets × nCols inputs, never the table: counts sum, min/max
     * re-fold, distinct is one HLL union per column, and quantiles are

@@ -90,4 +90,24 @@ object Outliers {
       k: Double = 1.5,
       accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame =
     flag(df, valueCol, groupCols, k, approx = true, accuracy = accuracy)
+
+  /** [[flag]] with CALLER-SUPPLIED fences — the maintained-profile
+    * path: [[IncrementalProfile.fences]] derives `(lo, hi)` from the
+    * store's churn-maintained GK sketches, so flagging a fresh load
+    * pays NO quantile pass over history at all (the only scan is the
+    * map-only flagging of the rows being checked — fences broadcast).
+    * `fences` must carry the group columns plus `lo`/`hi`; the fence
+    * values inherit whatever contract produced them (maintained
+    * sketches: the [[graft.functions.Quantiles]] ε-rank contract, so a
+    * value within ε·n ranks of a fence may flip vs exact — the same
+    * tolerance as [[flagApprox]]). Rows in groups absent from
+    * `fences` are dropped by the join — supply a complete fence
+    * table. */
+  def flagWith(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      fences: DataFrame): DataFrame = {
+    require(fences.columns.contains("lo") && fences.columns.contains("hi"),
+      "fences must carry lo/hi columns (Outliers.fences' shape)")
+    flagged(df, valueCol, groupCols, fences)
+      .drop(fences.columns.filterNot(groupCols.contains): _*)
+  }
 }

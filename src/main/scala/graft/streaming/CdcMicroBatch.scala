@@ -139,8 +139,8 @@ object CdcMicroBatch {
     * refreshes from the last version actually APPLIED downstream; an
     * absent marker (fresh checkpoint, pre-marker run) conservatively
     * rebuilds on the first batch. */
-  private def readCursor(spark: SparkSession, checkpoint: String,
-      name: String): Option[Int] = {
+  private def readMarker(spark: SparkSession, checkpoint: String,
+      name: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -148,22 +148,30 @@ object CdcMicroBatch {
       val in = fs.open(p)
       try {
         val s = scala.io.Source.fromInputStream(in).mkString.trim
-        if (s.isEmpty) None else Some(s.toInt)
+        if (s.isEmpty) None else Some(s)
       } finally in.close()
     }
   }
 
-  private def writeCursor(spark: SparkSession, checkpoint: String,
-      name: String, v: Int): Unit = {
+  private def writeMarker(spark: SparkSession, checkpoint: String,
+      name: String, value: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(checkpoint, s"$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(value.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"cursor write failed: $p")
   }
+
+  private def readCursor(spark: SparkSession, checkpoint: String,
+      name: String): Option[Int] =
+    readMarker(spark, checkpoint, name).map(_.toInt)
+
+  private def writeCursor(spark: SparkSession, checkpoint: String,
+      name: String, v: Int): Unit =
+    writeMarker(spark, checkpoint, name, v.toString)
 
   /** Run the maintenance policy, then RE-POINT the cursor past the
     * maintenance versions: compact/vacuum are result-invisible, so the
@@ -222,6 +230,63 @@ object CdcMicroBatch {
             transform, mart, keys).getOrElse(rebuild())
         cursor = maintain(store, batchId, maintenance, cursor)
         writeCursor(spark, checkpoint, CursorFile, cursor)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[runAvailableNowCowMart]] with REGISTERED DIMS — the drain for
+    * the reference's real mart shape (fact broadcast-enriched against
+    * an SCD2 dim that CHANGES, `dim_users.sql`): each batch patches
+    * the mart for the source churn AND, via
+    * [[graft.cdc.IncrementalMart.refreshWithDims]], for the fact rows
+    * any advanced dim's change feed touches — a dim update between
+    * drains re-enriches exactly the affected rows instead of leaving
+    * them stale (or forcing a rebuild). The persisted marker carries
+    * the COMPOSITE cursor (`sourceV|dimV,dimV,…`, positions = the
+    * stable `dims` order); unknown/mismatched markers conservatively
+    * rebuild. Everything else (idempotent replay, maintenance cadence
+    * with cursor re-point, retention fallback) is the plain drain's
+    * contract. */
+  def runAvailableNowCowMartDims(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: graft.cdc.CowStore,
+      mart: graft.cdc.CowStore, transform: DataFrame => DataFrame,
+      keys: Seq[String], checkpoint: String,
+      dims: Seq[graft.cdc.IncrementalMart.Dim],
+      maintenance: Option[CowMaintenance] = None): Unit = {
+    import graft.cdc.IncrementalMart
+    val CursorFile = "graft_mart_cursor_dims"
+    def parse(s: String): Option[IncrementalMart.Cursor] = {
+      val parts = s.split("\\|", -1)
+      val dimVs = if (parts.length < 2 || parts(1).isEmpty) Nil
+        else parts(1).split(",").map(_.toInt).toSeq
+      if (dimVs.length != dims.length) None // registration changed
+      else Some(IncrementalMart.Cursor(parts(0).toInt, dimVs))
+    }
+    var cursor: Option[IncrementalMart.Cursor] =
+      readMarker(spark, checkpoint, CursorFile).flatMap(parse)
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.upsert(batch)
+        def rebuild(): IncrementalMart.Cursor =
+          IncrementalMart.buildWithDims(store, transform, mart, dims).get
+        var cur = cursor match {
+          case Some(c) if mart.exists =>
+            IncrementalMart.refreshWithDims(store, c, transform, mart,
+              keys, dims).getOrElse(rebuild())
+          case _ => rebuild()
+        }
+        val repointed = maintain(store, batchId, maintenance, cur.sourceV)
+        cur = cur.copy(sourceV = repointed)
+        cursor = Some(cur)
+        writeMarker(spark, checkpoint, CursorFile,
+          s"${cur.sourceV}|${cur.dimVs.mkString(",")}")
         ()
       }
       .start()

@@ -381,6 +381,54 @@ class QualitySpec extends AnyFunSuite {
     assert(IncrementalProfile.refresh(source, c3, cols, stats).isEmpty)
   }
 
+  test("maintained fences gate a fresh load with zero history scan: " +
+      "IncrementalProfile.fences + Outliers.flagWith agree with the " +
+      "approx fences off the ε boundary") {
+    import graft.cdc.CowStore
+    import graft.quality.IncrementalProfile
+    def freshRoot() =
+      java.nio.file.Files.createTempDirectory("graft-ifence").toString
+    // heavy-tailed history so fences are non-trivial
+    val hist = (0 until 4000).map { i =>
+      val u = ((i * 2654435761L) % 10007).toDouble / 10007.0
+      (i.toLong, u * u * 1000.0)
+    }.toDF("k", "v")
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val stats = new CowStore(spark, freshRoot(), Seq("bkt", "col_name"),
+      nBuckets = 4)
+    source.writeFull(hist)
+    IncrementalProfile.build(source, Seq("v"), stats)
+    val f = IncrementalProfile.fences(stats).get
+      .where(col("col_name") === "v").drop("col_name")
+    // the maintained quartiles obey the ε rank contract vs history
+    val eps = graft.functions.GkSketch.DefaultEps
+    val (q1m, q3m) = {
+      val r = f.head(); (r.getDouble(0), r.getDouble(1))
+    }
+    val vs = hist.select("v").collect().map(_.getDouble(0)).sorted
+    def rank(x: Double) = vs.count(_ <= x)
+    assert(math.abs(rank(q1m) - 0.25 * vs.length) <= eps * vs.length + 1)
+    assert(math.abs(rank(q3m) - 0.75 * vs.length) <= eps * vs.length + 1)
+    // gate a fresh load: planted extremes flag, mid-range rows don't —
+    // and the flags agree with the engine-approx fences off-boundary
+    val fresh = Seq((9001L, -1e6), (9002L, 1e9), (9003L, 500.0))
+      .toDF("k", "v")
+    val viaProfile = graft.quality.Outliers
+      .flagWith(fresh, "v", Nil, f.withColumn("__g", lit(1)).drop("__g"))
+      .select("k", "is_low", "is_high").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(viaProfile(9001L) == ((true, false)))
+    assert(viaProfile(9002L) == ((false, true)))
+    assert(viaProfile(9003L) == ((false, false)))
+    // an all-string profile has no numeric fences (empty frame, no NPE)
+    val sStats = new CowStore(spark, freshRoot(), Seq("bkt", "col_name"),
+      nBuckets = 4)
+    val sSrc = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 4)
+    sSrc.writeFull(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    IncrementalProfile.build(sSrc, Seq("s"), sStats)
+    assert(IncrementalProfile.fences(sStats).get.count() == 0)
+  }
+
   test("incremental consumers across a MERGE-ON-READ delete window: " +
       "profile refresh and mart refresh both see the register diff") {
     import graft.cdc.{CowStore, IncrementalMart}
