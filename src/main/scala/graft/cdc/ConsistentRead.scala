@@ -97,6 +97,22 @@ object ConsistentRead {
       }
     }.nextOption()
 
+  /** [[asOfVersion]] over a [[CowStore]] — the same newest-first walk
+    * across COMMITTED versions (manifest-resolved, tombstones applied,
+    * each probed with one column-pruned `max(track)` aggregate), so
+    * marts built on the COW write path join the last mutually
+    * consistent snapshots too. Versions without a manifest (aborted
+    * claims) are skipped; the probe-cost caveat and its
+    * record-watermarks-at-write upgrade are [[asOfVersion]]'s. */
+  def asOfCowVersion(spark: SparkSession, store: CowStore, track: String,
+      wm: Any): Option[(Int, DataFrame)] =
+    store.versions().reverse.iterator.flatMap { v =>
+      store.readVersion(v).flatMap { df =>
+        val vwm = df.agg(max(col(track))).head().get(0)
+        if (vwm == null || lteq(spark, vwm, wm)) Some(v -> df) else None
+      }
+    }.nextOption()
+
   /** Engine-evaluated `a <= b` so timestamp/date/numeric watermarks
     * all compare by SQL semantics, not JVM ones. */
   private def lteq(spark: SparkSession, a: Any, b: Any): Boolean =

@@ -92,6 +92,28 @@ class ConsistentReadSpec extends AnyFunSuite {
     assert(v == 2 && df.count() == 2)
   }
 
+  test("asOfCowVersion walks COW versions: manifest-resolved, " +
+      "tombstones applied, incremental versions picked by their own " +
+      "watermark") {
+    val root = Files.createTempDirectory("graft-asof-cow").toString
+    val store = new graft.cdc.CowStore(spark, root, Seq("id"),
+      nBuckets = 4)
+    store.writeFull(Seq((1L, 5L)).toDF("id", "t"))       // v1, wm 5
+    store.upsert(Seq((2L, 10L)).toDF("id", "t"))         // v2, wm 10
+    store.upsert(Seq((3L, 15L)).toDF("id", "t"))         // v3, wm 15
+    store.delete(Seq(3L).toDF("id"), mor = true)         // v4, wm 10
+    def pick(wm: Long) =
+      ConsistentRead.asOfCowVersion(spark, store, "t", wm).map(_._1)
+    assert(pick(12L).contains(4),
+      "the MoR delete drops v4's watermark back to 10 (tombstone " +
+        "applied at the probe)")
+    assert(pick(9L).contains(1))
+    assert(pick(20L).contains(4))
+    assert(pick(3L).isEmpty)
+    val (v, df) = ConsistentRead.asOfCowVersion(spark, store, "t", 9L).get
+    assert(v == 1 && df.count() == 1)
+  }
+
   test("joint use: common watermark across two staggered stores") {
     val rootA = Files.createTempDirectory("graft-asof-a").toString
     val rootB = Files.createTempDirectory("graft-asof-b").toString
