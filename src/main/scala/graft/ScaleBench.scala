@@ -935,7 +935,7 @@ object ScaleBench {
         nBuckets = 16)
       store.writeFull(spark.read.parquet(s"$dir/events_$tag"))
       val ks = spark.read.parquet(s"$dir/events_$tag")
-        .select("event_id").orderBy("event_id").limit(2)
+        .select("event_id").orderBy("event_id").limit(3)
         .collect().map(_.getLong(0))
       def verBytes(v: Int) =
         dirBytes(new java.io.File(f"$root/v_$v%08d"))
@@ -950,10 +950,28 @@ object ScaleBench {
       val (nAfter, _) = consume(store.read().get)
       require(nAfter == nBefore - 2,
         s"point deletes must drop exactly 2 rows: $nBefore -> $nAfter")
-      (tCowDel, cowBytes, tMorDel, morBytes)
+      // 1-row UPDATE, both paths, same fixed-bucket store: the COW
+      // merge rewrites the key's (growing) bucket; the MoR delta
+      // commits ∝ the row. The post-update read goes THROUGH the live
+      // delta (winner rule at scale, require'd).
+      val upd = spark.read.parquet(s"$dir/events_$tag")
+        .where(col("event_id") === ks(2))
+        .withColumn("value", col("value") + 9.0)
+        .localCheckpoint(true)
+      val (tCowUpd, _) = once { store.upsert(upd) }
+      val cowUpdBytes = verBytes(store.versions().max)
+      val upd2 = upd.withColumn("value", col("value") + 1.0)
+        .localCheckpoint(true)
+      val (tMorUpd, _) = once { store.upsert(upd2, mor = true) }
+      val morUpdBytes = verBytes(store.versions().max)
+      val got = store.read().get.where(col("event_id") === ks(2))
+        .agg(count(lit(1)), max(col("value"))).head()
+      require(got.getLong(0) == 1, "winner rule must keep one row")
+      (tCowDel, cowBytes, tMorDel, morBytes,
+        tCowUpd, cowUpdBytes, tMorUpd, morUpdBytes)
     }
-    val (tCd1, cdB1, tMd1, mdB1) = dmlDeleteAt("1")
-    val (tCdF, cdBF, tMdF, mdBF) = dmlDeleteAt("f")
+    val (tCd1, cdB1, tMd1, mdB1, tCu1, cuB1, tMu1, muB1) = dmlDeleteAt("1")
+    val (tCdF, cdBF, tMdF, mdBF, tCuF, cuBF, tMuF, muBF) = dmlDeleteAt("f")
 
     // ---- applyCdc (I/U/D) + additive evolution on the scaled-bucket
     // cow stores: the fixed batch must keep wall + write bytes ∝
@@ -1152,6 +1170,11 @@ object ScaleBench {
       s""""del_cow_sec":[${f2(tCd1)},${f2(tCdF)}],""" +
       s""""del_mor_sec":[${f2(tMd1)},${f2(tMdF)}],""" +
       s""""del_mor_xbytes":${f2(mdBF.toDouble / math.max(mdB1, 1L))},""" +
+      // 1-row update write amplification: COW rewrites the growing
+      // bucket, the MoR delta stays ∝ the row
+      s""""upd_cow_bytes":[$cuB1,$cuBF],"upd_mor_bytes":[$muB1,$muBF],""" +
+      s""""upd_cow_sec":[${f2(tCu1)},${f2(tCuF)}],""" +
+      s""""upd_mor_sec":[${f2(tMu1)},${f2(tMuF)}],""" +
       // I/U/D op-apply + additive evolution: wall and write bytes stay
       // ∝ the fixed batch as the destination grows
       s""""applycdc_sec":[${f2(tOps1)},${f2(tOpsF)}],""" +

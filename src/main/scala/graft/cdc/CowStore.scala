@@ -128,6 +128,8 @@ final class CowStore(spark: SparkSession, root: String,
   // the manifest, never a version root.
   private def dvDir(v: Int) = new Path(versionDir(v), "dv")
   private def dvsPath(v: Int) = new Path(versionDir(v), "_DVS")
+  private def dlDir(v: Int) = new Path(versionDir(v), "dl")
+  private def dlsPath(v: Int) = new Path(versionDir(v), "_DLS")
   private def bucketDir(owner: Int, b: Int) =
     new Path(versionDir(owner), s"__bkt=$b")
 
@@ -190,10 +192,10 @@ final class CowStore(spark: SparkSession, root: String,
     * clears the register, so a listed tombstone is always newer than
     * its bucket's data and applying it can never drop a re-inserted
     * row. */
-  private[graft] def dvsOf(v: Int): Map[Int, Seq[Int]] =
-    if (!fs.exists(dvsPath(v))) Map.empty
+  private def registerOf(p: Path): Map[Int, Seq[Int]] =
+    if (!fs.exists(p)) Map.empty
     else {
-      val in = fs.open(dvsPath(v))
+      val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in).mkString
         finally in.close()
       text.split("\n").filter(_.nonEmpty).map { line =>
@@ -202,11 +204,30 @@ final class CowStore(spark: SparkSession, root: String,
       }.toMap
     }
 
+  private[graft] def dvsOf(v: Int): Map[Int, Seq[Int]] =
+    registerOf(dvsPath(v))
+
+  /** bucket -> DELTA-INSERT versions, for version `v` — the
+    * merge-on-read UPSERT register (`_DLS`, see [[upsert]]'s `mor`
+    * contract): each listed version's `dl/` parquet holds batch rows
+    * that SUPERSEDE any older row of the same key in that bucket
+    * (delete+insert semantics without the rewrite). The same
+    * fold-on-any-data-write invariant as [[dvsOf]] holds, so a listed
+    * delta is always newer than its bucket's base data. */
+  private[graft] def dlsOf(v: Int): Map[Int, Seq[Int]] =
+    registerOf(dlsPath(v))
+
   /** Buckets carrying unapplied tombstones at the current version —
     * exposed so maintenance policy can see MoR debt ([[compact]] folds
     * it). */
   def pendingDvBuckets: Seq[Int] =
     currentVersion.map(dvsOf(_).collect {
+      case (b, vs) if vs.nonEmpty => b
+    }.toSeq.sorted).getOrElse(Nil)
+
+  /** Buckets carrying unapplied delta inserts at the current version. */
+  def pendingDlBuckets: Seq[Int] =
+    currentVersion.map(dlsOf(_).collect {
       case (b, vs) if vs.nonEmpty => b
     }.toSeq.sorted).getOrElse(Nil)
 
@@ -257,36 +278,88 @@ final class CowStore(spark: SparkSession, root: String,
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), s)
 
-  /** The one read kernel every consumer resolves through: `buckets` of
-    * the table under manifest `man`, with version `dvs`' applicable
-    * tombstones ANTI-JOINED away (merge-on-read). Tombstone files are
-    * ∝ deleted keys — tiny next to data — so AQE broadcasts the anti
-    * side; a bucket set with no registered tombstones pays zero extra
-    * work (the common case: any data rewrite folds and clears them). */
-  private def readSlice(man: Map[Int, Int], dvs: Map[Int, Seq[Int]],
+  /** Per-version MoR artifact frames for `buckets` under register
+    * `reg`: only versions a bucket's register STILL lists apply — a
+    * bucket rewritten since (register cleared, artifacts folded) must
+    * not have stale artifacts shadow its current rows, even though
+    * the version's file also holds that bucket's old rows. */
+  private def morArtifacts(dir: Int => Path, reg: Map[Int, Seq[Int]],
       buckets: Seq[Int],
       schema: Option[org.apache.spark.sql.types.StructType])
-      : Option[DataFrame] =
-    readPaths(bucketPaths(man, buckets), schema).map { data =>
-      val dvVersions = buckets.flatMap(b => dvs.getOrElse(b, Nil))
-        .distinct.sorted
-      // Per-version applicability: tombstone version t applies ONLY to
-      // buckets whose register still lists t — a bucket rewritten since
-      // (register cleared, tombstones folded) must NOT have t's stale
-      // tombstones shadow its re-inserted keys, even though t's `_DV`
-      // file also holds that bucket's old probe rows.
-      val tombs = dvVersions.flatMap { t =>
+      : Seq[(Int, DataFrame)] =
+    buckets.flatMap(b => reg.getOrElse(b, Nil)).distinct.sorted
+      .flatMap { t =>
         val allowed = buckets.filter(b =>
-          dvs.getOrElse(b, Nil).contains(t))
-        if (!fs.exists(dvDir(t))) None
-        else Some(spark.read.parquet(dvDir(t).toString)
-          .where(col("__bkt").isin(allowed: _*))
-          .select(keys.map(col): _*))
+          reg.getOrElse(b, Nil).contains(t))
+        if (!fs.exists(dir(t))) None
+        else {
+          // explicit schema (+__bkt, which MoR files always carry) so
+          // artifacts older than an evolution null-fill like base data
+          val rdr = schema.fold(spark.read)(s => spark.read.schema(
+            org.apache.spark.sql.types.StructType(s.fields :+
+              org.apache.spark.sql.types.StructField("__bkt",
+                org.apache.spark.sql.types.IntegerType))))
+          Some(t -> rdr.parquet(dir(t).toString)
+            .where(col("__bkt").isin(allowed: _*)).drop("__bkt"))
+        }
       }
-      if (tombs.isEmpty) data
-      else data.join(tombs.reduce(_ unionByName _).distinct(), keys,
-        "left_anti")
+
+  /** The one read kernel every consumer resolves through: `buckets` of
+    * the table under manifest `man`, merged with the merge-on-read
+    * registers —
+    *  - `dvs` tombstones ([[delete]]'s `mor`): applicable key rows are
+    *    ANTI-JOINED away (broadcast — bytes ∝ deleted keys);
+    *  - `dls` delta inserts ([[upsert]]'s `mor`): base rows carry
+    *    effective version 0 and each delta its commit version — both
+    *    registers only ever hold versions NEWER than the bucket's base
+    *    (any data write folds and clears them) — so the NEWEST version
+    *    of each key wins (all rows of that version: duplicate-key
+    *    batches keep their duplicates, exact [[Upsert]] parity), and a
+    *    tombstone kills a key only when it postdates the winning row.
+    * A bucket set with no registered artifacts pays zero extra work
+    * (the common case); tombstone-only slices keep the shuffle-free
+    * anti-join plan, and only delta-carrying slices pay the per-key
+    * window — the classic MoR read tax, bounded by the fold-at-cap
+    * policy. */
+  private def readSlice(man: Map[Int, Int], dvs: Map[Int, Seq[Int]],
+      dls: Map[Int, Seq[Int]], buckets: Seq[Int],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[DataFrame] = {
+    val base = readPaths(bucketPaths(man, buckets), schema)
+    val tombs = morArtifacts(dvDir, dvs, buckets, schema.map(s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filter(f => keys.contains(f.name)))))
+      .map { case (t, df) =>
+        df.select(keys.map(col) :+ lit(t).as("__tv"): _*) }
+    val deltas = morArtifacts(dlDir, dls, buckets, schema)
+    if (deltas.isEmpty) {
+      // tombstone-only (or artifact-free) slice: the zero-shuffle path
+      base.map { data =>
+        if (tombs.isEmpty) data
+        else data.join(
+          tombs.map(_.select(keys.map(col): _*)).reduce(_ unionByName _)
+            .distinct(), keys, "left_anti")
+      }
+    } else {
+      val withV = base.map(_.withColumn("__v", lit(0))).toSeq ++
+        deltas.map { case (t, df) => df.withColumn("__v", lit(t)) }
+      val rows = withV.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      val won = rows.withColumn("__maxv", max(col("__v")).over(w))
+        .where(col("__v") === col("__maxv")).drop("__maxv")
+      val result =
+        if (tombs.isEmpty) won
+        else {
+          val tombMax = tombs.reduce(_ unionByName _)
+            .groupBy(keys.map(col): _*).agg(max(col("__tv")).as("__tv"))
+          won.join(broadcast(tombMax), keys, "left")
+            .where(col("__tv").isNull || col("__tv") < col("__v"))
+            .drop("__tv")
+        }
+      Some(result.drop("__v"))
     }
+  }
 
   /** Full current table (all buckets, resolved through the manifest,
     * read under the current authoritative schema). An existing table
@@ -300,7 +373,8 @@ final class CowStore(spark: SparkSession, root: String,
     * uses; exposed for key-range-restricted consumers. */
   def readBuckets(buckets: Seq[Int]): Option[DataFrame] =
     currentVersion.flatMap(v =>
-      readSlice(manifest(v), dvsOf(v), buckets.distinct, schemaOf(v)))
+      readSlice(manifest(v), dvsOf(v), dlsOf(v), buckets.distinct,
+        schemaOf(v)))
 
   /** Time travel: the table as of (un-vacuumed) version `v`, resolved
     * through THAT version's manifest — inherited buckets read their
@@ -317,7 +391,8 @@ final class CowStore(spark: SparkSession, root: String,
       val man = manifest(v)
       // THAT version's schema: time travel to before an evolution
       // returns the old shape, exactly as Delta/Iceberg do.
-      readSlice(man, dvsOf(v), man.keys.toSeq.sorted, schemaOf(v))
+      readSlice(man, dvsOf(v), dlsOf(v), man.keys.toSeq.sorted,
+          schemaOf(v))
         .orElse(schemaOf(v).map(emptyFrame))
     }
 
@@ -397,7 +472,8 @@ final class CowStore(spark: SparkSession, root: String,
   private def publish(v: Int, man: Map[Int, Int],
       expectedBase: Option[Int],
       schema: org.apache.spark.sql.types.StructType,
-      dvs: Map[Int, Seq[Int]] = Map.empty): Unit = {
+      dvs: Map[Int, Seq[Int]] = Map.empty,
+      dls: Map[Int, Seq[Int]] = Map.empty): Unit = {
     // Detect a lost race BEFORE publishing the manifest: an aborted
     // version must never carry one, or the crash-forward fallback
     // (newest dir WITH a manifest) could resurrect it as current.
@@ -405,17 +481,21 @@ final class CowStore(spark: SparkSession, root: String,
     // Authoritative schema first (manifest stays the commit marker).
     val sout = fs.create(schemaPath(v), true)
     try sout.write(schema.json.getBytes("UTF-8")) finally sout.close()
-    // Deletion-vector register next (same commit-marker discipline:
-    // only the manifest makes any of it visible). Written only when
-    // non-empty — the common no-MoR-debt version carries no file.
-    val liveDvs = dvs.filter(_._2.nonEmpty)
-    if (liveDvs.nonEmpty) {
-      val dout = fs.create(dvsPath(v), true)
-      try dout.write(liveDvs.toSeq.sortBy(_._1)
-        .map { case (b, vs) => s"$b ${vs.mkString(",")}" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally dout.close()
+    // MoR registers next (same commit-marker discipline: only the
+    // manifest makes any of it visible). Written only when non-empty —
+    // the common no-MoR-debt version carries no register files.
+    def writeRegister(p: Path, reg: Map[Int, Seq[Int]]): Unit = {
+      val live = reg.filter(_._2.nonEmpty)
+      if (live.nonEmpty) {
+        val dout = fs.create(p, true)
+        try dout.write(live.toSeq.sortBy(_._1)
+          .map { case (b, vs) => s"$b ${vs.mkString(",")}" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally dout.close()
+      }
     }
+    writeRegister(dvsPath(v), dvs)
+    writeRegister(dlsPath(v), dls)
     val tmpMan = new Path(versionDir(v), "_MANIFEST.tmp")
     val out = fs.create(tmpMan, true)
     try out.write(man.toSeq.sorted
@@ -477,13 +557,33 @@ final class CowStore(spark: SparkSession, root: String,
     * time travel to an earlier version returns the earlier shape.
     * Type changes are NOT evolution — an existing column still casts
     * to its stored type (parquet files must stay type-stable or the
-    * vectorized reader breaks on old files). */
+    * vectorized reader breaks on old files).
+    *
+    * `mor = true` is the MERGE-ON-READ upsert (the update-side twin of
+    * [[delete]]'s deletion vectors — Iceberg MoR / Hudi MOR-table
+    * semantics on this layout): the batch commits as a DELTA-INSERT
+    * file (`dl/` parquet, bytes ∝ batch rows, never ∝ the buckets they
+    * land in) with the manifest unchanged; reads resolve each key to
+    * its NEWEST version ([[readSlice]]'s winner rule — base data is
+    * provably older than every registered delta), so a 1-row update
+    * stops costing a bucket rewrite. Result-invisible vs the COW merge
+    * (`q_cdc_upsert_mor` shares `q_cdc_upsert`'s oracle verbatim).
+    * Reads of delta-carrying buckets pay a per-key window — the MoR
+    * read tax — until the next data write folds the deltas in, and
+    * [[DlCapPerBucket]] bounds the debt exactly as the tombstone cap
+    * does (an at-cap bucket's slice folds through the COW merge).
+    * Keep-latest `dedup` requires the COW merge (the winner rule
+    * resolves versions, not track columns). */
   def upsert(incoming: DataFrame,
       dedup: Option[(String, Seq[String])] = None,
-      evolve: Boolean = false): Unit = {
+      evolve: Boolean = false, mor: Boolean = false): Unit = {
     if (incoming.isEmpty) return
-    upsertAt(incoming, dedup, currentVersion, evolve)
+    upsertAt(incoming, dedup, currentVersion, evolve, mor)
   }
+
+  /** Max delta versions a bucket's register may hold before a MoR
+    * upsert degrades that bucket to the folding COW merge. */
+  val DlCapPerBucket = 32
 
   /** [[upsert]] pinned to an explicit base snapshot — the seam the
     * concurrency spec interleaves through (two writers sharing one
@@ -491,7 +591,10 @@ final class CowStore(spark: SparkSession, root: String,
     * [[upsert]], which bases on the current version. */
   private[graft] def upsertAt(incoming: DataFrame,
       dedup: Option[(String, Seq[String])], base: Option[Int],
-      evolve: Boolean = false): Unit = {
+      evolve: Boolean = false, mor: Boolean = false): Unit = {
+    require(!mor || dedup.isEmpty,
+      "keep-latest dedup requires the COW merge — the MoR winner rule " +
+        "resolves commit versions, not track columns")
     val missingKeys = keys.filterNot(incoming.columns.contains)
     require(missingKeys.isEmpty,
       s"incoming batch lacks key column(s) ${missingKeys.mkString(",")}" +
@@ -509,7 +612,6 @@ final class CowStore(spark: SparkSession, root: String,
         DedupLatest(incoming, keys, t, tb) }, base)
       return
     }
-    val v = allocateVersion(base.get + 1)
     // 0. align the batch to the TARGET schema — the reference's drift
     // tolerance (base_loader.py:290-299): missing stored columns
     // null-fill, unknown incoming fields drop (or, under evolve, are
@@ -536,13 +638,40 @@ final class CowStore(spark: SparkSession, root: String,
     // 1. affected buckets: ≤ nBuckets ints of driver state.
     val affected = inc.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    val dvs = dvsOf(base.get)
+    val dls = dlsOf(base.get)
+    if (mor) {
+      Seq("__v", "__tv", "__maxv").foreach(r => require(
+        target.forall(!_.fieldNames.contains(r)),
+        s"$r is reserved by the merge-on-read reader; rename the column"))
+      // Delta-register at cap? Those buckets' batch slice folds
+      // through the COW merge first, the still-cheap rest delta-
+      // commits on the advanced base (deleteAt's fold-at-cap shape).
+      val overloaded = affected.filter(b =>
+        dls.getOrElse(b, Nil).length >= DlCapPerBucket).toSet
+      if (overloaded.nonEmpty) {
+        upsertAt(inc.where(bucketOf.isin(overloaded.toSeq: _*)), None,
+          base, evolve)
+        val rest = affected.filterNot(overloaded)
+        if (rest.nonEmpty)
+          upsertAt(inc.where(bucketOf.isin(rest: _*)), None,
+            currentVersion, evolve, mor = true)
+      } else {
+        val v = allocateVersion(base.get + 1)
+        inc.withColumn("__bkt", bucketOf)
+          .write.mode("append").parquet(dlDir(v).toString)
+        publish(v, man, base, target.getOrElse(inc.schema), dvs,
+          dls ++ affected.map(b => b -> (dls.getOrElse(b, Nil) :+ v)))
+      }
+      return
+    }
+    val v = allocateVersion(base.get + 1)
     // 2+3. pruned read of exactly those buckets (under the target
     // schema, so pre-evolution files null-fill any just-added
-    // columns; pending MoR tombstones fold in here), then the same
-    // anti-join+union (+ optional keep-latest) as the unbucketed
-    // kernel.
-    val dvs = dvsOf(base.get)
-    val merged = readSlice(man, dvs, affected, target) match {
+    // columns; pending MoR tombstones and delta inserts fold in
+    // here), then the same anti-join+union (+ optional keep-latest)
+    // as the unbucketed kernel.
+    val merged = readSlice(man, dvs, dls, affected, target) match {
       case Some(prev) =>
         val up = Upsert(prev, inc, keys)
         dedup.fold(up) { case (t, tb) => DedupLatest(up, keys, t, tb) }
@@ -551,10 +680,10 @@ final class CowStore(spark: SparkSession, root: String,
           DedupLatest(inc, keys, t, tb) }
     }
     // 4. rewrite affected buckets only; inherit the rest by reference.
-    // Rewritten buckets clear their tombstone register (folded above).
+    // Rewritten buckets clear their MoR registers (folded above).
     writeBuckets(merged, v)
     publish(v, man ++ affected.map(_ -> v), base, merged.schema,
-      dvs -- affected)
+      dvs -- affected, dls -- affected)
   }
 
   /** Cast a key probe to the STORED key types before bucket routing —
@@ -638,7 +767,11 @@ final class CowStore(spark: SparkSession, root: String,
       .collect().map(_.getInt(0)).toSeq.sorted
       .filter(man.contains) // never-written buckets hold nothing
     val dvs = dvsOf(base.get)
+    val dls = dlsOf(base.get)
     if (mor) stored.foreach { sch =>
+      Seq("__v", "__tv", "__maxv").foreach(r => require(
+        !sch.fieldNames.contains(r),
+        s"$r is reserved by the merge-on-read reader; rename the column"))
       // Register at cap? Those buckets' probe slice folds through the
       // COW rewrite first (one commit), then the still-cheap buckets
       // tombstone on top of the advanced base (a second commit).
@@ -660,14 +793,15 @@ final class CowStore(spark: SparkSession, root: String,
           .where(col("__bkt").isin(morBuckets: _*))
           .write.mode("append").parquet(dvDir(v).toString)
         publish(v, man, base, sch,
-          dvs ++ morBuckets.map(b => b -> (dvs.getOrElse(b, Nil) :+ v)))
+          dvs ++ morBuckets.map(b => b -> (dvs.getOrElse(b, Nil) :+ v)),
+          dls)
       }
     }
-    else readSlice(man, dvs, affected, stored).foreach { prev =>
+    else readSlice(man, dvs, dls, affected, stored).foreach { prev =>
       val v = allocateVersion(base.get + 1)
       writeBuckets(prev.join(probe, keys, "left_anti"), v)
       publish(v, man ++ affected.map(_ -> v), base,
-        stored.getOrElse(prev.schema), dvs -- affected)
+        stored.getOrElse(prev.schema), dvs -- affected, dls -- affected)
     }
   }
 
@@ -754,14 +888,15 @@ final class CowStore(spark: SparkSession, root: String,
       .collect().map(_.getInt(0)).toSeq.sorted
     val v = allocateVersion(base.get + 1)
     val dvs = dvsOf(base.get)
-    val merged = readSlice(man, dvs, affected, target) match {
+    val dls = dlsOf(base.get)
+    val merged = readSlice(man, dvs, dls, affected, target) match {
       case Some(prev) =>
         Upsert.applyOps(prev, aligned, keys, opCol, deleteOps)
       case None => nonDelete(aligned).drop(opCol)
     }
     writeBuckets(merged, v)
     publish(v, man ++ affected.map(_ -> v), base, merged.schema,
-      dvs -- affected)
+      dvs -- affected, dls -- affected)
   }
 
   /** Change data feed — what changed between (un-vacuumed) versions
@@ -820,9 +955,12 @@ final class CowStore(spark: SparkSession, root: String,
       val mNew = manifest(toV)
       val dOld = dvsOf(fromV)
       val dNew = dvsOf(toV)
+      val lOld = dlsOf(fromV)
+      val lNew = dlsOf(toV)
       Some((mOld.keySet ++ mNew.keySet).toSeq.sorted
         .filter(b => mOld.get(b) != mNew.get(b) ||
-          dOld.getOrElse(b, Nil) != dNew.getOrElse(b, Nil)))
+          dOld.getOrElse(b, Nil) != dNew.getOrElse(b, Nil) ||
+          lOld.getOrElse(b, Nil) != lNew.getOrElse(b, Nil)))
     }
 
   /** The changed bucket slices of versions `fromV`/`toV` (see
@@ -841,9 +979,12 @@ final class CowStore(spark: SparkSession, root: String,
         .orElse(bucketPaths(mOld, mOld.keys.toSeq.sorted).headOption
           .map(p => spark.read.parquet(p).schema))
       sch.map { s =>
-        def slice(man: Map[Int, Int], dvs: Map[Int, Seq[Int]]): DataFrame =
-          readSlice(man, dvs, changed, Some(s)).getOrElse(emptyFrame(s))
-        (slice(mOld, dvsOf(fromV)), slice(mNew, dvsOf(toV)))
+        def slice(man: Map[Int, Int], dvs: Map[Int, Seq[Int]],
+            dls: Map[Int, Seq[Int]]): DataFrame =
+          readSlice(man, dvs, dls, changed, Some(s))
+            .getOrElse(emptyFrame(s))
+        (slice(mOld, dvsOf(fromV), dlsOf(fromV)),
+          slice(mNew, dvsOf(toV), dlsOf(toV)))
       }
     }
 
@@ -885,12 +1026,14 @@ final class CowStore(spark: SparkSession, root: String,
     val man = base.map(manifest).getOrElse(Map.empty)
     if (man.isEmpty) return
     val dvs = dvsOf(base.get)
+    val dls = dlsOf(base.get)
     // MoR debt is folded here regardless of fragmentation: a bucket
-    // with registered tombstones joins the rewrite tail even when its
-    // owner would otherwise survive by inheritance, so compact() always
-    // leaves a tombstone-free table (the Delta OPTIMIZE-rewrites-DVs
-    // contract).
-    val dvCarriers = dvs.collect { case (b, vs) if vs.nonEmpty => b }.toSet
+    // with registered tombstones OR delta inserts joins the rewrite
+    // tail even when its owner would otherwise survive by inheritance,
+    // so compact() always leaves an artifact-free table (the Delta
+    // OPTIMIZE-rewrites-DVs contract).
+    val dvCarriers = (dvs.collect { case (b, vs) if vs.nonEmpty => b } ++
+      dls.collect { case (b, vs) if vs.nonEmpty => b }).toSet
     val byOwner: Map[Int, Seq[Int]] =
       man.groupBy(_._2).map { case (o, m) => o -> m.keys.toSeq.sorted }
     if (byOwner.size <= maxReferenced && dvCarriers.isEmpty) return
@@ -911,12 +1054,12 @@ final class CowStore(spark: SparkSession, root: String,
     // same schema — compaction is layout maintenance, never a schema
     // event.
     val sch = schemaOf(base.get)
-    val tailDf = readSlice(man, dvs, tail, sch)
+    val tailDf = readSlice(man, dvs, dls, tail, sch)
     tailDf.foreach(writeBuckets(_, v, clusterBy))
     publish(v, man ++ tail.map(_ -> v), base,
       sch.orElse(tailDf.map(_.schema))
         .getOrElse(new org.apache.spark.sql.types.StructType()),
-      dvs -- tail)
+      dvs -- tail, dls -- tail)
   }
 
   /** Reference-aware vacuum: drop version dirs older than the current
@@ -946,7 +1089,8 @@ final class CowStore(spark: SparkSession, root: String,
     // delete's `_DV` files are load-bearing for reads at any version
     // whose register lists them.
     val live = retained.flatMap(v =>
-      manifest(v).values ++ dvsOf(v).values.flatten).toSet ++
+      manifest(v).values ++ dvsOf(v).values.flatten ++
+        dlsOf(v).values.flatten).toSet ++
       retained + cur
     versions().filter(v => v < cur && !live.contains(v)).foreach { v =>
       fs.delete(versionDir(v), true)

@@ -197,6 +197,30 @@ object CdcQueries {
         .orderBy("o_orderkey")
     },
 
+    // C1 through the MERGE-ON-READ upsert path (the update-side twin
+    // of the deletion vectors — Iceberg/Hudi MoR semantics on this
+    // layout): the batch commits as a delta-insert file (bytes ∝
+    // batch, manifest unchanged) and the read resolves each key to
+    // its newest version. The final read goes THROUGH the live delta
+    // register — the MoR winner rule is what the oracle certifies;
+    // fold/compact invisibility is CowStoreSpec-pinned. Shares
+    // q_cdc_upsert's oracle VERBATIM: merge-on-read is an execution
+    // layout, never a semantics change. ScaleBench's upd legs measure
+    // the write-amplification gap.
+    "q_cdc_upsert_mor" -> { (s, d) =>
+      val dest = Tables(s, d, "orders")
+        .where(col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      val root = freshCowRoot("upsert_mor")
+      val store = new graft.cdc.CowStore(s, root, Seq("o_orderkey"),
+        nBuckets = 16)
+      store.writeFull(dest)
+      store.upsert(ordersIncoming(s, d).select(
+        dest.columns.map(col).toSeq: _*), mor = true)
+      store.read().get
+        .select(dest.columns.map(col).toSeq: _*)
+        .orderBy("o_orderkey")
+    },
+
     // The same delete through the MERGE-ON-READ path (Delta deletion
     // vectors / Iceberg MoR on this layout): the commit writes only
     // key tombstones (bytes ∝ probe, never ∝ bucket — the write-
@@ -892,6 +916,18 @@ object CdcQueries {
       """SELECT * FROM orders
         |WHERE o_orderdate < TIMESTAMP '2000-07-01'
         |  AND o_orderkey % 9 <> 4
+        |ORDER BY o_orderkey""".stripMargin,
+    // VERBATIM q_cdc_upsert restatement — the merge-on-read delta path
+    // must be invisible to semantics (the read resolves winners).
+    "q_cdc_upsert_mor" ->
+      """WITH dest AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'),
+        |inc AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT * FROM dest WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc
         |ORDER BY o_orderkey""".stripMargin,
     // VERBATIM q_cdc_delete restatement — merge-on-read tombstones and
     // their compaction fold must be invisible to semantics.

@@ -482,6 +482,120 @@ class CowStoreSpec extends AnyFunSuite {
     assert(store.read().get.count() == 400 - b0keys.length)
   }
 
+  test("merge-on-read upsert: same result as the COW merge at delta " +
+      "cost — manifest unchanged, write bytes ∝ batch; stacking, " +
+      "delete interplay, duplicate keys, evolution") {
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val (cowRoot, morRoot) = (freshRoot(), freshRoot())
+    val cow = new CowStore(spark, cowRoot, Seq("k"), nBuckets = 16)
+    val mor = new CowStore(spark, morRoot, Seq("k"), nBuckets = 16)
+    cow.writeFull(rows(0 until 400, "old"))
+    mor.writeFull(rows(0 until 400, "old"))
+    val inc = rows(350 until 420, "new") // updates + brand-new keys
+    cow.upsert(inc)
+    mor.upsert(inc, mor = true)
+    assert(collectSet(mor.read().get) == collectSet(cow.read().get))
+    assert(mor.currentManifest.values.toSet == Set(1),
+      "the delta commit rewrote no data bucket")
+    assert(mor.pendingDlBuckets.nonEmpty)
+    val morBytes = dirBytes(new java.io.File(f"$morRoot/v_${2}%08d"))
+    val cowBytes = dirBytes(new java.io.File(f"$cowRoot/v_${2}%08d"))
+    assert(morBytes < cowBytes / 2,
+      s"delta wrote $morBytes vs COW's $cowBytes")
+    // key-pruned lookup resolves the winner through the delta
+    assert(mor.readForKeys(Seq(399L).toDF("k")).get
+      .select("tag").head().getString(0) == "new")
+    // stacking: a second delta supersedes the first for its keys
+    mor.upsert(rows(399 until 401, "newer"), mor = true)
+    cow.upsert(rows(399 until 401, "newer"))
+    assert(collectSet(mor.read().get) == collectSet(cow.read().get))
+    // delete-after-delta kills the delta row; delta-after-delete
+    // resurrects the key (version order decides, both ways)
+    mor.delete(Seq(400L).toDF("k"), mor = true)
+    cow.delete(Seq(400L).toDF("k"))
+    assert(collectSet(mor.read().get) == collectSet(cow.read().get))
+    mor.upsert(rows(400 until 401, "back"), mor = true)
+    cow.upsert(rows(400 until 401, "back"))
+    assert(collectSet(mor.read().get) == collectSet(cow.read().get))
+    // duplicate-key batches keep their duplicates (Upsert parity: the
+    // winner rule keeps ALL rows of the winning version)
+    val dup = rows(5 until 6, "dupA").unionByName(rows(5 until 6, "dupB"))
+    mor.upsert(dup, mor = true)
+    cow.upsert(dup)
+    assert(mor.read().get.where(col("k") === 5L).count() == 2)
+    assert(collectSet(mor.read().get) == collectSet(cow.read().get))
+    // additive evolution through the delta path: schema widens, base
+    // null-fills, the delta carries the new column
+    mor.upsert(rows(7 until 8, "evo").withColumn("extra", lit("x")),
+      evolve = true, mor = true)
+    cow.upsert(rows(7 until 8, "evo").withColumn("extra", lit("x")),
+      evolve = true)
+    assert(mor.read().get.columns.toSeq == cow.read().get.columns.toSeq)
+    assert(collectSet3(mor.read().get) == collectSet3(cow.read().get))
+    // the next COW write of a delta bucket FOLDS it: register clears
+    // for exactly that bucket, rows unchanged
+    val b7 = rows(7 until 8, "x").select(mor.bucketOf).head().getInt(0)
+    mor.upsert(rows(7 until 8, "fold").withColumn("extra", lit("y")))
+    cow.upsert(rows(7 until 8, "fold").withColumn("extra", lit("y")))
+    assert(!mor.pendingDlBuckets.contains(b7))
+    assert(collectSet3(mor.read().get) == collectSet3(cow.read().get))
+    // compact force-folds the rest; vacuum reclaims; content intact
+    val want = collectSet3(cow.read().get)
+    mor.compact(maxReferenced = 2)
+    mor.vacuum()
+    assert(mor.pendingDlBuckets.isEmpty && mor.pendingDvBuckets.isEmpty)
+    assert(collectSet3(mor.read().get) == want)
+    // keep-latest dedup refuses the MoR path
+    intercept[IllegalArgumentException] {
+      mor.upsert(rows(0 until 1, "z").withColumn("extra", lit("z")),
+        dedup = Some(("v", Nil)), mor = true)
+    }
+  }
+
+  private def collectSet3(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("change feed, time travel and retention stay correct across a " +
+      "MoR upsert window; the delta register is cap-bounded") {
+    val store = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 4)
+    store.writeFull(rows(0 until 200, "old")) // v1
+    store.upsert(rows(198 until 203, "new"), mor = true) // v2: delta
+    val ch = store.readChanges(1, 2).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == (198L until 200L).map(_ -> "changed").toSet ++
+      (200L until 203L).map(_ -> "added").toSet)
+    val post = store.readChangeRows(1, 2).get
+      .where(col("k") === 198L).select("tag").head().getString(0)
+    assert(post == "new", "the feed's post-image is the delta winner")
+    assert(store.readVersion(1).get.where(col("k") === 198L)
+      .select("tag").head().getString(0) == "old", "time travel")
+    // current-only vacuum keeps the delta version alive while the
+    // register references it
+    store.upsert(rows(50 until 52, "other"), mor = true) // v3
+    store.vacuum()
+    assert(store.read().get.where(col("k") === 198L)
+      .select("tag").head().getString(0) == "new")
+    // cap: cap+3 single-key MoR upserts into one bucket fold once
+    val cap = store.DlCapPerBucket
+    val b0keys = rows(0 until 200, "x").withColumn("b", store.bucketOf)
+      .where(col("b") === 0).select("k")
+      .collect().map(_.getLong(0)).take(cap + 3)
+    assume(b0keys.length == cap + 3)
+    b0keys.zipWithIndex.foreach { case (k, i) =>
+      store.upsert(Seq((k, s"u$i", 0.0)).toDF("k", "tag", "v"),
+        mor = true)
+    }
+    val reg = store.dlsOf(store.version.get).getOrElse(0, Nil)
+    assert(reg.length <= cap, s"delta register bounded, got ${reg.length}")
+    // every single-key update landed (winner rule across fold + deltas)
+    b0keys.zipWithIndex.foreach { case (k, i) =>
+      assert(store.read().get.where(col("k") === k)
+        .select("tag").head().getString(0) == s"u$i")
+    }
+  }
+
   test("applyCdc(morDeletes): mixed I/U/D batch equals the one-commit " +
       "op-apply; delete-only buckets keep their owner (tombstones)") {
     val (a, b) = (freshRoot(), freshRoot())
