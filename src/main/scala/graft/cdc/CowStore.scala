@@ -107,11 +107,14 @@ final class ConcurrentWriteException(msg: String)
   * goes through it).
   */
 final class CowStore(spark: SparkSession, root: String,
-    keys: Seq[String], nBuckets: Int) {
+    keys: Seq[String], nBuckets: Int,
+    statsCols: Seq[String] = Nil) {
   require(keys.nonEmpty, "CowStore requires at least one key column")
   require(nBuckets > 0, "CowStore requires a positive bucket count")
   require(!keys.contains("__bkt"),
     "__bkt is the store's reserved partition column; rename the key")
+  require(statsCols.forall(c => c != "__bkt" && !c.exists(_.isWhitespace)),
+    "statsCols must be plain payload column names")
 
   private val rootPath = new Path(root)
   private def fs =
@@ -130,6 +133,7 @@ final class CowStore(spark: SparkSession, root: String,
   private def dvsPath(v: Int) = new Path(versionDir(v), "_DVS")
   private def dlDir(v: Int) = new Path(versionDir(v), "dl")
   private def dlsPath(v: Int) = new Path(versionDir(v), "_DLS")
+  private def statsPath(v: Int) = new Path(versionDir(v), "_STATS")
   private def bucketDir(owner: Int, b: Int) =
     new Path(versionDir(owner), s"__bkt=$b")
 
@@ -167,6 +171,24 @@ final class CowStore(spark: SparkSession, root: String,
     if (!fs.exists(rootPath)) Nil
     else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toInt).sorted
+
+  /** Whether version `v` is FULLY readable: it published a manifest and
+    * every version dir it references — bucket owners and registered MoR
+    * artifact versions — still exists. [[vacuum]] deletes whole VERSION
+    * dirs, so a missing owner dir means `v`'s snapshot is partial
+    * ([[readVersion]] would silently skip the vacuumed buckets: an
+    * absent BUCKET dir is a legitimate empty bucket, an absent OWNER
+    * dir never is). Old version dirs can survive vacuum as file-holders
+    * for buckets a RETAINED manifest still references while their own
+    * manifest's other references are gone — so any time-travel walk
+    * ([[ConsistentRead.asOfCowVersion]]) must filter on this, not on
+    * dir existence (ADVICE r19). */
+  def versionIntact(v: Int): Boolean =
+    fs.exists(manifestPath(v)) && {
+      val refs = manifest(v).values.toSet ++
+        dvsOf(v).values.flatten ++ dlsOf(v).values.flatten
+      refs.forall(o => fs.exists(versionDir(o)))
+    }
 
   /** bucket -> owning version, for version `v`. */
   private[cdc] def manifest(v: Int): Map[Int, Int] = {
@@ -230,6 +252,67 @@ final class CowStore(spark: SparkSession, root: String,
     currentVersion.map(dlsOf(_).collect {
       case (b, vs) if vs.nonEmpty => b
     }.toSeq.sorted).getOrElse(Nil)
+
+  /** Per-bucket track-column maxes for version `v` (`_STATS` — VERDICT
+    * r19 ask #4): `bucket -> col -> max-as-string` (None = bucket has
+    * no non-null value). Written at commit time for stores constructed
+    * with `statsCols`; an ABSENT entry means unknown — the bucket was
+    * inherited from a pre-`_STATS` version, or carries a live MoR
+    * register (tombstones can lower the true max, deltas raise it, and
+    * neither writes data the publisher could cheaply re-aggregate), so
+    * consumers must fall back to reading. Values are
+    * base64(UTF-8(CAST(max AS STRING))) — newline/whitespace-safe for
+    * any type, cast back under the version's own schema to compare. */
+  private def statsOf(v: Int): Map[Int, Map[String, Option[String]]] =
+    if (!fs.exists(statsPath(v))) Map.empty
+    else {
+      val in = fs.open(statsPath(v))
+      val text = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(b, c, value) = line.split(" ", 3)
+        (b.toInt, c, value)
+      }.groupBy(_._1).map { case (b, rows) =>
+        b -> rows.map { case (_, c, value) =>
+          c -> (if (value == "-") None
+            else Some(new String(
+              java.util.Base64.getDecoder.decode(value), "UTF-8")))
+        }.toMap
+      }
+    }
+
+  private def writeStats(v: Int,
+      stats: Map[Int, Map[String, Option[String]]]): Unit =
+    if (stats.nonEmpty) {
+      val out = fs.create(statsPath(v), true)
+      try out.write(stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, value) =>
+          val enc = value.fold("-")(s => java.util.Base64.getEncoder
+            .encodeToString(s.getBytes("UTF-8")))
+          s"$b $c $enc"
+        }
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** The per-bucket maxes of `track` at version `v`, IF the published
+    * stats fully cover that version's manifest: `Some(maxes)` — the
+    * non-null per-bucket max strings (empty = the whole version holds
+    * no non-null track value); `None` — no/incomplete stats (pre-stats
+    * buckets or live MoR registers), so the caller must read the
+    * version to learn its watermark ([[ConsistentRead.asOfCowVersion]]
+    * consumes this: Some turns the probe into pure metadata — zero
+    * data files opened). Cast the strings back with [[schemaOf]]'s
+    * track type before comparing; string order is NOT value order. */
+  def versionTrackMaxes(v: Int, track: String): Option[Seq[String]] =
+    if (!fs.exists(manifestPath(v))) None
+    else {
+      val st = statsOf(v)
+      val entries = manifest(v).keys.toSeq.sorted
+        .map(b => st.get(b).flatMap(_.get(track)))
+      if (entries.exists(_.isEmpty)) None
+      else Some(entries.flatten.flatten)
+    }
 
   /** The AUTHORITATIVE table schema as of version `v` (the Delta
     * schema-in-log idea): written at publish time, consulted at read
@@ -469,11 +552,59 @@ final class CowStore(spark: SparkSession, root: String,
       throw new java.io.IOException(s"pointer swap failed for $root v$v")
   }
 
+  /** Commit-time per-bucket track stats for version `v` (see
+    * [[versionTrackMaxes]]): rewritten buckets (owner == v) re-aggregate
+    * from the JUST-WRITTEN files — one column-pruned scan of the commit's
+    * own bytes, never the table; inherited buckets copy their base
+    * version's entries; `dirtyStats` buckets (a MoR commit's affected
+    * set) publish NO entry — unknown until the fold recomputes them.
+    * Zero cost (and no `_STATS` file) when `statsCols` is empty. */
+  private def commitStats(v: Int, man: Map[Int, Int],
+      expectedBase: Option[Int],
+      schema: org.apache.spark.sql.types.StructType,
+      dirtyStats: Set[Int]): Unit = {
+    if (statsCols.isEmpty) return
+    val present = statsCols.filter(schema.fieldNames.contains)
+    val baseStats = expectedBase.map(statsOf).getOrElse(Map.empty)
+    val rewritten = man.collect { case (b, o) if o == v => b }.toSet
+    val computed: Map[Int, Map[String, Option[String]]] =
+      if (rewritten.isEmpty || present.isEmpty) Map.empty
+      else {
+        val dirs = rewritten.toSeq.sorted
+          .map(b => bucketDir(v, b)).filter(fs.exists).map(_.toString)
+        val agg: Map[Int, Map[String, Option[String]]] =
+          if (dirs.isEmpty) Map.empty
+          else spark.read.option("basePath", versionDir(v).toString)
+            .schema(org.apache.spark.sql.types.StructType(schema.fields :+
+              org.apache.spark.sql.types.StructField("__bkt",
+                org.apache.spark.sql.types.IntegerType)))
+            .parquet(dirs: _*)
+            .groupBy(col("__bkt"))
+            .agg(max(col(present.head)).cast("string").as(present.head),
+              present.tail.map(c => max(col(c)).cast("string").as(c)): _*)
+            .collect() // ≤ nBuckets rows — config-bounded driver state
+            .map { r =>
+              r.getInt(0) -> present.zipWithIndex.map { case (c, i) =>
+                c -> Option(r.getString(i + 1))
+              }.toMap
+            }.toMap
+        // empty rewritten buckets (no dir) publish explicit null entries
+        rewritten.map(b => b -> present.map(c =>
+          c -> agg.getOrElse(b, Map.empty).getOrElse(c, None)).toMap).toMap
+      }
+    val inherited = man.collect {
+      case (b, o) if o != v && !dirtyStats.contains(b) =>
+        baseStats.get(b).map(b -> _)
+    }.flatten.toMap
+    writeStats(v, inherited ++ computed)
+  }
+
   private def publish(v: Int, man: Map[Int, Int],
       expectedBase: Option[Int],
       schema: org.apache.spark.sql.types.StructType,
       dvs: Map[Int, Seq[Int]] = Map.empty,
-      dls: Map[Int, Seq[Int]] = Map.empty): Unit = {
+      dls: Map[Int, Seq[Int]] = Map.empty,
+      dirtyStats: Set[Int] = Set.empty): Unit = {
     // Detect a lost race BEFORE publishing the manifest: an aborted
     // version must never carry one, or the crash-forward fallback
     // (newest dir WITH a manifest) could resurrect it as current.
@@ -481,6 +612,7 @@ final class CowStore(spark: SparkSession, root: String,
     // Authoritative schema first (manifest stays the commit marker).
     val sout = fs.create(schemaPath(v), true)
     try sout.write(schema.json.getBytes("UTF-8")) finally sout.close()
+    commitStats(v, man, expectedBase, schema, dirtyStats)
     // MoR registers next (same commit-marker discipline: only the
     // manifest makes any of it visible). Written only when non-empty —
     // the common no-MoR-debt version carries no register files.
@@ -644,6 +776,22 @@ final class CowStore(spark: SparkSession, root: String,
       Seq("__v", "__tv", "__maxv").foreach(r => require(
         target.forall(!_.fieldNames.contains(r)),
         s"$r is reserved by the merge-on-read reader; rename the column"))
+      // NULL key values diverge between the kernels: the COW anti-join
+      // is non-null-safe, so a NULL-keyed batch row APPENDS beside any
+      // stored NULL-keyed row, while the MoR winner window groups
+      // NULLs together and would SUPERSEDE the stored row — and the
+      // next fold would bake that answer in (ADVICE r19). Route the
+      // NULL-keyed slice through the COW merge so mor stays
+      // result-invisible; the non-null rest delta-commits on top.
+      val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+      val nullKeyed = inc.where(anyNullKey)
+      if (!nullKeyed.isEmpty) {
+        upsertAt(nullKeyed, None, base, evolve)
+        val rest = inc.where(!anyNullKey)
+        if (!rest.isEmpty)
+          upsertAt(rest, None, currentVersion, evolve, mor = true)
+        return
+      }
       // Delta-register at cap? Those buckets' batch slice folds
       // through the COW merge first, the still-cheap rest delta-
       // commits on the advanced base (deleteAt's fold-at-cap shape).
@@ -661,7 +809,8 @@ final class CowStore(spark: SparkSession, root: String,
         inc.withColumn("__bkt", bucketOf)
           .write.mode("append").parquet(dlDir(v).toString)
         publish(v, man, base, target.getOrElse(inc.schema), dvs,
-          dls ++ affected.map(b => b -> (dls.getOrElse(b, Nil) :+ v)))
+          dls ++ affected.map(b => b -> (dls.getOrElse(b, Nil) :+ v)),
+          dirtyStats = affected.toSet)
       }
       return
     }
@@ -794,7 +943,7 @@ final class CowStore(spark: SparkSession, root: String,
           .write.mode("append").parquet(dvDir(v).toString)
         publish(v, man, base, sch,
           dvs ++ morBuckets.map(b => b -> (dvs.getOrElse(b, Nil) :+ v)),
-          dls)
+          dls, dirtyStats = morBuckets.toSet)
       }
     }
     else readSlice(man, dvs, dls, affected, stored).foreach { prev =>

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.util.QuantileSummaries
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{udaf, udf}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
 /** Mergeable Greenwald–Khanna quantile sketch as a COLUMN VALUE — the
   * missing piece that lets [[graft.quality.IncrementalProfile]] carry
@@ -27,13 +27,13 @@ import org.apache.spark.sql.functions.{udaf, udf}
   * form; `q_profile_incremental_quantiles` gates it over the full
   * store lifecycle.
   *
-  * Why an `Aggregator` UDAF and not a Catalyst expression: the sketch
-  * column is maintenance-path state (one row per bucket×column, ≤
-  * config-bounded thousands of rows; the global fold reads ≤
-  * nBuckets×nCols sketches) — never a per-corpus-row hot path, so
-  * typed-UDAF ser/de overhead is irrelevant while the builtin
-  * `percentile_approx` stays the operator-level answer for one-shot
-  * queries.
+  * The aggregates are native `TypedImperativeAggregate`s
+  * ([[GkSketchAgg]]/[[GkMergeAgg]] — VERDICT r19 ask #6 retired the
+  * r19 `Aggregator` UDAF whose shuffle buffers rode
+  * `Encoders.javaSerialization`): the buffer is a plain JVM
+  * `QuantileSummaries` within a partition and only exchange/spill
+  * boundaries serialize, through the same compact byte layout the
+  * output column carries — per-corpus-row use is no longer a trap.
   */
 object GkSketch {
 
@@ -62,56 +62,22 @@ object GkSketch {
       eps, st, count, true)
   }
 
-  /** Nulls are skipped (SQL aggregate convention — the profile's
-    * n_nulls counts them separately). */
-  private class SketchAgg(eps: Double)
-      extends Aggregator[java.lang.Double, QuantileSummaries, Array[Byte]] {
-    def zero: QuantileSummaries =
-      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, eps)
-    def reduce(b: QuantileSummaries, a: java.lang.Double): QuantileSummaries =
-      if (a == null) b else b.insert(a.doubleValue())
-    def merge(b1: QuantileSummaries, b2: QuantileSummaries)
-        : QuantileSummaries =
-      b1.compress().merge(b2.compress())
-    def finish(b: QuantileSummaries): Array[Byte] = toBytes(b)
-    def bufferEncoder: Encoder[QuantileSummaries] =
-      Encoders.javaSerialization[QuantileSummaries]
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
-  /** Union of already-built sketches (NULL sketches skipped — string
-    * columns carry none). Empty input → NULL, like every SQL agg. */
-  private class MergeAgg
-      extends Aggregator[Array[Byte], Option[QuantileSummaries],
-        Array[Byte]] {
-    def zero: Option[QuantileSummaries] = None
-    def reduce(b: Option[QuantileSummaries], a: Array[Byte])
-        : Option[QuantileSummaries] =
-      if (a == null) b
-      else Some(b.fold(fromBytes(a))(_.merge(fromBytes(a))))
-    def merge(b1: Option[QuantileSummaries], b2: Option[QuantileSummaries])
-        : Option[QuantileSummaries] =
-      (b1, b2) match {
-        case (Some(x), Some(y)) => Some(x.merge(y))
-        case _ => b1.orElse(b2)
-      }
-    def finish(b: Option[QuantileSummaries]): Array[Byte] =
-      b.map(toBytes).orNull
-    def bufferEncoder: Encoder[Option[QuantileSummaries]] =
-      Encoders.javaSerialization[Option[QuantileSummaries]]
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
-  /** Aggregate a double column into GK sketch bytes. */
+  /** Aggregate a double column into GK sketch bytes (nulls skipped —
+    * the profile's n_nulls counts them separately; an empty group
+    * yields an EMPTY sketch's bytes, never NULL). */
   def sketchAgg(value: Column, eps: Double = DefaultEps): Column =
-    udaf(new SketchAgg(eps), Encoders.DOUBLE).apply(value)
+    column(GkSketchAgg(expression(value), eps).toAggregateExpression())
 
-  /** Aggregate sketch-byte values into their union. */
+  /** Aggregate sketch-byte values into their union (NULL sketches
+    * skipped — string columns carry none; empty input → NULL, like
+    * every SQL agg). */
   def mergeAgg(sketch: Column): Column =
-    udaf(new MergeAgg, Encoders.BINARY).apply(sketch)
+    column(GkMergeAgg(expression(sketch)).toAggregateExpression())
 
   /** Scalar: query `ps` from sketch bytes → array<double> (NaN per
-    * entry for an empty sketch; NULL sketch → NULL). */
+    * entry for an empty sketch; NULL sketch → NULL). A udf is fine
+    * here — it runs on the FOLDED rows (≤ nCols per [[mergeAgg]]
+    * output), never per corpus row. */
   def quantilesOf(sketch: Column, ps: Seq[Double]): Column = {
     require(ps.nonEmpty, "need at least one percentage")
     ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"p out of [0,1]: $p"))

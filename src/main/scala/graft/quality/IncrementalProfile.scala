@@ -132,10 +132,17 @@ object IncrementalProfile {
   /** Patch the stat rows for the buckets that changed between `sinceV`
     * and the current version — recompute ∝ churn, never the table.
     * Returns the new cursor; None when the source has no committed
-    * version or `sinceV` fell out of retention (rebuild then). */
+    * version, `sinceV` fell out of retention, or the stat store
+    * predates the r19 `qsk` quantile column (format migration —
+    * applyCdc would align the recomputed batch to the stored schema
+    * and silently drop `qsk`, leaving the store permanently
+    * quantile-less while [[global]]/[[fences]] throw on the missing
+    * column; ADVICE r19). None always means: [[build]] from scratch. */
   def refresh(source: CowStore, sinceV: Int, cols: Seq[String],
       stats: CowStore, lgK: Int = 12): Option[Int] =
-    source.version.flatMap { cur =>
+    if (stats.exists &&
+        !stats.currentSchema.exists(_.fieldNames.contains("qsk"))) None
+    else source.version.flatMap { cur =>
       source.changedBuckets(sinceV, cur).map { changed =>
         if (changed.nonEmpty) {
           val spark = org.apache.spark.sql.SparkSession.active
@@ -169,10 +176,17 @@ object IncrementalProfile {
     * verdict's point: Drift/Outliers consume percentiles, and the
     * maintained profile can now serve them). Quartiles come from the
     * merged GK sketches (ε-rank contract); an all-NULL or empty
-    * column yields NaN fences, which flag nothing. */
+    * column has no distribution to fence against, so its row is
+    * DROPPED — NOT emitted as NaN fences: Spark orders NaN above
+    * every double, so a NaN `lo` would make `value < lo` TRUE for
+    * every value and flagWith would flag an entire fresh load as
+    * is_low (ADVICE r19; the sketchAgg of an all-NULL column is a
+    * non-null empty sketch, so the isNotNull filter alone does not
+    * catch it). */
   def fences(stats: CowStore, k: Double = 1.5): Option[DataFrame] =
     global(stats, Seq(0.25, 0.75)).map { g =>
-      g.where(col("quantiles").isNotNull)
+      g.where(col("quantiles").isNotNull &&
+          !isnan(col("quantiles")(0)) && !isnan(col("quantiles")(1)))
         .select(col("col_name"),
           col("quantiles")(0).as("q1"), col("quantiles")(1).as("q3"))
         .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))

@@ -114,6 +114,98 @@ class ConsistentReadSpec extends AnyFunSuite {
     assert(v == 1 && df.count() == 1)
   }
 
+  test("asOfCowVersion never pins a PARTIAL snapshot: a version whose " +
+      "referenced dirs were vacuumed is skipped even though its own " +
+      "dir survives as a file-holder (ADVICE r19)") {
+    val root = Files.createTempDirectory("graft-asof-part").toString
+    val store = new graft.cdc.CowStore(spark, root, Seq("id"),
+      nBuckets = 8)
+    // three keys in pairwise-DIFFERENT buckets, probed through the
+    // store's own derivation so the fixture survives a hash change
+    val bucketOf = (1L to 64L).map(k => k -> Seq(k).toDF("id")
+      .select(store.bucketOf).head().getInt(0)).toMap
+    val kA = 1L
+    val kB = (2L to 64L).find(k => bucketOf(k) != bucketOf(kA)).get
+    val kC = (2L to 64L).find(k => bucketOf(k) != bucketOf(kA) &&
+      bucketOf(k) != bucketOf(kB)).get
+    store.writeFull(Seq((kA, 1L)).toDF("id", "t"))   // v1: kA,  wm 1
+    store.upsert(Seq((kB, 100L)).toDF("id", "t"))    // v2: kB,  wm 100
+    store.upsert(Seq((kC, 1L)).toDF("id", "t"))      // v3: kC (refs v2 for kB)
+    store.upsert(Seq((kB, 100L)).toDF("id", "t"))    // v4: kB re-owned
+    // current manifest references v1 (kA), v3 (kC), v4 (kB) — v2 is
+    // only load-bearing for v3's OWN manifest and gets vacuumed, while
+    // v3's dir survives as a file-holder for the current kC bucket
+    store.vacuum()
+    assert(store.versions() == Seq(1, 3, 4))
+    assert(!store.versionIntact(3),
+      "v3's manifest references the vacuumed v2")
+    assert(store.versionIntact(4) && store.versionIntact(1))
+    // v3's FULL snapshot had wm 100 (kB at v2); its surviving PARTIAL
+    // subset (kA, kC) would probe wm 1 ≤ 50 — the walk must skip it
+    // and pin the intact v1, never serve v3's partial rows
+    val got = ConsistentRead.asOfCowVersion(spark, store, "t", 50L)
+    assert(got.map(_._1).contains(1),
+      s"expected the intact v1, got ${got.map(_._1)}")
+    assert(got.get._2.count() == 1)
+  }
+
+  test("_STATS metadata walk: a statsCols store answers asOfCowVersion " +
+      "without reading data for covered versions; MoR commits mark " +
+      "their buckets unknown (fallback) until the fold heals them") {
+    val root = Files.createTempDirectory("graft-asof-stats").toString
+    val store = new graft.cdc.CowStore(spark, root, Seq("id"),
+      nBuckets = 4, statsCols = Seq("t"))
+    store.writeFull(Seq((1L, 9L)).toDF("id", "t"))   // v1, wm 9
+    store.upsert(Seq((2L, 10L)).toDF("id", "t"))     // v2, wm 10
+    store.upsert(Seq((3L, 15L)).toDF("id", "t"))     // v3, wm 15
+    // every COW version is fully covered by commit-time stats
+    Seq(1, 2, 3).foreach(v =>
+      assert(store.versionTrackMaxes(v, "t").isDefined,
+        s"v$v must carry complete _STATS"))
+    def pick(wm: Long) =
+      ConsistentRead.asOfCowVersion(spark, store, "t", wm).map(_._1)
+    // the cast-back pin: "10" < "9" as STRINGS — a string-ordered fold
+    // would call v2 (max 10) eligible at wm 9; the typed fold must not
+    assert(pick(9L).contains(1))
+    assert(pick(10L).contains(2))
+    assert(pick(20L).contains(3))
+    assert(pick(3L).isEmpty)
+    // MoR delete: register diff, stats for the affected bucket become
+    // UNKNOWN — versionTrackMaxes None, the walk falls back to reading
+    // and still answers by the tombstone-applied watermark
+    store.delete(Seq(3L).toDF("id"), mor = true)     // v4, wm back to 10
+    assert(store.versionTrackMaxes(4, "t").isEmpty,
+      "a live register must leave the version's stats incomplete")
+    assert(pick(12L).contains(4))
+    // the fold recomputes: compact clears the register AND republishes
+    // complete stats — the probe is metadata again
+    store.compact(maxReferenced = 1)
+    val v5 = store.version.get
+    assert(store.versionTrackMaxes(v5, "t").isDefined,
+      "the fold must heal the stats")
+    assert(pick(12L).contains(v5))
+    // timestamp track round-trips through the base64-string encoding
+    val troot = Files.createTempDirectory("graft-asof-ts").toString
+    val tstore = new graft.cdc.CowStore(spark, troot, Seq("id"),
+      nBuckets = 4, statsCols = Seq("ts"))
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:30:00")
+    tstore.writeFull(Seq((1L, ts(1))).toDF("id", "ts"))
+    tstore.upsert(Seq((2L, ts(20))).toDF("id", "ts"))
+    assert(tstore.versionTrackMaxes(2, "ts").isDefined)
+    assert(ConsistentRead.asOfCowVersion(spark, tstore, "ts", ts(5))
+      .map(_._1).contains(1))
+    assert(ConsistentRead.asOfCowVersion(spark, tstore, "ts", ts(25))
+      .map(_._1).contains(2))
+    // an all-NULL track version is trivially consistent (empty maxes)
+    val nroot = Files.createTempDirectory("graft-asof-null").toString
+    val nstore = new graft.cdc.CowStore(spark, nroot, Seq("id"),
+      nBuckets = 4, statsCols = Seq("t"))
+    nstore.writeFull(Seq((1L, Option.empty[Long])).toDF("id", "t"))
+    assert(nstore.versionTrackMaxes(1, "t").contains(Nil))
+    assert(ConsistentRead.asOfCowVersion(spark, nstore, "t", 0L)
+      .map(_._1).contains(1))
+  }
+
   test("joint use: common watermark across two staggered stores") {
     val rootA = Files.createTempDirectory("graft-asof-a").toString
     val rootB = Files.createTempDirectory("graft-asof-b").toString

@@ -938,4 +938,32 @@ class CowStoreSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/_CURRENT").delete())
     assert(collectSet(store.read().get) == expect)
   }
+
+  test("MoR upsert with NULL key values stays result-invisible: the " +
+      "NULL-keyed slice routes through the COW merge (ADVICE r19)") {
+    // The COW anti-join is non-null-safe, so a NULL-keyed batch row
+    // APPENDS beside the stored NULL-keyed row; the MoR winner window
+    // groups NULLs and would SUPERSEDE it — parity must hold anyway.
+    val cow = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val mor = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val base = rows(0 until 50, "old").unionByName(
+      Seq((Option.empty[Long], "oldnull", 1.0)).toDF("k", "tag", "v"))
+    cow.writeFull(base)
+    mor.writeFull(base)
+    val inc = rows(10 until 12, "new").unionByName(
+      Seq((Option.empty[Long], "newnull", 2.0)).toDF("k", "tag", "v"))
+    cow.upsert(inc)
+    mor.upsert(inc, mor = true)
+    assert(collectSet3(mor.read().get) == collectSet3(cow.read().get))
+    assert(mor.read().get.where(col("k").isNull).count() == 2,
+      "both NULL-keyed rows survive (NULL never merges NULL)")
+    // the non-null slice still delta-committed (manifest untouched by
+    // it; only the null slice's bucket was rewritten)
+    assert(mor.pendingDlBuckets.nonEmpty,
+      "the non-null slice must still take the delta path")
+    // the fold bakes the same answer in
+    mor.compact(maxReferenced = 1)
+    mor.vacuum()
+    assert(collectSet3(mor.read().get) == collectSet3(cow.read().get))
+  }
 }

@@ -465,4 +465,57 @@ class QualitySpec extends AnyFunSuite {
       martOf(source.read().get).collect().map(_.toSeq).toSet,
       "mart must delete the tombstoned keys' rows")
   }
+
+  test("fences: an all-NULL numeric history column yields NO fence " +
+      "row — NaN fences would flag every fresh value as is_low " +
+      "(ADVICE r19: NaN orders above every double)") {
+    import graft.cdc.CowStore
+    import graft.quality.IncrementalProfile
+    def freshRoot() =
+      java.nio.file.Files.createTempDirectory("graft-nanfence").toString
+    // `dead` never carries a value; `v` has a real distribution
+    val hist = (0 until 400).map(i =>
+      (i.toLong, Option.empty[Double], i * 1.0)).toDF("k", "dead", "v")
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val stats = new CowStore(spark, freshRoot(), Seq("bkt", "col_name"),
+      nBuckets = 4)
+    source.writeFull(hist)
+    IncrementalProfile.build(source, Seq("dead", "v"), stats)
+    val f = IncrementalProfile.fences(stats).get
+    assert(f.where(col("col_name") === "dead").count() == 0,
+      "no distribution → no fence row, never a NaN one")
+    assert(f.where(col("col_name") === "v").count() == 1)
+    // gating a fresh load on the dead column flags NOTHING (its rows
+    // drop at the fence join) instead of flagging every row is_low
+    val fresh = Seq((9001L, 5.0), (9002L, -3.0)).toDF("k", "dead")
+    val flagged = graft.quality.Outliers.flagWith(fresh, "dead", Nil,
+      f.where(col("col_name") === "dead").drop("col_name"))
+    assert(flagged.count() == 0)
+  }
+
+  test("refresh on a pre-qsk stat store returns None (format " +
+      "migration → rebuild), never a silently quantile-less store") {
+    import graft.cdc.CowStore
+    import graft.quality.IncrementalProfile
+    def freshRoot() =
+      java.nio.file.Files.createTempDirectory("graft-preqsk").toString
+    val source = new CowStore(spark, freshRoot(), Seq("k"), nBuckets = 8)
+    val stats = new CowStore(spark, freshRoot(), Seq("bkt", "col_name"),
+      nBuckets = 4)
+    source.writeFull((0 until 200).map(i => (i.toLong, i * 2.0))
+      .toDF("k", "v"))
+    val c0 = IncrementalProfile.build(source, Seq("v"), stats).get
+    // simulate an r18-format store: rewrite it without the qsk column
+    stats.writeFull(stats.read().get.drop("qsk"))
+    source.upsert((0 until 10).map(i => (i.toLong, 999.0)).toDF("k", "v"))
+    assert(IncrementalProfile.refresh(source, c0, Seq("v"), stats).isEmpty,
+      "a qsk-less store must signal rebuild, not refresh into a crash")
+    // the signalled rebuild restores the full profile incl. quantiles
+    val c1 = IncrementalProfile.build(source, Seq("v"), stats).get
+    assert(IncrementalProfile.refresh(source, c1, Seq("v"), stats)
+      .contains(c1))
+    val q = IncrementalProfile.global(stats).get
+      .where(col("col_name") === "v").select("quantiles").head()
+    assert(!q.isNullAt(0))
+  }
 }

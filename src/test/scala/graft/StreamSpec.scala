@@ -237,6 +237,193 @@ class StreamSpec extends AnyFunSuite {
     assert(setOf(history.read().get) == setOf(expected))
   }
 
+  test("merge-on-read through the drains: mor mart drain == COW mart " +
+      "drain, registers carry the debt until the maintenance fold, " +
+      "and a replayed delta commit CONVERGES in results") {
+    import org.apache.spark.sql.types._
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, tag, k * 10.0)).toDF("k", "tag", "v")
+    def martOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("tag"), (col("v") * 2).as("v2"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType), StructField("v", DoubleType)))
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val src = tmp("mordrain-src")
+    val store = new graft.cdc.CowStore(spark, tmp("mordrain-s"),
+      Seq("k"), nBuckets = 8)
+    val mart = new graft.cdc.CowStore(spark, tmp("mordrain-m"),
+      Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 80, "old"))
+    val ckpt = tmp("mordrain-ck")
+    val maint = Some(CowMaintenance(compactEvery = 3, maxReferenced = 2))
+    def drain(ck: String): Unit =
+      CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store,
+        mart, martOf, Seq("k"), ck, maint, mor = true)
+    // batch 0: mart builds; batches 1-2: updates delta-commit — the
+    // manifest must NOT advance ownership for them (write ∝ batch)
+    rows(0 until 5, "b0").write.mode("append").parquet(src)
+    drain(ckpt)
+    val ownersAfterB0 = store.currentManifest.values.toSet
+    rows(5 until 15, "b1").write.mode("append").parquet(src)
+    drain(ckpt)
+    assert(store.currentManifest.values.toSet == ownersAfterB0,
+      "a MoR drain batch must not rewrite any data bucket")
+    assert(store.pendingDlBuckets.nonEmpty, "delta register must carry b1")
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)),
+      "the mart patch reads THROUGH the live delta register")
+    // batch at the cadence (batchId 2 with a 3-cadence → not yet;
+    // drive to the fold and check the debt clears)
+    rows(15 until 20, "b2").write.mode("append").parquet(src)
+    drain(ckpt)
+    rows(20 until 25, "b3").write.mode("append").parquet(src)
+    drain(ckpt) // batchId 3 → compact+vacuum: debt folds
+    assert(store.pendingDlBuckets.isEmpty && store.pendingDvBuckets.isEmpty,
+      "the maintenance cadence must fold MoR debt")
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
+    // replay everything from a fresh checkpoint: delta commits STACK
+    // register entries (layout) but results converge (winner-by-version
+    // re-resolves each key to an identical row)
+    drain(tmp("mordrain-ck2"))
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)),
+      "replayed MoR drain must converge")
+    // parity against a COW-drained twin over the same landing files
+    val store2 = new graft.cdc.CowStore(spark, tmp("mordrain-s2"),
+      Seq("k"), nBuckets = 8)
+    val mart2 = new graft.cdc.CowStore(spark, tmp("mordrain-m2"),
+      Seq("k"), nBuckets = 8)
+    store2.writeFull(rows(0 until 80, "old"))
+    CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store2,
+      mart2, martOf, Seq("k"), tmp("mordrain-ck3"))
+    assert(setOf(store.read().get) == setOf(store2.read().get),
+      "mor drain and COW drain must converge to the same table")
+    assert(setOf(mart.read().get) == setOf(mart2.read().get))
+  }
+
+  test("the mart drains maintain the MART store too: its referenced " +
+      "version dirs stay bounded across 3× the cadence, results " +
+      "unchanged (VERDICT r19 ask #3)") {
+    import org.apache.spark.sql.types._
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, tag, k * 10.0)).toDF("k", "tag", "v")
+    def martOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("tag"), (col("v") * 2).as("v2"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType), StructField("v", DoubleType)))
+    val src = tmp("martmaint-src")
+    val store = new graft.cdc.CowStore(spark, tmp("martmaint-s"),
+      Seq("k"), nBuckets = 8)
+    val mart = new graft.cdc.CowStore(spark, tmp("martmaint-m"),
+      Seq("k"), nBuckets = 8)
+    store.writeFull(rows(0 until 60, "old"))
+    val ckpt = tmp("martmaint-ck")
+    val maint = Some(CowMaintenance(compactEvery = 2, maxReferenced = 2))
+    (0 until 9).foreach { i =>
+      rows(i * 3 until i * 3 + 3, s"b$i").write.mode("append").parquet(src)
+      CdcMicroBatch.runAvailableNowCowMart(spark, src, schema, store,
+        mart, martOf, Seq("k"), ckpt, maint)
+    }
+    val martOwners = mart.currentManifest.values.toSet.size
+    assert(martOwners <= 2 + 2,
+      s"mart version dirs must stay bounded by the cadence, got " +
+        s"$martOwners referenced owners")
+    assert(mart.versions().size <= 2 + 2 + 1,
+      s"vacuum must reclaim the mart's retired dirs, got " +
+        s"${mart.versions().size}")
+    assert(mart.read().get.collect().map(_.toSeq).toSet ==
+      martOf(store.read().get).collect().map(_.toSeq).toSet,
+      "mart maintenance is result-invisible")
+  }
+
+  test("SCD2 drain with morDeletes: erasure events commit as " +
+      "tombstones, history equals the COW-drained twin") {
+    import org.apache.spark.sql.types._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    def batchDf(rs: Seq[(Long, String, Double, String)]) =
+      rs.toDF("k", "seg", "v", "op")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("seg", StringType), StructField("v", DoubleType),
+      StructField("op", StringType)))
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val b0 = (0L until 30L).map(k => (k, s"s${k % 3}", k * 1.0, "I"))
+    // erasure-heavy second batch: many D events, few U
+    val b1 = (0L until 30L).filter(_ % 2 == 0).map(k => (k, "x", 0.0, "D")) ++
+      Seq((1L, "MOVED", 1.0, "U"))
+    def run(tag: String, morDeletes: Boolean) = {
+      val src = tmp(s"scd2mor-src-$tag")
+      val store = new graft.cdc.CowStore(spark, tmp(s"scd2mor-s-$tag"),
+        Seq("k"), nBuckets = 8)
+      val history = new graft.cdc.CowStore(spark, tmp(s"scd2mor-h-$tag"),
+        Seq("k"), nBuckets = 8)
+      val ckpt = tmp(s"scd2mor-ck-$tag")
+      def drain(): Unit = CdcMicroBatch.runAvailableNowCowScd2(spark,
+        src, schema, store, history, Seq("k"), Seq("seg"), "op", ckpt,
+        bid => ts(bid.toInt + 1), morDeletes = morDeletes)
+      batchDf(b0).write.mode("append").parquet(src)
+      drain()
+      batchDf(b1).write.mode("append").parquet(src)
+      drain()
+      (store, history)
+    }
+    val (sMor, hMor) = run("mor", morDeletes = true)
+    val (sCow, hCow) = run("cow", morDeletes = false)
+    assert(sMor.pendingDvBuckets.nonEmpty,
+      "the D events must have committed as live tombstones")
+    assert(setOf(sMor.read().get) == setOf(sCow.read().get))
+    assert(setOf(hMor.read().get) == setOf(hCow.read().get),
+      "history via the register-diff change feed must equal the COW twin")
+    // every erased key's history row is CLOSED, none open
+    assert(hMor.read().get
+      .where(col("k") % 2 === 0 && col("valid_to").isNull).count() == 0)
+  }
+
+  test("a ZERO-ROW first landing file on a never-written store is a " +
+      "no-op for the mart and SCD2 drains, not an NPE (ADVICE r19); " +
+      "the next real batch drains normally") {
+    import org.apache.spark.sql.types._
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, tag, k * 10.0, "I")).toDF("k", "tag", "v", "op")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType), StructField("v", DoubleType),
+      StructField("op", StringType)))
+    def martOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), (col("v") * 2).as("v2"))
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // mart drain: empty file first — applyCdc/upsert early-return, the
+    // store has no version, the drain must skip instead of rebuild().get
+    val srcM = tmp("empty1-src")
+    val storeM = new graft.cdc.CowStore(spark, tmp("empty1-s"),
+      Seq("k"), nBuckets = 4)
+    val martM = new graft.cdc.CowStore(spark, tmp("empty1-m"),
+      Seq("k"), nBuckets = 4)
+    val ckptM = tmp("empty1-ck")
+    rows(0 until 0, "none").write.mode("append").parquet(srcM)
+    CdcMicroBatch.runAvailableNowCowMart(spark, srcM, schema, storeM,
+      martM, martOf, Seq("k"), ckptM)
+    assert(!storeM.exists && !martM.exists)
+    rows(0 until 20, "b1").write.mode("append").parquet(srcM)
+    CdcMicroBatch.runAvailableNowCowMart(spark, srcM, schema, storeM,
+      martM, martOf, Seq("k"), ckptM)
+    assert(martM.read().get.collect().map(_.toSeq).toSet ==
+      martOf(storeM.read().get).collect().map(_.toSeq).toSet)
+    // SCD2 drain: same zero-row first file, then a real batch
+    val srcS = tmp("empty2-src")
+    val storeS = new graft.cdc.CowStore(spark, tmp("empty2-s"),
+      Seq("k"), nBuckets = 4)
+    val histS = new graft.cdc.CowStore(spark, tmp("empty2-h"),
+      Seq("k"), nBuckets = 4)
+    val ckptS = tmp("empty2-ck")
+    rows(0 until 0, "none").write.mode("append").parquet(srcS)
+    CdcMicroBatch.runAvailableNowCowScd2(spark, srcS, schema, storeS,
+      histS, Seq("k"), Seq("tag"), "op", ckptS, bid => ts(bid.toInt + 1))
+    assert(!storeS.exists && !histS.exists)
+    rows(0 until 10, "b1").write.mode("append").parquet(srcS)
+    CdcMicroBatch.runAvailableNowCowScd2(spark, srcS, schema, storeS,
+      histS, Seq("k"), Seq("tag"), "op", ckptS, bid => ts(bid.toInt + 1))
+    assert(histS.read().get.where(col("valid_to").isNull).count() == 10)
+  }
+
   test("streaming upsert: two micro-batch drains converge to batch merge") {
     val src = tmp("stream-src")
     val store = new TableStore(spark, tmp("stream-store") + "/t")
