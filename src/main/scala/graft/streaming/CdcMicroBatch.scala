@@ -300,15 +300,28 @@ object CdcMicroBatch {
     * rebuild. Everything else (idempotent replay, maintenance cadence
     * with cursor re-point, retention fallback) is the plain drain's
     * contract. */
+  /** `indexes`: [[graft.cdc.FkIndex]]es backing any of the registered
+    * dims' affectedKeys mappings. The drain maintains them from the
+    * SAME fact feed it drains — each batch refreshes every index over
+    * the window since its own persisted cursor (marker
+    * `graft_fkidx_cursor_<i>`, same tmp+rename discipline), BEFORE the
+    * mart refresh consumes affectedKeys, and rebuilds on an unknown
+    * cursor or a window lost to retention (the IncrementalMart
+    * contract). Index stores join the maintenance cadence too — their
+    * dirs otherwise grow O(batches) like any churned CowStore. Without
+    * this, an index-backed dim in a streaming drain silently went
+    * stale unless the caller hand-rolled the refresh loop. */
   def runAvailableNowCowMartDims(spark: SparkSession, sourceDir: String,
       schema: StructType, store: graft.cdc.CowStore,
       mart: graft.cdc.CowStore, transform: DataFrame => DataFrame,
       keys: Seq[String], checkpoint: String,
       dims: Seq[graft.cdc.IncrementalMart.Dim],
       maintenance: Option[CowMaintenance] = None,
-      mor: Boolean = false): Unit = {
+      mor: Boolean = false,
+      indexes: Seq[graft.cdc.FkIndex] = Nil): Unit = {
     import graft.cdc.IncrementalMart
     val CursorFile = "graft_mart_cursor_dims"
+    def idxCursorFile(i: Int) = s"graft_fkidx_cursor_$i"
     def parse(s: String): Option[IncrementalMart.Cursor] = {
       val parts = s.split("\\|", -1)
       val dimVs = if (parts.length < 2 || parts(1).isEmpty) Nil
@@ -329,6 +342,17 @@ object CdcMicroBatch {
         // empty batch + never-written store: no version to drain from
         // yet — skip rather than NPE in buildWithDims().get (ADVICE r19)
         if (store.exists) {
+          // registered indexes drain the same fact window FIRST, so
+          // the mart refresh's affectedKeys answers from current pairs
+          indexes.zipWithIndex.foreach { case (idx, i) =>
+            val idxCur = readCursor(spark, checkpoint, idxCursorFile(i))
+              .flatMap(c => idx.refresh(store, c))
+              .orElse(idx.build(store))
+            idxCur.foreach(c =>
+              writeCursor(spark, checkpoint, idxCursorFile(i), c))
+            maintainAux(idx.reverse, batchId, maintenance)
+            maintainAux(idx.forward, batchId, maintenance)
+          }
           def rebuild(): IncrementalMart.Cursor =
             IncrementalMart.buildWithDims(store, transform, mart, dims).get
           var cur = cursor match {
@@ -338,6 +362,13 @@ object CdcMicroBatch {
             case _ => rebuild()
           }
           val repointed = maintain(store, batchId, maintenance, cur.sourceV)
+          if (repointed != cur.sourceV)
+            // result-invisible maintenance advanced the source: the
+            // index cursors re-point with the mart cursor, or every
+            // later index drain pays a scan of the compacted buckets
+            // (they diff empty, but the read is real)
+            indexes.indices.foreach(i =>
+              writeCursor(spark, checkpoint, idxCursorFile(i), repointed))
           cur = cur.copy(sourceV = repointed)
           cursor = Some(cur)
           maintainAux(mart, batchId, maintenance)

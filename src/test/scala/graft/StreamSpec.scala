@@ -168,6 +168,85 @@ class StreamSpec extends AnyFunSuite {
     assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
   }
 
+  test("INDEX-backed dims drain: the drain maintains the FkIndex from " +
+      "the same fact feed (persisted index cursor, fk reassignment " +
+      "through the stream), and the dim mapping never scans the fact " +
+      "table") {
+    import org.apache.spark.sql.types._
+    def factRows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, (k % 10).toLong, tag)).toDF("k", "fk", "tag")
+    val src = tmp("idxdrain-src")
+    val store = new graft.cdc.CowStore(spark, tmp("idxdrain-s"),
+      Seq("k"), nBuckets = 8)
+    val dimStore = new graft.cdc.CowStore(spark, tmp("idxdrain-d"),
+      Seq("fk"), nBuckets = 4)
+    val mart = new graft.cdc.CowStore(spark, tmp("idxdrain-m"),
+      Seq("k"), nBuckets = 8)
+    dimStore.writeFull((0 until 11).map(i => (i.toLong, s"seg$i"))
+      .toDF("fk", "seg"))
+    def martOf(df: org.apache.spark.sql.DataFrame) = {
+      val dc = broadcast(dimStore.read().get)
+      df.join(dc, Seq("fk"), "left")
+        .select(df("k"), col("fk"), dc("seg"), df("tag"))
+    }
+    val index = new graft.cdc.FkIndex(
+      new graft.cdc.CowStore(spark, tmp("idxdrain-rev"), Seq("fk"),
+        nBuckets = 4),
+      new graft.cdc.CowStore(spark, tmp("idxdrain-fwd"), Seq("k"),
+        nBuckets = 8),
+      factKeys = Seq("k"), fkCols = Seq("fk"))
+    val dims = Seq(graft.cdc.FkIndex.dim(dimStore, index))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("fk", LongType), StructField("tag", StringType)))
+    val ckpt = tmp("idxdrain-ck")
+    val maint = Some(CowMaintenance(compactEvery = 2, maxReferenced = 2))
+    def drain(): Unit = CdcMicroBatch.runAvailableNowCowMartDims(spark,
+      src, schema, store, mart, martOf, Seq("k"), ckpt, dims, maint,
+      indexes = Seq(index))
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // batch 1: first drain builds mart AND index (unknown cursors)
+    factRows(0 until 120, "b1").write.mode("append").parquet(src)
+    drain()
+    assert(index.reverse.exists && index.forward.exists,
+      "the drain must build the registered index")
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
+    // batch 2: an fk REASSIGNMENT rides the stream (k=24 moves 4→10);
+    // a dim change between drains then hits fk 4 AND 10 — the index
+    // must answer from post-reassignment pairs
+    factRows(24 until 25, "b2").withColumn("fk", lit(10L))
+      .write.mode("append").parquet(src)
+    drain()
+    dimStore.upsert(Seq((4L, "MOVED4"), (10L, "MOVED10"))
+      .toDF("fk", "seg"))
+    factRows(130 until 135, "b3").write.mode("append").parquet(src)
+    drain()
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)),
+      "index-mapped dim churn must re-enrich exactly like the rebuild")
+    assert(mart.read().get.where(col("k") === 24L)
+      .select("seg").head().getString(0) == "MOVED10",
+      "the reassigned fact must enrich from its NEW dim row")
+    // the index answered without a fact scan, and stayed exact
+    assert(setOf(index.affectedKeys(Seq(4L).toDF("fk"))) ==
+      setOf(store.read().get.where(col("fk") === 4L).select("k")))
+    // more batches across the maintenance cadence: cursors re-point,
+    // index stores stay bounded, results unchanged
+    (0 until 4).foreach { i =>
+      factRows(140 + i until 141 + i, s"m$i")
+        .write.mode("append").parquet(src)
+      drain()
+    }
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
+    assert(index.reverse.currentManifest.values.toSet.size <= 2 + 2,
+      "index stores must ride the maintenance cadence")
+    // replay from a fresh checkpoint converges (index cursors unknown
+    // → rebuild; mapping is result-invisible)
+    CdcMicroBatch.runAvailableNowCowMartDims(spark, src, schema, store,
+      mart, martOf, Seq("k"), tmp("idxdrain-ck2"), dims, maint,
+      indexes = Seq(index))
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
+  }
+
   test("feed-driven streaming SCD2 drain == batch Scd2 kernels over " +
       "the same I/U/D batches; unknown cursor resyncs; replay and " +
       "maintenance converge") {
