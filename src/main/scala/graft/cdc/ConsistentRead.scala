@@ -129,10 +129,14 @@ object ConsistentRead {
           case Some(maxes) =>
             // metadata probe: fold the per-bucket maxes ENGINE-side
             // under the version's own track type (string order is not
-            // value order); no non-null max = trivially consistent
+            // value order; TIMESTAMPs decode from epoch micros —
+            // CowStore.decodeTrackMax — so a reader session's timezone
+            // can never shift the watermark); no non-null max =
+            // trivially consistent
             val eligible = maxes.isEmpty || {
               val cast = store.schemaOf(v).map(_(track).dataType)
-                .fold((s: String) => lit(s))(t => (s: String) => lit(s).cast(t))
+                .fold((s: String) => lit(s))(t =>
+                  (s: String) => CowStore.decodeTrackMax(s, t))
               val folded =
                 if (maxes.size == 1) cast(maxes.head)
                 else greatest(maxes.map(cast): _*)

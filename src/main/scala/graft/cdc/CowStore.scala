@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
 final class ConcurrentWriteException(msg: String)
   extends RuntimeException(msg)
 
+object CowStore {
+  /** `_STATS` value encoding, one place for both sides. TIMESTAMP
+    * (instant) maxes are stored as EPOCH MICROS, never as
+    * `CAST(ts AS STRING)`: the string form renders — and re-parses —
+    * in the SESSION timezone, so a reader configured differently from
+    * the writer would shift the watermark by the zone offset and the
+    * metadata walk could pin a version whose true max exceeds the
+    * requested instant (the exact inconsistency the walk exists to
+    * prevent). TIMESTAMP_NTZ and DATE are wall-clock types whose
+    * string forms are zone-free; numerics/strings round-trip as-is. */
+  private[cdc] def encodeTrackMax(c: String,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      unix_micros(max(col(c))).cast("string")
+    case _ => max(col(c)).cast("string")
+  }
+
+  private[cdc] def decodeTrackMax(s: String,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      timestamp_micros(lit(s.toLong))
+    case _ => lit(s).cast(dt)
+  }
+}
+
 /** Bucket-pruned copy-on-write table — the incremental-merge layout
   * that makes C1/C2 write volume scale with the BATCH instead of the
   * destination (VERDICT r16 ask #2: [[Upsert]] over a [[TableStore]]
@@ -261,8 +286,9 @@ final class CowStore(spark: SparkSession, root: String,
     * register (tombstones can lower the true max, deltas raise it, and
     * neither writes data the publisher could cheaply re-aggregate), so
     * consumers must fall back to reading. Values are
-    * base64(UTF-8(CAST(max AS STRING))) — newline/whitespace-safe for
-    * any type, cast back under the version's own schema to compare. */
+    * base64(UTF-8([[CowStore.encodeTrackMax]] string)) —
+    * newline/whitespace-safe for any type, decoded under the version's
+    * own schema to compare (TIMESTAMPs as epoch micros — zone-proof). */
   private def statsOf(v: Int): Map[Int, Map[String, Option[String]]] =
     if (!fs.exists(statsPath(v))) Map.empty
     else {
@@ -302,8 +328,10 @@ final class CowStore(spark: SparkSession, root: String,
     * buckets or live MoR registers), so the caller must read the
     * version to learn its watermark ([[ConsistentRead.asOfCowVersion]]
     * consumes this: Some turns the probe into pure metadata — zero
-    * data files opened). Cast the strings back with [[schemaOf]]'s
-    * track type before comparing; string order is NOT value order. */
+    * data files opened). Decode with [[CowStore.decodeTrackMax]] under
+    * [[schemaOf]]'s track type before comparing — string order is NOT
+    * value order, and TIMESTAMP values travel as epoch micros (the
+    * string form would shift with the session timezone). */
   def versionTrackMaxes(v: Int, track: String): Option[Seq[String]] =
     if (!fs.exists(manifestPath(v))) None
     else {
@@ -580,8 +608,11 @@ final class CowStore(spark: SparkSession, root: String,
                 org.apache.spark.sql.types.IntegerType)))
             .parquet(dirs: _*)
             .groupBy(col("__bkt"))
-            .agg(max(col(present.head)).cast("string").as(present.head),
-              present.tail.map(c => max(col(c)).cast("string").as(c)): _*)
+            .agg(
+              CowStore.encodeTrackMax(present.head,
+                schema(present.head).dataType).as(present.head),
+              present.tail.map(c =>
+                CowStore.encodeTrackMax(c, schema(c).dataType).as(c)): _*)
             .collect() // ≤ nBuckets rows — config-bounded driver state
             .map { r =>
               r.getInt(0) -> present.zipWithIndex.map { case (c, i) =>
@@ -767,9 +798,14 @@ final class CowStore(spark: SparkSession, root: String,
     }
     val inc = target.fold(incoming)(s =>
       graft.schema.Normalize.alignToSchema(incoming, s))
-    // 1. affected buckets: ≤ nBuckets ints of driver state.
-    val affected = inc.select(bucketOf.as("__bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // 1. affected buckets: ≤ 2·nBuckets rows of driver state — the MoR
+    // form rides a null-key flag on the SAME probe, so detecting the
+    // split-route case below costs no second scan of the batch.
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val probe = inc.select(bucketOf.as("__bkt"),
+        (if (mor) anyNullKey else lit(false)).as("__nullkey"))
+      .distinct().collect()
+    val affected = probe.map(_.getInt(0)).distinct.sorted.toSeq
     val dvs = dvsOf(base.get)
     val dls = dlsOf(base.get)
     if (mor) {
@@ -783,13 +819,11 @@ final class CowStore(spark: SparkSession, root: String,
       // next fold would bake that answer in (ADVICE r19). Route the
       // NULL-keyed slice through the COW merge so mor stays
       // result-invisible; the non-null rest delta-commits on top.
-      val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
-      val nullKeyed = inc.where(anyNullKey)
-      if (!nullKeyed.isEmpty) {
-        upsertAt(nullKeyed, None, base, evolve)
-        val rest = inc.where(!anyNullKey)
-        if (!rest.isEmpty)
-          upsertAt(rest, None, currentVersion, evolve, mor = true)
+      if (probe.exists(_.getBoolean(1))) {
+        upsertAt(inc.where(anyNullKey), None, base, evolve)
+        if (probe.exists(!_.getBoolean(1)))
+          upsertAt(inc.where(!anyNullKey), None, currentVersion, evolve,
+            mor = true)
         return
       }
       // Delta-register at cap? Those buckets' batch slice folds

@@ -62,11 +62,16 @@ object GkSketch {
       eps, st, count, true)
   }
 
-  /** Aggregate a double column into GK sketch bytes (nulls skipped —
+  /** Aggregate a numeric column into GK sketch bytes (nulls skipped —
     * the profile's n_nulls counts them separately; an empty group
-    * yields an EMPTY sketch's bytes, never NULL). */
+    * yields an EMPTY sketch's bytes, never NULL). The cast is applied
+    * HERE because the aggregate's update does a raw Double unbox and
+    * `ExpectsInputTypes` is private[sql] — without it an int/long
+    * column would throw ClassCastException at executor runtime (the
+    * r19 udaf form upcast via its input encoder). */
   def sketchAgg(value: Column, eps: Double = DefaultEps): Column =
-    column(GkSketchAgg(expression(value), eps).toAggregateExpression())
+    column(GkSketchAgg(expression(value.cast("double")), eps)
+      .toAggregateExpression())
 
   /** Aggregate sketch-byte values into their union (NULL sketches
     * skipped — string columns carry none; empty input → NULL, like

@@ -222,7 +222,14 @@ object CdcMicroBatch {
       m: Option[CowMaintenance]): Unit =
     m.foreach { mm =>
       if (batchId > 0 && batchId % mm.compactEvery == 0 && store.exists) {
-        store.compact(mm.maxReferenced, mm.clusterBy)
+        // clusterBy names SOURCE columns; a mart/history/index store's
+        // schema may not carry them (a transform that renames, an
+        // index's (fk, key) projection) — cluster by the subset that
+        // exists rather than crash the drain on an unresolved column
+        val cb = store.currentSchema
+          .map(s => mm.clusterBy.filter(s.fieldNames.contains))
+          .getOrElse(Nil)
+        store.compact(mm.maxReferenced, cb)
         store.vacuum(mm.retainLast)
       }
     }
@@ -299,8 +306,9 @@ object CdcMicroBatch {
     * stable `dims` order); unknown/mismatched markers conservatively
     * rebuild. Everything else (idempotent replay, maintenance cadence
     * with cursor re-point, retention fallback) is the plain drain's
-    * contract. */
-  /** `indexes`: [[graft.cdc.FkIndex]]es backing any of the registered
+    * contract.
+    *
+    * `indexes`: [[graft.cdc.FkIndex]]es backing any of the registered
     * dims' affectedKeys mappings. The drain maintains them from the
     * SAME fact feed it drains — each batch refreshes every index over
     * the window since its own persisted cursor (marker

@@ -206,6 +206,30 @@ class ConsistentReadSpec extends AnyFunSuite {
       .map(_._1).contains(1))
   }
 
+  test("_STATS timestamp maxes are SESSION-TIMEZONE-PROOF: a reader " +
+      "configured in another zone gets the same as-of answer (epoch-" +
+      "micros encoding, not CAST-to-string)") {
+    val root = Files.createTempDirectory("graft-asof-tz").toString
+    val store = new graft.cdc.CowStore(spark, root, Seq("id"),
+      nBuckets = 4, statsCols = Seq("ts"))
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:30:00")
+    // written under the suite's UTC session
+    store.writeFull(Seq((1L, ts(10))).toDF("id", "ts")) // v1, wm 10:30 UTC
+    assert(store.versionTrackMaxes(1, "ts").isDefined)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a reader 8h ahead: the old CAST-string decode would re-parse
+      // "10:30" as +08:00 = 02:30 UTC and wrongly call v1 eligible at
+      // a 05:00 UTC watermark
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+      assert(ConsistentRead.asOfCowVersion(spark, store, "ts", ts(5))
+        .isEmpty,
+        "a zone-shifted reader must NOT pin a version past the watermark")
+      assert(ConsistentRead.asOfCowVersion(spark, store, "ts", ts(11))
+        .map(_._1).contains(1))
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("joint use: common watermark across two staggered stores") {
     val rootA = Files.createTempDirectory("graft-asof-a").toString
     val rootB = Files.createTempDirectory("graft-asof-b").toString

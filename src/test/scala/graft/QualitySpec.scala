@@ -493,6 +493,16 @@ class QualitySpec extends AnyFunSuite {
     assert(flagged.count() == 0)
   }
 
+  test("sketchAgg accepts non-double numeric inputs (int/long cast " +
+      "at the column layer — the native aggregate unboxes Double)") {
+    import graft.functions.GkSketch
+    val ints = (1 to 100).map(i => Tuple1(i)).toDF("v")
+    val q = ints.agg(GkSketch.quantilesOf(
+      GkSketch.sketchAgg(col("v")), Seq(0.5)).as("qs"))
+      .head().getSeq[Double](0)
+    assert(math.abs(q.head - 50.0) <= 2.0, s"median off: ${q.head}")
+  }
+
   test("refresh on a pre-qsk stat store returns None (format " +
       "migration → rebuild), never a silently quantile-less store") {
     import graft.cdc.CowStore

@@ -199,7 +199,11 @@ class StreamSpec extends AnyFunSuite {
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("fk", LongType), StructField("tag", StringType)))
     val ckpt = tmp("idxdrain-ck")
-    val maint = Some(CowMaintenance(compactEvery = 2, maxReferenced = 2))
+    // clusterBy names a SOURCE column the index stores (fk, k) do NOT
+    // carry — aux maintenance must cluster by the subset that exists
+    // instead of crashing the drain on an unresolved column
+    val maint = Some(CowMaintenance(compactEvery = 2, maxReferenced = 2,
+      clusterBy = Seq("tag")))
     def drain(): Unit = CdcMicroBatch.runAvailableNowCowMartDims(spark,
       src, schema, store, mart, martOf, Seq("k"), ckpt, dims, maint,
       indexes = Seq(index))
