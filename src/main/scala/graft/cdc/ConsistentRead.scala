@@ -121,28 +121,44 @@ object ConsistentRead {
     * register) fall back to the column-pruned `max(track)` read —
     * [[asOfVersion]]'s original cost; a compact heals them. */
   def asOfCowVersion(spark: SparkSession, store: CowStore, track: String,
-      wm: Any): Option[(Int, DataFrame)] =
-    store.versions().reverse.iterator
-      .filter(store.versionIntact)
+      wm: Any): Option[(Int, DataFrame)] = {
+    // ONE listing of the store root for the whole walk: versionIntact
+    // per probed version then folds over this snapshot instead of
+    // paying O(refs) fs.exists probes per version (VERDICT r20 ask #5
+    // — at a 1000-version retention window the exists probes alone
+    // were tens of seconds of FS round-trips for a metadata question).
+    val existing = store.versions()
+    val dirSnapshot = existing.toSet
+    existing.reverse.iterator
+      .filter(v => store.versionIntact(v, dirSnapshot))
       .flatMap { v =>
         store.versionTrackMaxes(v, track) match {
           case Some(maxes) =>
-            // metadata probe: fold the per-bucket maxes ENGINE-side
-            // under the version's own track type (string order is not
-            // value order; TIMESTAMPs decode from epoch micros —
-            // CowStore.decodeTrackMax — so a reader session's timezone
+            // metadata probe: fold the per-bucket maxes under the
+            // version's own track type (string order is not value
+            // order; TIMESTAMPs decode from epoch micros —
+            // CowStore.encodeTrackMax — so a reader session's timezone
             // can never shift the watermark); no non-null max =
-            // trivially consistent
+            // trivially consistent. The fold is DRIVER-side typed
+            // compares for the types whose encoded form compares
+            // exactly in the JVM (VERDICT r20 ask #5: the previous
+            // spark.range(1) probe paid ~20 ms of scheduler latency
+            // per covered version for a microsecond compare); types
+            // without a provably order-preserving JVM compare fall
+            // back to the engine expression — same answer, one job.
             val eligible = maxes.isEmpty || {
-              val cast = store.schemaOf(v).map(_(track).dataType)
-                .fold((s: String) => lit(s))(t =>
-                  (s: String) => CowStore.decodeTrackMax(s, t))
-              val folded =
-                if (maxes.size == 1) cast(maxes.head)
-                else greatest(maxes.map(cast): _*)
-              spark.range(1)
-                .select(coalesce(folded <= lit(wm), lit(false)))
-                .head().getBoolean(0)
+              val dt = store.schemaOf(v).map(_(track).dataType)
+              driverFoldLteq(maxes, dt, wm).getOrElse {
+                val cast = dt
+                  .fold((s: String) => lit(s))(t =>
+                    (s: String) => CowStore.decodeTrackMax(s, t))
+                val folded =
+                  if (maxes.size == 1) cast(maxes.head)
+                  else greatest(maxes.map(cast): _*)
+                spark.range(1)
+                  .select(coalesce(folded <= lit(wm), lit(false)))
+                  .head().getBoolean(0)
+              }
             }
             if (eligible) store.readVersion(v).map(v -> _) else None
           case None =>
@@ -153,6 +169,91 @@ object ConsistentRead {
             }
         }
       }.nextOption()
+  }
+
+  /** Driver-side `∀ max: decode(max) <= wm` over `_STATS` strings, for
+    * the (track type, wm type) pairs where the encoded form compares
+    * exactly in the JVM; None = not provably safe, caller uses the
+    * engine. Safe cases, each pinned by ConsistentReadSpec:
+    *  - TIMESTAMP: encoded as epoch micros ([[CowStore.encodeTrackMax]]
+    *    — zone-proof by construction); wm converts through Catalyst's
+    *    own external→internal mapping (`Literal`, the same conversion
+    *    `lit(wm)` applies), so both sides are Long micros.
+    *  - integral vs integral wm: SQL compares as long, exactly; DOUBLE
+    *    vs double wm: toString round-trips the exact double, and the
+    *    NaN-is-greatest divergence is excluded (NaN wm falls back, a
+    *    NaN max is never <= a non-NaN wm on either side). Mixed
+    *    numeric families (float/decimal, double vs long, …) keep the
+    *    engine's coercion — their promotion is lossy in ways a naive
+    *    exact compare would silently "fix".
+    *  - DATE: `cast(date as string)` is zero-padded ISO — lexicographic
+    *    IS value order; wm Date/LocalDate renders the same form.
+    *  - STRING: compared as UTF-8 bytes, Spark's own binary collation
+    *    (JVM String '<=' is UTF-16 code-unit order, which DIVERGES on
+    *    supplementary characters — so it is not used). */
+  private[graft] def driverFoldLteq(maxes: Seq[String],
+      dt: Option[org.apache.spark.sql.types.DataType], wm: Any)
+      : Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    def all(f: String => Boolean): Option[Boolean] =
+      try Some(maxes.forall(f))
+      catch { case scala.util.control.NonFatal(_) => None }
+    dt match {
+      case Some(TimestampType) =>
+        val wmLit = org.apache.spark.sql.catalyst.expressions.Literal(wm)
+        if (wmLit.dataType == TimestampType && wmLit.value != null) {
+          val w = wmLit.value.asInstanceOf[Long]
+          all(s => s.toLong <= w)
+        } else None
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        // integral vs integral: SQL compares as long, exactly
+        wm match {
+          case w @ (_: java.lang.Byte | _: java.lang.Short |
+              _: java.lang.Integer | _: java.lang.Long) =>
+            val wv = w.asInstanceOf[java.lang.Number].longValue
+            all(s => s.toLong <= wv)
+          case _ => None // mixed-family coercion: engine decides
+        }
+      case Some(DoubleType) =>
+        // double max round-trips its own toString exactly; SQL's
+        // NaN-is-greatest only diverges from the primitive compare
+        // when wm itself is NaN — excluded below
+        wm match {
+          case w: java.lang.Double if !w.isNaN =>
+            all { s =>
+              val x = java.lang.Double.parseDouble(s)
+              !x.isNaN && x <= w
+            }
+          case _ => None
+        }
+      case Some(DateType) =>
+        val w = wm match {
+          case d: java.sql.Date => Some(d.toString)
+          case d: java.time.LocalDate => Some(d.toString)
+          case _ => None
+        }
+        w.flatMap(ws => all(s => s <= ws)) // zero-padded ISO: lexicographic
+      case Some(StringType) =>
+        wm match {
+          case ws: String => all(s => utf8Lteq(s, ws))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** `a <= b` under Spark's binary (UTF-8 byte) string order. */
+  private def utf8Lteq(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
 
   /** Engine-evaluated `a <= b` so timestamp/date/numeric watermarks
     * all compare by SQL semantics, not JVM ones. */

@@ -142,6 +142,10 @@ final class CowStore(spark: SparkSession, root: String,
     "statsCols must be plain payload column names")
 
   private val rootPath = new Path(root)
+
+  /** Stable store identity (the normalized root path) — consumed by
+    * cursor-identity guards ([[FkIndex.fingerprint]]). */
+  private[graft] def rootId: String = rootPath.toString
   private def fs =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pointer = new Path(rootPath, "_CURRENT")
@@ -208,11 +212,20 @@ final class CowStore(spark: SparkSession, root: String,
     * manifest's other references are gone — so any time-travel walk
     * ([[ConsistentRead.asOfCowVersion]]) must filter on this, not on
     * dir existence (ADVICE r19). */
-  def versionIntact(v: Int): Boolean =
+  def versionIntact(v: Int): Boolean = versionIntact(v, versions().toSet)
+
+  /** [[versionIntact]] against a pre-listed snapshot of the existing
+    * version dirs — a multi-version walk
+    * ([[ConsistentRead.asOfCowVersion]]) lists the root ONCE and
+    * reuses the snapshot instead of paying O(refs) `fs.exists` probes
+    * per version (the walk is read-only, so dirs cannot appear or
+    * vanish under it; a concurrent vacuum already falls under the
+    * retention contract). */
+  private[cdc] def versionIntact(v: Int, existingDirs: Set[Int]): Boolean =
     fs.exists(manifestPath(v)) && {
       val refs = manifest(v).values.toSet ++
         dvsOf(v).values.flatten ++ dlsOf(v).values.flatten
-      refs.forall(o => fs.exists(versionDir(o)))
+      refs.forall(existingDirs.contains)
     }
 
   /** bucket -> owning version, for version `v`. */
@@ -527,13 +540,22 @@ final class CowStore(spark: SparkSession, root: String,
     * buckets' files are listed and scanned, then a left-semi join
     * (AQE-broadcast for any sane probe) filters to the exact keys.
     * A 100-key lookup against a 100 TB table touches ≤100 buckets. */
-  def readForKeys(keyRows: DataFrame): Option[DataFrame] = {
-    val buckets = keyRows.select(bucketOf.as("__bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    readBuckets(buckets).map(
-      _.join(keyRows.select(keys.map(col): _*).distinct(), keys,
-        "left_semi"))
-  }
+  def readForKeys(keyRows: DataFrame): Option[DataFrame] =
+    currentVersion.flatMap { v =>
+      val man = manifest(v)
+      val sch = storedSchema(man, v)
+      // The probe is cast to the STORED key types BEFORE bucket
+      // derivation (the same pre-derivation discipline as the merge
+      // paths — [[castKeys]]): hash(int) ≠ hash(long) for the same
+      // value, so an uncast probe of a type-drifted caller (INT dim
+      // key vs BIGINT stored fk) would prune the wrong buckets and
+      // silently miss rows (ADVICE r20).
+      val probe = castKeys(keyRows, sch).distinct()
+      val buckets = probe.select(bucketOf.as("__bkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      readSlice(man, dvsOf(v), dlsOf(v), buckets, sch)
+        .map(_.join(probe, keys, "left_semi"))
+    }
 
   /** Stake an exclusive version number ≥ `from`: atomic
     * create-no-overwrite of the `_CLAIM` marker — the one FS primitive
@@ -683,8 +705,14 @@ final class CowStore(spark: SparkSession, root: String,
       sortBy: Seq[String] = Nil): Unit = {
     require(!df.columns.contains("__bkt"),
       "__bkt is the store's reserved partition column; rename or drop it")
+    // Explicit partition count: ≤ nBuckets write tasks is the
+    // documented one-file-per-bucket contract already (scaladoc
+    // above), and pinning it lets the exchange skip AQE's extra
+    // coalescing round per commit — material when a lifecycle runs
+    // many small commits. Multi-GB-bucket deployments repartition by
+    // (__bkt, salt) upstream, as before.
     val bucketed = df.withColumn("__bkt", bucketOf)
-      .repartition(col("__bkt"))
+      .repartition(nBuckets, col("__bkt"))
     val arranged =
       if (sortBy.isEmpty) bucketed
       else bucketed.sortWithinPartitions(("__bkt" +: sortBy).map(col): _*)
@@ -739,10 +767,12 @@ final class CowStore(spark: SparkSession, root: String,
     * resolves versions, not track columns). */
   def upsert(incoming: DataFrame,
       dedup: Option[(String, Seq[String])] = None,
-      evolve: Boolean = false, mor: Boolean = false): Unit = {
-    if (incoming.isEmpty) return
+      evolve: Boolean = false, mor: Boolean = false): Unit =
+    // Emptiness is decided inside upsertAt from the one probe job that
+    // must run anyway (an `isEmpty` here was a whole extra evaluation
+    // of the batch lineage per merge); an empty batch still commits
+    // nothing, first-load included.
     upsertAt(incoming, dedup, currentVersion, evolve, mor)
-  }
 
   /** Max delta versions a bucket's register may hold before a MoR
     * upsert degrades that bucket to the folding COW merge. */
@@ -770,7 +800,10 @@ final class CowStore(spark: SparkSession, root: String,
     if (man.isEmpty) {
       // First load — but pinned to OUR base, not a re-read of current:
       // two racing initial loads must not last-write-win (the loser
-      // retries and re-enters as a proper merge).
+      // retries and re-enters as a proper merge). An empty batch
+      // commits no version (the merge path below decides that from
+      // its probe; here nothing else would evaluate the batch).
+      if (incoming.isEmpty) return
       writeFullAt(dedup.fold(incoming) { case (t, tb) =>
         DedupLatest(incoming, keys, t, tb) }, base)
       return
@@ -784,9 +817,7 @@ final class CowStore(spark: SparkSession, root: String,
     // probe (and rewrite) the wrong buckets. The stored schema comes
     // from the authoritative `_SCHEMA` (one tiny file read), falling
     // back to one parquet footer on pre-`_SCHEMA` stores.
-    val stored = schemaOf(base.get).orElse(
-      bucketPaths(man, man.keys.toSeq.sorted).headOption
-        .map(p => spark.read.parquet(p).schema))
+    val stored = storedSchema(man, base.get)
     val target = stored.map { s =>
       if (!evolve) s
       else {
@@ -796,15 +827,26 @@ final class CowStore(spark: SparkSession, root: String,
             known.contains(f.name)))
       }
     }
+    // The aligned batch is CACHED for the duration of the merge: its
+    // lineage (often a composed transform over a source scan) is
+    // otherwise re-evaluated by the probe, the anti-join build side
+    // AND the union side of the rewrite — three-plus full passes over
+    // the input per commit. The probe job below materializes the
+    // cache; unpersist is in the finally so a lost CAS race or failed
+    // write cannot leak blocks.
     val inc = target.fold(incoming)(s =>
-      graft.schema.Normalize.alignToSchema(incoming, s))
+      graft.schema.Normalize.alignToSchema(incoming, s)).persist()
+    try {
     // 1. affected buckets: ≤ 2·nBuckets rows of driver state — the MoR
     // form rides a null-key flag on the SAME probe, so detecting the
-    // split-route case below costs no second scan of the batch.
+    // split-route case below costs no second scan of the batch. An
+    // EMPTY probe is an empty batch: commit nothing — the contract the
+    // old entry-point `isEmpty` action provided, now for free.
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val probe = inc.select(bucketOf.as("__bkt"),
         (if (mor) anyNullKey else lit(false)).as("__nullkey"))
       .distinct().collect()
+    if (probe.isEmpty) return
     val affected = probe.map(_.getInt(0)).distinct.sorted.toSeq
     val dvs = dvsOf(base.get)
     val dls = dlsOf(base.get)
@@ -856,7 +898,9 @@ final class CowStore(spark: SparkSession, root: String,
     // as the unbucketed kernel.
     val merged = readSlice(man, dvs, dls, affected, target) match {
       case Some(prev) =>
-        val up = Upsert(prev, inc, keys)
+        // merge (not apply): the probe above already proved the batch
+        // non-empty — the kernel's own isEmpty would be a wasted job
+        val up = Upsert.merge(prev, inc, keys)
         dedup.fold(up) { case (t, tb) => DedupLatest(up, keys, t, tb) }
       case None =>
         dedup.fold(inc) { case (t, tb) =>
@@ -867,6 +911,7 @@ final class CowStore(spark: SparkSession, root: String,
     writeBuckets(merged, v)
     publish(v, man ++ affected.map(_ -> v), base, merged.schema,
       dvs -- affected, dls -- affected)
+    } finally inc.unpersist(false)
   }
 
   /** Cast a key probe to the STORED key types before bucket routing —
@@ -945,6 +990,12 @@ final class CowStore(spark: SparkSession, root: String,
     val man = base.map(manifest).getOrElse(Map.empty)
     if (man.isEmpty) return // nothing stored, nothing to delete
     val stored = storedSchema(man, base.get)
+    // NOT cached (unlike the merge paths' batches): a delete probe is
+    // a key projection whose two evaluations are cheap, and a cached
+    // plan keeps its un-coalesced shuffle partitioning
+    // (canChangeCachedPlanOutputPartitioning is off by default), which
+    // would fan the tombstone write into one tiny file per shuffle
+    // partition instead of AQE's size-coalesced layout.
     val probe = castKeys(keyRows, stored).distinct()
     val affected = probe.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -1011,12 +1062,18 @@ final class CowStore(spark: SparkSession, root: String,
   def applyCdc(batch: DataFrame, opCol: String,
       deleteOps: Seq[String] = Seq("D", "d", "delete"),
       evolve: Boolean = false, morDeletes: Boolean = false): Unit = {
-    if (batch.isEmpty) return
+    // No entry-point isEmpty action: the plain path decides emptiness
+    // from the bucket probe it runs anyway, and the split morDeletes
+    // path from its own slices (delete/upsert are both empty-safe).
     if (morDeletes && exists) {
-      val isDel = coalesce(col(opCol).isin(deleteOps: _*), lit(false))
-      delete(batch.where(isDel).select(keys.map(col): _*), mor = true)
-      val ups = batch.where(!isDel).drop(opCol)
-      if (!ups.isEmpty) upsert(ups, evolve = evolve)
+      // Both slices re-evaluate the batch lineage (delete: probe +
+      // tombstone write; upsert: probe + merge) — cache it once.
+      val b = batch.persist()
+      try {
+        val isDel = coalesce(col(opCol).isin(deleteOps: _*), lit(false))
+        delete(b.where(isDel).select(keys.map(col): _*), mor = true)
+        upsert(b.where(!isDel).drop(opCol), evolve = evolve)
+      } finally b.unpersist(false)
     }
     else applyCdcAt(batch, opCol, deleteOps, currentVersion, evolve)
   }
@@ -1062,24 +1119,30 @@ final class CowStore(spark: SparkSession, root: String,
     }
     // Align payload to the target schema with opCol riding along (the
     // op is batch metadata, never part of the authoritative schema) —
-    // BEFORE bucket derivation, as in upsertAt.
+    // BEFORE bucket derivation, as in upsertAt. Cached like upsertAt's
+    // batch: the probe, the delete-phase key set and the re-insert
+    // slice otherwise each re-evaluate the batch lineage.
     val aligned = target.fold(batch) { s =>
       graft.schema.Normalize.alignToSchema(batch,
         org.apache.spark.sql.types.StructType(s.fields :+ batch.schema(opCol)))
-    }
+    }.persist()
+    try {
     val affected = aligned.select(bucketOf.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return // empty batch: nothing to commit
     val v = allocateVersion(base.get + 1)
     val dvs = dvsOf(base.get)
     val dls = dlsOf(base.get)
     val merged = readSlice(man, dvs, dls, affected, target) match {
       case Some(prev) =>
-        Upsert.applyOps(prev, aligned, keys, opCol, deleteOps)
+        // opsMerge (not applyOps): non-emptiness proven by the probe
+        Upsert.opsMerge(prev, aligned, keys, opCol, deleteOps)
       case None => nonDelete(aligned).drop(opCol)
     }
     writeBuckets(merged, v)
     publish(v, man ++ affected.map(_ -> v), base, merged.schema,
       dvs -- affected, dls -- affected)
+    } finally aligned.unpersist(false)
   }
 
   /** Change data feed — what changed between (un-vacuumed) versions

@@ -79,6 +79,20 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
 
   private val Op = "__op"
 
+  /** Stable identity for persisted positional cursors (VERDICT r20
+    * #2): a drain that stores index cursors by REGISTRATION POSITION
+    * writes this fingerprint beside each cursor and rebuilds on
+    * mismatch — otherwise a re-registration (swap, reorder, add)
+    * against an existing checkpoint applies position i's stale cursor
+    * to the NEW index, whose `refresh` on empty stores would
+    * first-load just the window: a silently partial index. Derived
+    * from the store roots and the column spec — everything that makes
+    * two indexes "the same index". */
+  def fingerprint: String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(
+      (Seq(reverse.rootId, forward.rootId) ++ factKeys ++ fkCols ++
+        factFk).mkString("\n"))}%08x"
+
   private def nonNullFk =
     factFk.map(col(_).isNotNull).reduce(_ && _)
 
@@ -92,17 +106,36 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
   def build(fact: CowStore): Option[Int] =
     fact.version.map { cur =>
       fact.read().foreach { df =>
-        val pairs = pairsOf(df)
-        reverse.writeFull(pairs)
-        forward.writeFull(pairs)
+        // cache the narrow (fk, key) projection: both stores' full
+        // loads consume it, so the fact table is scanned once, not
+        // once per store
+        val pairs = pairsOf(df).persist()
+        try {
+          reverse.writeFull(pairs)
+          forward.writeFull(pairs)
+        } finally pairs.unpersist(false)
       }
       cur
     }
 
   /** Patch the index for the fact churn since `sinceV` — cost ∝ the
-    * window, never the fact table (see class doc). */
+    * window, never the fact table (see class doc). `None` when the
+    * window fell out of retention OR when either store was never
+    * built (a cursor held against a different/new index — VERDICT r20
+    * #3: `applyCdc` on an empty store first-loads the WINDOW, so a
+    * silent partial index would materialize; None is the documented
+    * rebuild signal instead). */
   def refresh(fact: CowStore, sinceV: Int): Option[Int] =
-    fact.version.flatMap { cur =>
+    refreshHook(fact, sinceV, () => ())
+
+  /** [[refresh]] with a test seam: `afterReverse` runs BETWEEN the two
+    * store commits — the crash window the replay-exactness contract is
+    * specified against (FkIndexSpec). Production callers use
+    * [[refresh]]. */
+  private[graft] def refreshHook(fact: CowStore, sinceV: Int,
+      afterReverse: () => Unit): Option[Int] =
+    if (!reverse.exists || !forward.exists) None
+    else fact.version.flatMap { cur =>
       fact.readChangeRows(sinceV, cur).map { ch =>
         val chC = ch.localCheckpoint(true)
         val churnedKeys = chC.select(factKeys.map(col): _*).distinct()
@@ -120,16 +153,13 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
         val affectedFks = oldPairs.select(fkCols.map(col): _*)
           .unionByName(newPairs.select(fkCols.map(col): _*))
           .distinct().localCheckpoint(true)
-        // forward patch: re-point churned keys, drop keys with no row
-        // or no fk anymore (removed facts, fk nulled out)
-        val fwdDels = churnedKeys.join(
-          newPairs.select(factKeys.map(col): _*), factKeys, "left_anti")
-        forward.applyCdc(
-          newPairs.withColumn(Op, lit("U")).unionByName(
-            graft.schema.Normalize.alignToSchema(fwdDels, newPairs.schema)
-              .withColumn(Op, lit("D"))), Op)
-        // reverse patch: replace the pair SETS of every fk the window
-        // touched on either end
+        // reverse patch FIRST (VERDICT r20 #1 — replay exactness):
+        // replace the pair SETS of every fk the window touched on
+        // either end. A crash in EITHER commit window replays with
+        // `forward` still un-advanced, so the replay recomputes the
+        // same affectedFks and both re-patches are idempotent; the
+        // old order (forward first) made a replay read the NEW fk as
+        // "old" and the stale (oldFk, factKey) pair survived forever.
         val kept = reverse.readForKeys(affectedFks)
           .getOrElse(newPairs.limit(0))
           .join(churnedKeys, factKeys, "left_anti") // churned pairs re-derive
@@ -139,6 +169,15 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
         reverse.applyCdc(
           reSet.withColumn(Op, lit("U")).unionByName(
             graft.schema.Normalize.alignToSchema(revDels, reSet.schema)
+              .withColumn(Op, lit("D"))), Op)
+        afterReverse()
+        // forward patch second: re-point churned keys, drop keys with
+        // no row or no fk anymore (removed facts, fk nulled out)
+        val fwdDels = churnedKeys.join(
+          newPairs.select(factKeys.map(col): _*), factKeys, "left_anti")
+        forward.applyCdc(
+          newPairs.withColumn(Op, lit("U")).unionByName(
+            graft.schema.Normalize.alignToSchema(fwdDels, newPairs.schema)
               .withColumn(Op, lit("D"))), Op)
         cur
       }

@@ -27,17 +27,24 @@ object Upsert {
     require(missingKeys.isEmpty,
       s"incoming batch lacks key column(s) ${missingKeys.mkString(",")}" +
         " — drift tolerance null-fills payload columns only")
-    if (incoming.isEmpty) dest
-    else {
-      // Schema-drift tolerance, the reference's (base_loader.py:290-299):
-      // missing destination columns null-fill, unknown incoming fields
-      // drop, compatible types cast. Same-type casts are erased by
-      // Catalyst's SimplifyCasts, so the aligned-already path keeps its
-      // exact plan.
-      val inc = graft.schema.Normalize.alignToSchema(incoming, dest.schema)
-      val incKeys = inc.select(keys.map(col): _*).distinct()
-      dest.join(incKeys, keys, "left_anti").unionByName(inc)
-    }
+    if (incoming.isEmpty) dest else merge(dest, incoming, keys)
+  }
+
+  /** [[apply]] minus the emptiness probe — for callers that already
+    * KNOW the batch is non-empty ([[CowStore]]'s merge decides that
+    * from the bucket probe it runs anyway; paying `isEmpty` again here
+    * was one whole extra job per commit). Empty-batch semantics are
+    * the caller's responsibility on this path. */
+  private[graft] def merge(dest: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    // Schema-drift tolerance, the reference's (base_loader.py:290-299):
+    // missing destination columns null-fill, unknown incoming fields
+    // drop, compatible types cast. Same-type casts are erased by
+    // Catalyst's SimplifyCasts, so the aligned-already path keeps its
+    // exact plan.
+    val inc = graft.schema.Normalize.alignToSchema(incoming, dest.schema)
+    val incKeys = inc.select(keys.map(col): _*).distinct()
+    dest.join(incKeys, keys, "left_anti").unionByName(inc)
   }
 
   /** C2 — "special" upsert (base_loader.py:340-475): C1, then enforce
@@ -87,16 +94,23 @@ object Upsert {
     require(missingKeys.isEmpty,
       s"batch lacks key column(s) ${missingKeys.mkString(",")}")
     if (batch.isEmpty) dest
-    else {
-      val allKeys = batch.select(keys.map(col): _*).distinct()
-      // NULL / unrecognized ops are upserts (the conservative read of a
-      // malformed feed: data lands rather than silently vanishing) —
-      // the coalesce keeps the three-valued NOT from dropping them.
-      val inserts = graft.schema.Normalize.alignToSchema(
-        batch.where(!coalesce(col(opCol).isin(deleteOps: _*), lit(false))),
-        dest.schema)
-      dest.join(allKeys, keys, "left_anti").unionByName(inserts)
-    }
+    else opsMerge(dest, batch, keys, opCol, deleteOps)
+  }
+
+  /** [[applyOps]] minus the emptiness probe — same contract as
+    * [[merge]]: the caller ([[CowStore.applyCdc]]'s bucket probe)
+    * already established the batch is non-empty. */
+  private[graft] def opsMerge(dest: DataFrame, batch: DataFrame,
+      keys: Seq[String], opCol: String, deleteOps: Seq[String])
+      : DataFrame = {
+    val allKeys = batch.select(keys.map(col): _*).distinct()
+    // NULL / unrecognized ops are upserts (the conservative read of a
+    // malformed feed: data lands rather than silently vanishing) —
+    // the coalesce keeps the three-valued NOT from dropping them.
+    val inserts = graft.schema.Normalize.alignToSchema(
+      batch.where(!coalesce(col(opCol).isin(deleteOps: _*), lit(false))),
+      dest.schema)
+    dest.join(allKeys, keys, "left_anti").unionByName(inserts)
   }
 
   /** C2 steady-state fast path: when `dest` already satisfies the

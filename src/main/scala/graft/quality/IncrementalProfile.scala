@@ -58,9 +58,28 @@ object IncrementalProfile {
     }
 
   /** Per-(bucket, column) mergeable stat rows of `df` (which must
-    * carry the `bkt` tag): one column-pruned groupBy(bkt) leg per
-    * profiled column, unioned — [[Profile.profiled]]'s Expand-free
-    * shape with bucket granularity. */
+    * carry the `bkt` tag). ONE groupBy(bkt) pass computes every
+    * column's aggregates side by side, then the ≤ nBuckets result
+    * rows explode into the per-(bkt, col) shape — r21 optimization:
+    * the previous one-leg-per-column union re-scanned and re-shuffled
+    * the slice once PER PROFILED COLUMN (guide §2.3 "aggregate before
+    * you shuffle" / §1.2 "don't compute things twice"); 6 profiled
+    * columns paid 6 scans and 6 exchanges where one of each
+    * suffices. The explode runs over aggregate OUTPUT rows (≤
+    * nBuckets), never input data, so this stays Expand-free on the
+    * scan. Row content is bit-identical to the per-leg form
+    * (ProfileSpec + the q_profile_incremental oracle pin it).
+    *
+    * hll_sketch_agg accepts int/bigint/string/binary only — sketch
+    * the STRING form, an injective encoding for every profile type
+    * (distinct values stay distinct; the estimate is approximate
+    * anyway). The encoding is fixed per column, so unions across
+    * refreshes stay coherent. Numeric columns additionally carry a
+    * mergeable GK quantile sketch ([[graft.functions.GkSketch]]) in
+    * the same stat row — percentiles then ride the identical
+    * changed-bucket refresh instead of needing a rescan (VERDICT r18
+    * ask #4); string columns have no ordered-quantile meaning here
+    * and store NULL. */
   private[graft] def bucketStats(df: DataFrame, cols: Seq[String],
       lgK: Int): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
@@ -69,50 +88,49 @@ object IncrementalProfile {
       require(isNum(df, c) || df.schema(c).dataType == StringType,
         s"unsupported profile type for $c: ${df.schema(c).dataType}")
     }
-    val legs = cols.map { c =>
-      // hll_sketch_agg accepts int/bigint/string/binary only — sketch
-      // the STRING form, an injective encoding for every profile type
-      // (distinct values stay distinct; the estimate is approximate
-      // anyway). The encoding is fixed per column, so unions across
-      // refreshes stay coherent. Numeric columns additionally carry a
-      // mergeable GK quantile sketch ([[graft.functions.GkSketch]]) in
-      // the same stat row — percentiles then ride the identical
-      // changed-bucket refresh instead of needing a rescan (VERDICT
-      // r18 ask #4); string columns have no ordered-quantile meaning
-      // here and store NULL.
-      if (isNum(df, c)) {
-        val agged = df.select(col("bkt"), col(c)).groupBy(col("bkt")).agg(
-          count(lit(1)).as("__n"), count(col(c)).as("__nn"),
-          hll_sketch_agg(col(c).cast("string"), lit(lgK)).as("__hll"),
-          min(col(c)).as("__mn"), max(col(c)).as("__mx"),
-          graft.functions.GkSketch.sketchAgg(asNum(df, c)(col(c)))
-            .as("__qs"))
-        agged.select(col("bkt"), lit(c).as("col_name"),
+    val aggs = cols.flatMap { c =>
+      val shared = Seq(
+        count(col(c)).as(s"__nn_$c"),
+        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"__hll_$c"),
+        min(col(c)).as(s"__mn_$c"),
+        max(col(c)).as(s"__mx_$c"))
+      if (isNum(df, c))
+        shared :+ graft.functions.GkSketch
+          .sketchAgg(asNum(df, c)(col(c))).as(s"__qs_$c")
+      else shared
+    }
+    val agged = df.select(col("bkt") +: cols.map(col): _*)
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val statRows = cols.map { c =>
+      if (isNum(df, c))
+        struct(lit(c).as("col_name"),
           col("__n").as("n_rows"),
-          (col("__n") - col("__nn")).as("n_nulls"),
-          asNum(df, c)(col("__mn")).as("min_num"),
-          asNum(df, c)(col("__mx")).as("max_num"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+          asNum(df, c)(col(s"__mn_$c")).as("min_num"),
+          asNum(df, c)(col(s"__mx_$c")).as("max_num"),
           lit(null).cast("string").as("min_str"),
           lit(null).cast("string").as("max_str"),
-          col("__hll").as("hll"),
-          col("__qs").as("qsk"))
-      } else {
-        val agged = df.select(col("bkt"), col(c)).groupBy(col("bkt")).agg(
-          count(lit(1)).as("__n"), count(col(c)).as("__nn"),
-          hll_sketch_agg(col(c).cast("string"), lit(lgK)).as("__hll"),
-          min(col(c)).as("__mn"), max(col(c)).as("__mx"))
-        agged.select(col("bkt"), lit(c).as("col_name"),
+          col(s"__hll_$c").as("hll"),
+          col(s"__qs_$c").as("qsk"))
+      else
+        struct(lit(c).as("col_name"),
           col("__n").as("n_rows"),
-          (col("__n") - col("__nn")).as("n_nulls"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
           lit(null).cast("double").as("min_num"),
           lit(null).cast("double").as("max_num"),
-          col("__mn").cast("string").as("min_str"),
-          col("__mx").cast("string").as("max_str"),
-          col("__hll").as("hll"),
+          col(s"__mn_$c").cast("string").as("min_str"),
+          col(s"__mx_$c").cast("string").as("max_str"),
+          col(s"__hll_$c").as("hll"),
           lit(null).cast("binary").as("qsk"))
-      }
     }
-    legs.reduce(_ unionByName _)
+    agged
+      .select(col("bkt"), explode(array(statRows: _*)).as("__s"))
+      .select(col("bkt"), col("__s.col_name").as("col_name"),
+        col("__s.n_rows").as("n_rows"), col("__s.n_nulls").as("n_nulls"),
+        col("__s.min_num").as("min_num"), col("__s.max_num").as("max_num"),
+        col("__s.min_str").as("min_str"), col("__s.max_str").as("max_str"),
+        col("__s.hll").as("hll"), col("__s.qsk").as("qsk"))
   }
 
   private def tagged(source: CowStore, df: DataFrame): DataFrame =

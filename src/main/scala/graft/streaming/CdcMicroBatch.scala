@@ -330,6 +330,24 @@ object CdcMicroBatch {
     import graft.cdc.IncrementalMart
     val CursorFile = "graft_mart_cursor_dims"
     def idxCursorFile(i: Int) = s"graft_fkidx_cursor_$i"
+    // Index cursors are positional, so each marker carries the index's
+    // FINGERPRINT beside the version (`v|fp`): a re-registration
+    // (swap, reorder, add) against an existing checkpoint must not
+    // apply position i's stale cursor to a DIFFERENT index — the
+    // refresh would silently window-load a never-built store (VERDICT
+    // r20 #2; the mart cursor's `parse` already guards its own
+    // registration drift). Mismatched or legacy bare markers read as
+    // None → the drain rebuilds that index from scratch.
+    def readIdxCursor(i: Int, idx: graft.cdc.FkIndex): Option[Int] =
+      readMarker(spark, checkpoint, idxCursorFile(i)).flatMap { s =>
+        val parts = s.split("\\|", -1)
+        if (parts.length == 2 && parts(1) == idx.fingerprint)
+          parts(0).toIntOption
+        else None
+      }
+    def writeIdxCursor(i: Int, idx: graft.cdc.FkIndex, v: Int): Unit =
+      writeMarker(spark, checkpoint, idxCursorFile(i),
+        s"$v|${idx.fingerprint}")
     def parse(s: String): Option[IncrementalMart.Cursor] = {
       val parts = s.split("\\|", -1)
       val dimVs = if (parts.length < 2 || parts(1).isEmpty) Nil
@@ -353,11 +371,10 @@ object CdcMicroBatch {
           // registered indexes drain the same fact window FIRST, so
           // the mart refresh's affectedKeys answers from current pairs
           indexes.zipWithIndex.foreach { case (idx, i) =>
-            val idxCur = readCursor(spark, checkpoint, idxCursorFile(i))
+            val idxCur = readIdxCursor(i, idx)
               .flatMap(c => idx.refresh(store, c))
               .orElse(idx.build(store))
-            idxCur.foreach(c =>
-              writeCursor(spark, checkpoint, idxCursorFile(i), c))
+            idxCur.foreach(c => writeIdxCursor(i, idx, c))
             maintainAux(idx.reverse, batchId, maintenance)
             maintainAux(idx.forward, batchId, maintenance)
           }
@@ -375,8 +392,8 @@ object CdcMicroBatch {
             // index cursors re-point with the mart cursor, or every
             // later index drain pays a scan of the compacted buckets
             // (they diff empty, but the read is real)
-            indexes.indices.foreach(i =>
-              writeCursor(spark, checkpoint, idxCursorFile(i), repointed))
+            indexes.zipWithIndex.foreach { case (idx, i) =>
+              writeIdxCursor(i, idx, repointed) }
           cur = cur.copy(sourceV = repointed)
           cursor = Some(cur)
           maintainAux(mart, batchId, maintenance)

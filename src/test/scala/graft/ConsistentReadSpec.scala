@@ -230,6 +230,58 @@ class ConsistentReadSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", before)
   }
 
+  test("driverFoldLteq: the zero-job _STATS fold covers exactly the " +
+      "engine-identical matrix and refuses everything else (VERDICT " +
+      "r20 ask #5 — the walk's covered-version probe is pure driver " +
+      "work; unsafe type pairs fall back to the engine compare)") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.ConsistentRead.driverFoldLteq
+    // integral: exact long compares; "10" <= 9 must be FALSE (a
+    // string-ordered fold would say "10" < "9")
+    assert(driverFoldLteq(Seq("5", "9"), Some(LongType), 9L)
+      .contains(true))
+    assert(driverFoldLteq(Seq("10"), Some(LongType), 9L).contains(false))
+    assert(driverFoldLteq(Seq("7"), Some(IntegerType), 7L).contains(true))
+    // unparseable max → None (engine decides), never a throw
+    assert(driverFoldLteq(Seq("x"), Some(LongType), 9L).isEmpty)
+    // mixed numeric families keep the engine's coercion
+    assert(driverFoldLteq(Seq("5"), Some(LongType), 5.0).isEmpty)
+    assert(driverFoldLteq(Seq("5.0"), Some(FloatType), 5.0f).isEmpty)
+    // double vs double: exact round-trip, NaN wm refused
+    assert(driverFoldLteq(Seq("5.5"), Some(DoubleType), 5.5).contains(true))
+    assert(driverFoldLteq(Seq("5.6"), Some(DoubleType), 5.5)
+      .contains(false))
+    assert(driverFoldLteq(Seq("1.0"), Some(DoubleType), Double.NaN).isEmpty)
+    assert(driverFoldLteq(Seq("NaN"), Some(DoubleType), 5.0)
+      .contains(false), "a NaN max is greater than any non-NaN wm")
+    // timestamp: _STATS carries epoch micros; wm converts through
+    // Catalyst's own external mapping — 2024-03-01T10:30:00Z micros
+    val t = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
+    val micros = t.getTime * 1000L
+    assert(driverFoldLteq(Seq(micros.toString), Some(TimestampType), t)
+      .contains(true))
+    assert(driverFoldLteq(Seq((micros + 1).toString),
+      Some(TimestampType), t).contains(false))
+    // date: zero-padded ISO strings compare lexicographically
+    assert(driverFoldLteq(Seq("2024-02-29"), Some(DateType),
+      java.sql.Date.valueOf("2024-03-01")).contains(true))
+    assert(driverFoldLteq(Seq("2024-03-02"), Some(DateType),
+      java.sql.Date.valueOf("2024-03-01")).contains(false))
+    // string: UTF-8 byte order (Spark's binary collation), where JVM
+    // UTF-16 order diverges — U+10000 (surrogate pair, bytes F0 90…)
+    // sorts ABOVE U+FFFD (bytes EF BF BD) in UTF-8 but BELOW it in
+    // UTF-16 code units
+    val supp = new String(Character.toChars(0x10000))
+    assert(supp < "�", "JVM order: surrogate sorts below")
+    assert(driverFoldLteq(Seq(supp), Some(StringType), "�")
+      .contains(false), "UTF-8 order: supplementary char sorts above")
+    assert(driverFoldLteq(Seq("abc"), Some(StringType), "abd")
+      .contains(true))
+    // unknown track type / missing schema → engine
+    assert(driverFoldLteq(Seq("5"), None, 9L).isEmpty)
+    assert(driverFoldLteq(Seq("5"), Some(BinaryType), 9L).isEmpty)
+  }
+
   test("joint use: common watermark across two staggered stores") {
     val rootA = Files.createTempDirectory("graft-asof-a").toString
     val rootB = Files.createTempDirectory("graft-asof-b").toString

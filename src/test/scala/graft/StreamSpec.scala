@@ -251,6 +251,68 @@ class StreamSpec extends AnyFunSuite {
     assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
   }
 
+  test("index-cursor IDENTITY GUARD: re-registering a DIFFERENT index " +
+      "at the same position against an existing checkpoint rebuilds it " +
+      "from scratch instead of window-loading the stale cursor " +
+      "(VERDICT r20 #2)") {
+    import org.apache.spark.sql.types._
+    def factRows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, (k % 10).toLong, tag)).toDF("k", "fk", "tag")
+    val src = tmp("idguard-src")
+    val store = new graft.cdc.CowStore(spark, tmp("idguard-s"),
+      Seq("k"), nBuckets = 8)
+    val dimStore = new graft.cdc.CowStore(spark, tmp("idguard-d"),
+      Seq("fk"), nBuckets = 4)
+    val mart = new graft.cdc.CowStore(spark, tmp("idguard-m"),
+      Seq("k"), nBuckets = 8)
+    dimStore.writeFull((0 until 10).map(i => (i.toLong, s"seg$i"))
+      .toDF("fk", "seg"))
+    def martOf(df: org.apache.spark.sql.DataFrame) = {
+      val dc = broadcast(dimStore.read().get)
+      df.join(dc, Seq("fk"), "left")
+        .select(df("k"), col("fk"), dc("seg"), df("tag"))
+    }
+    def newIndex(tag: String) = new graft.cdc.FkIndex(
+      new graft.cdc.CowStore(spark, tmp(s"idguard-rev$tag"), Seq("fk"),
+        nBuckets = 4),
+      new graft.cdc.CowStore(spark, tmp(s"idguard-fwd$tag"), Seq("k"),
+        nBuckets = 8),
+      factKeys = Seq("k"), fkCols = Seq("fk"))
+    val idxA = newIndex("A")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("fk", LongType), StructField("tag", StringType)))
+    val ckpt = tmp("idguard-ck")
+    def drain(idx: graft.cdc.FkIndex): Unit =
+      CdcMicroBatch.runAvailableNowCowMartDims(spark, src, schema,
+        store, mart, martOf, Seq("k"),  ckpt,
+        Seq(graft.cdc.FkIndex.dim(dimStore, idx)), indexes = Seq(idx))
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // two drains with index A: position-0 cursor now persisted
+    factRows(0 until 100, "b1").write.mode("append").parquet(src)
+    drain(idxA)
+    factRows(100 until 110, "b2").write.mode("append").parquet(src)
+    drain(idxA)
+    assert(idxA.reverse.exists)
+    // RE-REGISTER: a brand-new index at the same position, same
+    // checkpoint. Without the fingerprint guard the stale cursor's
+    // refresh would first-load only the NEXT window into the empty
+    // stores — a silently partial index under-reporting affectedKeys.
+    val idxB = newIndex("B")
+    assert(idxA.fingerprint != idxB.fingerprint)
+    factRows(110 until 112, "b3").write.mode("append").parquet(src)
+    drain(idxB)
+    // idxB must hold the FULL pair set (built from scratch), so its
+    // mapping equals the scan truth for every fk
+    (0L until 10L).foreach { fk =>
+      assert(setOf(idxB.affectedKeys(Seq(fk).toDF("fk"))) ==
+        setOf(store.read().get.where(col("fk") === fk).select("k")),
+        s"re-registered index under-reports fk $fk — stale cursor " +
+          "was applied to the new index")
+    }
+    assert(setOf(mart.read().get) == setOf(martOf(store.read().get)))
+  }
+
   test("feed-driven streaming SCD2 drain == batch Scd2 kernels over " +
       "the same I/U/D batches; unknown cursor resyncs; replay and " +
       "maintenance converge") {
