@@ -549,8 +549,11 @@ final class CowStore(spark: SparkSession, root: String,
       // paths — [[castKeys]]): hash(int) ≠ hash(long) for the same
       // value, so an uncast probe of a type-drifted caller (INT dim
       // key vs BIGINT stored fk) would prune the wrong buckets and
-      // silently miss rows (ADVICE r20).
-      val probe = castKeys(keyRows, sch).distinct()
+      // silently miss rows (ADVICE r20). No key-level distinct: the
+      // bucket collect distincts the BUCKET column itself and a
+      // semi-join build side dedups keys in its hash relation — the
+      // old distinct was one whole exchange per lookup for nothing.
+      val probe = castKeys(keyRows, sch)
       val buckets = probe.select(bucketOf.as("__bkt"))
         .distinct().collect().map(_.getInt(0)).toSeq
       readSlice(man, dvsOf(v), dlsOf(v), buckets, sch)

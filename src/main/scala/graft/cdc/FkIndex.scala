@@ -142,17 +142,25 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
         // old fks: the forward map, bucket-pruned by the churned keys
         val oldPairs = forward.readForKeys(churnedKeys)
           .getOrElse(pairsOf(chC).limit(0))
-        // new pairs: post-images (added/changed) that still carry an fk
+        // new pairs: post-images (added/changed) that still carry an
+        // fk. A cheap projection of the chC checkpoint — consumers
+        // re-derive it from the in-memory blocks, so it needs no
+        // materialization job of its own (r21: the former eager
+        // checkpoint here was one whole extra job per refresh).
         val newPairs = pairsOf(
           chC.where(col("change") =!= Diff.Removed))
-          .localCheckpoint(true)
-        // affected fks (old ∪ new ends of the window) MATERIALIZE
-        // before either store advances — the eager checkpoint pins the
-        // pre-patch forward read explicitly rather than via
-        // path-binding laziness
+        // affected fks (old ∪ new ends of the window) are CACHED, not
+        // eagerly checkpointed (r21): the first probe job below
+        // materializes the cache — one fewer scheduling round — and
+        // the pre-patch forward read stays pinned anyway because every
+        // store read is PATH-BOUND to immutable version files at
+        // construction (re-deriving from lineage after the patches
+        // still reads the old files). All consumers finish inside this
+        // call; the finally cannot leak blocks.
         val affectedFks = oldPairs.select(fkCols.map(col): _*)
           .unionByName(newPairs.select(fkCols.map(col): _*))
-          .distinct().localCheckpoint(true)
+          .distinct().persist()
+        try {
         // reverse patch FIRST (VERDICT r20 #1 — replay exactness):
         // replace the pair SETS of every fk the window touched on
         // either end. A crash in EITHER commit window replays with
@@ -160,16 +168,21 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
         // same affectedFks and both re-patches are idempotent; the
         // old order (forward first) made a replay read the NEW fk as
         // "old" and the stale (oldFk, factKey) pair survived forever.
+        // `reSet` is cached too: it feeds both the delete probe and
+        // the batch union — uncached it would re-read the reverse
+        // bucket slice and re-run the semi-join per consumer.
         val kept = reverse.readForKeys(affectedFks)
           .getOrElse(newPairs.limit(0))
           .join(churnedKeys, factKeys, "left_anti") // churned pairs re-derive
-        val reSet = kept.unionByName(newPairs)
-        val revDels = affectedFks.join(
-          reSet.select(fkCols.map(col): _*), fkCols, "left_anti")
-        reverse.applyCdc(
-          reSet.withColumn(Op, lit("U")).unionByName(
-            graft.schema.Normalize.alignToSchema(revDels, reSet.schema)
-              .withColumn(Op, lit("D"))), Op)
+        val reSet = kept.unionByName(newPairs).persist()
+        try {
+          val revDels = affectedFks.join(
+            reSet.select(fkCols.map(col): _*), fkCols, "left_anti")
+          reverse.applyCdc(
+            reSet.withColumn(Op, lit("U")).unionByName(
+              graft.schema.Normalize.alignToSchema(revDels, reSet.schema)
+                .withColumn(Op, lit("D"))), Op)
+        } finally reSet.unpersist(false)
         afterReverse()
         // forward patch second: re-point churned keys, drop keys with
         // no row or no fk anymore (removed facts, fk nulled out)
@@ -179,6 +192,7 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
           newPairs.withColumn(Op, lit("U")).unionByName(
             graft.schema.Normalize.alignToSchema(fwdDels, newPairs.schema)
               .withColumn(Op, lit("D"))), Op)
+        } finally affectedFks.unpersist(false)
         cur
       }
     }

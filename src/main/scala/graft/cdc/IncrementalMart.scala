@@ -82,20 +82,26 @@ object IncrementalMart {
     * removed keys AND filtered-out updates), as ONE I/U/D applyCdc
     * batch against the mart. */
   private def patch(mart: CowStore, keys: Seq[String],
-      upserts: DataFrame, changedKeys: DataFrame): Unit = {
-    val missingKeys = keys.filterNot(upserts.columns.contains)
+      upserts0: DataFrame, changedKeys: DataFrame): Unit = {
+    val missingKeys = keys.filterNot(upserts0.columns.contains)
     require(missingKeys.isEmpty,
       s"transform must preserve key column(s) " +
         missingKeys.mkString(","))
-    require(!upserts.columns.contains(Op),
+    require(!upserts0.columns.contains(Op),
       s"$Op is the refresh's reserved op column; the transform " +
         "must not emit it")
-    val dels = changedKeys.select(keys.map(col): _*).distinct()
-      .join(upserts.select(keys.map(col): _*), keys, "left_anti")
-    val batch = upserts.withColumn(Op, lit("U")).unionByName(
-      graft.schema.Normalize.alignToSchema(dels, upserts.schema)
-        .withColumn(Op, lit("D")))
-    mart.applyCdc(batch, Op)
+    // The transform output feeds BOTH the delete anti-join and the
+    // batch union — cache it so the (often join-shaped) transform
+    // chain evaluates once per drain, not once per consumer (r21).
+    val upserts = upserts0.persist()
+    try {
+      val dels = changedKeys.select(keys.map(col): _*).distinct()
+        .join(upserts.select(keys.map(col): _*), keys, "left_anti")
+      val batch = upserts.withColumn(Op, lit("U")).unionByName(
+        graft.schema.Normalize.alignToSchema(dels, upserts.schema)
+          .withColumn(Op, lit("D")))
+      mart.applyCdc(batch, Op)
+    } finally upserts.unpersist(false)
   }
 
   /** Patch `mart` = transform(source) for the source changes since
@@ -108,9 +114,16 @@ object IncrementalMart {
       keys: Seq[String]): Option[Int] =
     source.version.flatMap { cur =>
       source.readChangeRows(sinceV, cur).map { ch =>
-        val chC = ch.localCheckpoint(true) // two consumers below
-        val post = chC.where(col("change") =!= Diff.Removed).drop("change")
-        patch(mart, keys, transform(post), chC)
+        // cached, not eagerly checkpointed (r21): the first consumer's
+        // job materializes the diff — one fewer scheduling round, and
+        // the feed read is path-bound to immutable version files, so
+        // a recompute after eviction reads the same window
+        val chC = ch.persist() // two consumers below
+        try {
+          val post = chC.where(col("change") =!= Diff.Removed)
+            .drop("change")
+          patch(mart, keys, transform(post), chC)
+        } finally chC.unpersist(false)
         cur
       }
     }
@@ -154,22 +167,30 @@ object IncrementalMart {
         else source.readChangeRows(cursor.sourceV, cur) match {
           case None => rebuild()
           case Some(ch) =>
-            val chC = ch.localCheckpoint(true)
-            val post = chC.where(col("change") =!= Diff.Removed)
-              .drop("change")
+            // cached, not eagerly checkpointed (r21, same rationale as
+            // [[refresh]]): first consuming job materializes each; all
+            // consumers finish inside this call, reads are path-bound
+            val chC = ch.persist()
             val dimKeys = dimKeyFrames.flatten
               .reduceOption(_ unionByName _)
-              .map(_.distinct().localCheckpoint(true))
-            // dim-affected rows re-read from the CURRENT source
-            // (bucket-pruned point lookup), deduped against the churn
-            // post-images they may overlap (identical content at cur)
-            val posts = dimKeys.flatMap(source.readForKeys)
-              .map(_.unionByName(post).dropDuplicates(keys))
-              .getOrElse(post)
-            val changedKeys = dimKeys
-              .map(_.unionByName(chC.select(keys.map(col): _*)))
-              .getOrElse(chC)
-            patch(mart, keys, transform(posts), changedKeys)
+              .map(_.distinct().persist())
+            try {
+              val post = chC.where(col("change") =!= Diff.Removed)
+                .drop("change")
+              // dim-affected rows re-read from the CURRENT source
+              // (bucket-pruned point lookup), deduped against the churn
+              // post-images they may overlap (identical content at cur)
+              val posts = dimKeys.flatMap(source.readForKeys)
+                .map(_.unionByName(post).dropDuplicates(keys))
+                .getOrElse(post)
+              val changedKeys = dimKeys
+                .map(_.unionByName(chC.select(keys.map(col): _*)))
+                .getOrElse(chC)
+              patch(mart, keys, transform(posts), changedKeys)
+            } finally {
+              dimKeys.foreach(_.unpersist(false))
+              chC.unpersist(false)
+            }
             Some(Cursor(cur, dimCurs))
         }
       }

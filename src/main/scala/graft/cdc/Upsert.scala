@@ -43,7 +43,13 @@ object Upsert {
     // Catalyst's SimplifyCasts, so the aligned-already path keeps its
     // exact plan.
     val inc = graft.schema.Normalize.alignToSchema(incoming, dest.schema)
-    val incKeys = inc.select(keys.map(col): _*).distinct()
+    // No distinct on the anti-join BUILD side (r21): duplicate build
+    // keys cannot change an anti-join's result, the hash relation
+    // dedups keys as it builds, and the distinct cost a whole
+    // exchange + AQE round per merge. (CDC batches are ≤1 row/key by
+    // convention anyway; a dup-heavy batch only carries its own dups
+    // through the shuffle in the rare too-big-to-broadcast case.)
+    val incKeys = inc.select(keys.map(col): _*)
     dest.join(incKeys, keys, "left_anti").unionByName(inc)
   }
 
@@ -103,7 +109,10 @@ object Upsert {
   private[graft] def opsMerge(dest: DataFrame, batch: DataFrame,
       keys: Seq[String], opCol: String, deleteOps: Seq[String])
       : DataFrame = {
-    val allKeys = batch.select(keys.map(col): _*).distinct()
+    // build side of the delete-phase anti-join — no distinct needed
+    // (see [[merge]]; applyOps batches are pre-collapsed to ≤1
+    // row/key by contract anyway)
+    val allKeys = batch.select(keys.map(col): _*)
     // NULL / unrecognized ops are upserts (the conservative read of a
     // malformed feed: data lands rather than silently vanishing) —
     // the coalesce keeps the three-valued NOT from dropping them.

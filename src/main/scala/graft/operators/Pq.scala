@@ -59,10 +59,24 @@ object Pq {
       "need m>0, k>1, iters>0, maxTrainRows>=k")
     val prep = if (normalize) l2Normalize(toDouble(col(vecCol)))
       else toDouble(col(vecCol))
-    val sample = corpus
-      .select(col(idCol).as("__id"), prep.as("__v"))
+    // The deterministic hash-ordered sample, in two passes so the
+    // corpus-wide sort never carries vectors (guide §2.3 "shuffle keys
+    // and metadata instead of payloads" / §8's decide-small move-once):
+    // `limit(maxTrainRows)` exceeds Spark's TakeOrdered fallback
+    // threshold, so the old single-pass form planned a FULL SORT of
+    // (id, vector) — at corpus scale that shuffles every vector to
+    // pick 2^16 of them. Pass 1 sorts ids+hashes only (narrow);
+    // pass 2 attaches vectors by broadcast semi-join (map-only corpus
+    // scan) and re-sorts just the sample rows. Same ids, same collect
+    // order — the trained model is bit-identical (oracle-pinned).
+    val sampleIds = corpus
+      .select(col(idCol).as("__id"))
       .orderBy(xxhash64(col("__id")))
       .limit(maxTrainRows)
+    val sample = corpus
+      .select(col(idCol).as("__id"), prep.as("__v"))
+      .join(broadcast(sampleIds), Seq("__id"), "left_semi")
+      .orderBy(xxhash64(col("__id")))
       .select(col("__v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
