@@ -42,7 +42,12 @@ object PlansR21 {
       "q_cdc_delete", "q_cdc_delete_mor", "q_cdc_apply_ops",
       "q_cdc_changes", "q_cdc_mart_incremental", "q_cdc_mart_dim_change",
       "q_cdc_fk_index", "q_profile_incremental", "q_cdc_scd2_changes",
-      "q_cdc_consistent_read")
+      "q_cdc_consistent_read",
+      // wave E: graph broadcast gates + the two-pass PQ sample (the
+      // eval-leg fusion was attempted and reverted — see
+      // OPTIMIZATION_r21.md)
+      "q_graph_triangles", "q_graph_pagerank", "q_curate_url_rank",
+      "q_sim_ann_pq", "q_sim_ann_ivfpq")
     touched.foreach { k =>
       write(s"${k}_after.txt", fmt(SparkEntry.queries(k)(spark, d)))
     }

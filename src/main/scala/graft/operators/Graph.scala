@@ -75,6 +75,19 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .localCheckpoint(true)
     val n = nodes.count().toDouble
+    // Node-sized frames (shares, deg, contribs) ride a size-gated
+    // broadcast (r21, guide §3.1): each iteration's contribution join
+    // otherwise EXCHANGES the rank side against the resident edges and
+    // the rank rebuild exchanges contribs — 2 shuffles per iteration
+    // whose build sides are node-sized by construction. Same gate
+    // shape as [[triangles]]' degree broadcast: under
+    // `DefaultBroadcastNodeLimit` nodes the hint applies, a
+    // billion-node graph keeps the shuffle plan. Join results are
+    // row-identical either way; the per-partition partial-sum order
+    // over the (un-reshuffled) edge partitions is unchanged, so the
+    // float fold stays as deterministic as before.
+    val hinted: DataFrame => DataFrame =
+      if (n <= DefaultBroadcastNodeLimit.toDouble) broadcast else identity
 
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
@@ -83,12 +96,12 @@ object Graph {
           "left_anti")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       val contribs = e.join(
-          ranks.join(deg, ranks("node") === deg("src"))
-            .select(col("node"), (col("pr") / col("deg")).as("share")),
+          hinted(ranks.join(hinted(deg), ranks("node") === deg("src"))
+            .select(col("node"), (col("pr") / col("deg")).as("share"))),
           e("src") === col("node"))
         .groupBy("dst").agg(sum("share").as("contrib"))
       ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .join(hinted(contribs), nodes("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(nodes("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
@@ -154,12 +167,24 @@ object Graph {
     // Wedge a→b→c (a < b < c in orientation order), closed by a→c.
     val o2 = oriented.select(col("a").as("b"), col("b").as("c"))
     val closer = oriented.select(col("a"), col("b").as("c"))
+    // The closing semi-join's keys (a, c) differ from the wedge join's
+    // key (b), so an un-hinted plan EXCHANGES THE WEDGE SET — the one
+    // quadratic-ish intermediate (Σ out-deg², measured 125 MB at
+    // sf0.1 vs the 6 MB edge set) — between the two joins. Broadcast
+    // the EDGE side instead while it fits (guide §3.1: the build side
+    // is edge-sized and known-small behind the same size gate the
+    // degree join uses; row shape (a, c) two longs ≈ (node, deg)), so
+    // wedges stream map-side from generation through explode to the
+    // partial aggregate and never cross an exchange. A web-scale edge
+    // set over the gate keeps the shuffle plan.
+    val closerHinted =
+      if (ue.count() <= broadcastNodeLimit) broadcast(closer) else closer
     // Each closed wedge explodes to its 3 member nodes IN the same
     // stage as the closing semi-join, so the triangle set itself is
     // never materialized — partial aggregation collapses the 3×|tri|
     // stream to node-sized partials before the one shuffle.
     val perNode = oriented.join(o2, Seq("b"))
-      .join(closer, Seq("a", "c"), "left_semi")
+      .join(closerHinted, Seq("a", "c"), "left_semi")
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.join(perNode, Seq("node"), "left")
