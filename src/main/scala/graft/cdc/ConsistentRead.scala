@@ -186,8 +186,12 @@ object ConsistentRead {
     *    numeric families (float/decimal, double vs long, …) keep the
     *    engine's coercion — their promotion is lossy in ways a naive
     *    exact compare would silently "fix".
-    *  - DATE: `cast(date as string)` is zero-padded ISO — lexicographic
-    *    IS value order; wm Date/LocalDate renders the same form.
+    *  - DATE: compared as EPOCH DAYS — `cast(date as string)` is
+    *    zero-padded ISO only within years 0–9999 (Spark renders year
+    *    10000+ as "+10000-…", which sorts BEFORE 4-digit years, and
+    *    negative years reverse byte order — ADVICE r21), so both
+    *    sides parse to days and compare numerically; an unparseable
+    *    stored form falls back to the engine.
     *  - STRING: compared as UTF-8 bytes, Spark's own binary collation
     *    (JVM String '<=' is UTF-16 code-unit order, which DIVERGES on
     *    supplementary characters — so it is not used). */
@@ -227,12 +231,21 @@ object ConsistentRead {
           case _ => None
         }
       case Some(DateType) =>
+        // Compare as EPOCH DAYS, not lexicographically (ADVICE r21):
+        // Spark renders years > 9999 as "+10000-…" (sorts before any
+        // 4-digit year) and negative years reverse byte order, so a
+        // string compare is only exact on plain \d{4}-\d{2}-\d{2}
+        // forms. ISO_LOCAL_DATE parses Spark's +/- extended forms;
+        // an unparseable max THROWS, which `all` converts to None —
+        // the engine fallback, never a wrong verdict.
         val w = wm match {
-          case d: java.sql.Date => Some(d.toString)
-          case d: java.time.LocalDate => Some(d.toString)
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
           case _ => None
         }
-        w.flatMap(ws => all(s => s <= ws)) // zero-padded ISO: lexicographic
+        w.flatMap(wd => all(s => java.time.LocalDate.parse(
+          s, java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+          .toEpochDay <= wd))
       case Some(StringType) =>
         wm match {
           case ws: String => all(s => utf8Lteq(s, ws))

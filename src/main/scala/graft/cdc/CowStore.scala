@@ -541,7 +541,18 @@ final class CowStore(spark: SparkSession, root: String,
     * (AQE-broadcast for any sane probe) filters to the exact keys.
     * A 100-key lookup against a 100 TB table touches ≤100 buckets. */
   def readForKeys(keyRows: DataFrame): Option[DataFrame] =
-    currentVersion.flatMap { v =>
+    readForKeysAndBuckets(keyRows)._2
+
+  /** [[readForKeys]] that ALSO returns the probe's collected bucket
+    * set (empty when the store was never written or the probe is
+    * empty). For maintenance loops ([[FkIndex.refresh]]) whose
+    * follow-up COMMIT batch provably touches exactly the probed keys:
+    * the commit then reuses this bucket set ([[applyCdcAt]]'s
+    * `knownBuckets`) instead of paying a second probe job — one whole
+    * Spark action saved per store patch (guide §1.2). */
+  private[graft] def readForKeysAndBuckets(keyRows: DataFrame)
+      : (Seq[Int], Option[DataFrame]) =
+    currentVersion.map { v =>
       val man = manifest(v)
       val sch = storedSchema(man, v)
       // The probe is cast to the STORED key types BEFORE bucket
@@ -556,9 +567,9 @@ final class CowStore(spark: SparkSession, root: String,
       val probe = castKeys(keyRows, sch)
       val buckets = probe.select(bucketOf.as("__bkt"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      readSlice(man, dvsOf(v), dlsOf(v), buckets, sch)
-        .map(_.join(probe, keys, "left_semi"))
-    }
+      (buckets, readSlice(man, dvsOf(v), dlsOf(v), buckets, sch)
+        .map(_.join(probe, keys, "left_semi")))
+    }.getOrElse((Nil, None))
 
   /** Stake an exclusive version number ≥ `from`: atomic
     * create-no-overwrite of the `_CLAIM` marker — the one FS primitive
@@ -1081,9 +1092,18 @@ final class CowStore(spark: SparkSession, root: String,
     else applyCdcAt(batch, opCol, deleteOps, currentVersion, evolve)
   }
 
+  /** `knownBuckets`: the batch's affected-bucket set, when the caller
+    * has ALREADY collected it (a maintenance loop whose batch key set
+    * provably equals a probe it just paid for — [[FkIndex.refresh]]).
+    * Skips this commit's own probe job. The set must equal the true
+    * bucket set of the batch's keys under THIS store's [[bucketOf]]: a
+    * superset only rewrites extra buckets unchanged (result-invisible,
+    * wasted I/O), but a SUBSET would leave deletes unapplied — callers
+    * must derive it from the same cast key frame the batch carries. */
   private[graft] def applyCdcAt(batch: DataFrame, opCol: String,
       deleteOps: Seq[String], base: Option[Int],
-      evolve: Boolean = false): Unit = {
+      evolve: Boolean = false,
+      knownBuckets: Option[Seq[Int]] = None): Unit = {
     val missingKeys = keys.filterNot(batch.columns.contains)
     require(missingKeys.isEmpty,
       s"CDC batch lacks key column(s) ${missingKeys.mkString(",")}")
@@ -1130,8 +1150,9 @@ final class CowStore(spark: SparkSession, root: String,
         org.apache.spark.sql.types.StructType(s.fields :+ batch.schema(opCol)))
     }.persist()
     try {
-    val affected = aligned.select(bucketOf.as("__bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val affected = knownBuckets.map(_.distinct.sorted).getOrElse(
+      aligned.select(bucketOf.as("__bkt")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted)
     if (affected.isEmpty) return // empty batch: nothing to commit
     val v = allocateVersion(base.get + 1)
     val dvs = dvsOf(base.get)

@@ -89,9 +89,15 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
     * from the store roots and the column spec — everything that makes
     * two indexes "the same index". */
   def fingerprint: String =
+    // Group boundaries are encoded (ADVICE r21): a flat concat of
+    // factKeys ++ fkCols ++ factFk with one separator collides for
+    // different column-SPLITS of the same flat list (factKeys=[a,b],
+    // fkCols=[c] vs factKeys=[a], fkCols=[b,c]) — exactly the drift
+    // the re-registration guard exists to catch. Each group joins on
+    // "," and groups join on "\n", so the split is part of the hash.
     f"${scala.util.hashing.MurmurHash3.stringHash(
-      (Seq(reverse.rootId, forward.rootId) ++ factKeys ++ fkCols ++
-        factFk).mkString("\n"))}%08x"
+      Seq(reverse.rootId, forward.rootId, factKeys.mkString(","),
+        fkCols.mkString(","), factFk.mkString(",")).mkString("\n"))}%08x"
 
   private def nonNullFk =
     factFk.map(col(_).isNotNull).reduce(_ && _)
@@ -137,13 +143,24 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
     if (!reverse.exists || !forward.exists) None
     else fact.version.flatMap { cur =>
       fact.readChangeRows(sinceV, cur).map { ch =>
-        val chC = ch.localCheckpoint(true)
+        // CACHED, not eagerly checkpointed (r22, the same trade the
+        // mart's window took in r21): the first consuming job below
+        // materializes the blocks — one fewer scheduling round per
+        // refresh — and a recompute after eviction is still correct
+        // because the feed read is path-bound to immutable fact
+        // version files at construction.
+        val chC = ch.persist()
+        try {
         val churnedKeys = chC.select(factKeys.map(col): _*).distinct()
-        // old fks: the forward map, bucket-pruned by the churned keys
-        val oldPairs = forward.readForKeys(churnedKeys)
-          .getOrElse(pairsOf(chC).limit(0))
+        // old fks: the forward map, bucket-pruned by the churned keys.
+        // The collected forward bucket set is REUSED by the forward
+        // commit below (its batch key set is exactly churnedKeys —
+        // newPairs keys ⊆ churned keys, fwdDels = the rest), so the
+        // forward applyCdc pays no probe job of its own (r22).
+        val (fwdBuckets, fwdRead) = forward.readForKeysAndBuckets(churnedKeys)
+        val oldPairs = fwdRead.getOrElse(pairsOf(chC).limit(0))
         // new pairs: post-images (added/changed) that still carry an
-        // fk. A cheap projection of the chC checkpoint — consumers
+        // fk. A cheap projection of the chC cache — consumers
         // re-derive it from the in-memory blocks, so it needs no
         // materialization job of its own (r21: the former eager
         // checkpoint here was one whole extra job per refresh).
@@ -171,28 +188,38 @@ final class FkIndex(val reverse: CowStore, val forward: CowStore,
         // `reSet` is cached too: it feeds both the delete probe and
         // the batch union — uncached it would re-read the reverse
         // bucket slice and re-run the semi-join per consumer.
-        val kept = reverse.readForKeys(affectedFks)
+        // The reverse commit reuses the readForKeys probe's bucket
+        // set (r22): the batch's fk set is exactly affectedFks (every
+        // fk lands in reSet as a U or in revDels as a D), so a second
+        // probe job over the batch would collect the same buckets.
+        val (revBuckets, revRead) = reverse.readForKeysAndBuckets(affectedFks)
+        val kept = revRead
           .getOrElse(newPairs.limit(0))
           .join(churnedKeys, factKeys, "left_anti") // churned pairs re-derive
         val reSet = kept.unionByName(newPairs).persist()
         try {
           val revDels = affectedFks.join(
             reSet.select(fkCols.map(col): _*), fkCols, "left_anti")
-          reverse.applyCdc(
+          reverse.applyCdcAt(
             reSet.withColumn(Op, lit("U")).unionByName(
               graft.schema.Normalize.alignToSchema(revDels, reSet.schema)
-                .withColumn(Op, lit("D"))), Op)
+                .withColumn(Op, lit("D"))), Op,
+            Seq("D", "d", "delete"), reverse.version,
+            knownBuckets = Some(revBuckets))
         } finally reSet.unpersist(false)
         afterReverse()
         // forward patch second: re-point churned keys, drop keys with
         // no row or no fk anymore (removed facts, fk nulled out)
         val fwdDels = churnedKeys.join(
           newPairs.select(factKeys.map(col): _*), factKeys, "left_anti")
-        forward.applyCdc(
+        forward.applyCdcAt(
           newPairs.withColumn(Op, lit("U")).unionByName(
             graft.schema.Normalize.alignToSchema(fwdDels, newPairs.schema)
-              .withColumn(Op, lit("D"))), Op)
+              .withColumn(Op, lit("D"))), Op,
+          Seq("D", "d", "delete"), forward.version,
+          knownBuckets = Some(fwdBuckets))
         } finally affectedFks.unpersist(false)
+        } finally chC.unpersist(false)
         cur
       }
     }

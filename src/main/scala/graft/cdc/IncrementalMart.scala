@@ -78,30 +78,34 @@ object IncrementalMart {
   final case class Cursor(sourceV: Int, dimVs: Seq[Int])
 
   /** Shared patch kernel: upsert `upserts`, delete every key of
-    * `changedKeys` the transform did not re-emit (one anti-join —
-    * removed keys AND filtered-out updates), as ONE I/U/D applyCdc
-    * batch against the mart. */
+    * `changedKeys` the transform did not re-emit, as ONE I/U/D
+    * applyCdc batch against the mart.
+    *
+    * No delete anti-join (r22): [[Upsert.opsMerge]] deletes EVERY
+    * batch key before re-inserting the non-delete rows, so tagging
+    * every changed key `D` and letting the transform's re-emitted
+    * rows ride as `U` composes to the same table — a key carrying
+    * both a D and a U row lands the U row (opsMerge's spec-pinned tie
+    * rule). The old anti-join (changedKeys minus re-emitted keys) was
+    * one distinct exchange + one broadcast join per drain to compute
+    * a distinction the kernel never needed; dropping it also leaves
+    * the transform output with a single consumer, so the drain-level
+    * persist goes too — applyCdc's own batch cache is the one
+    * evaluation point. */
   private def patch(mart: CowStore, keys: Seq[String],
-      upserts0: DataFrame, changedKeys: DataFrame): Unit = {
-    val missingKeys = keys.filterNot(upserts0.columns.contains)
+      upserts: DataFrame, changedKeys: DataFrame): Unit = {
+    val missingKeys = keys.filterNot(upserts.columns.contains)
     require(missingKeys.isEmpty,
       s"transform must preserve key column(s) " +
         missingKeys.mkString(","))
-    require(!upserts0.columns.contains(Op),
+    require(!upserts.columns.contains(Op),
       s"$Op is the refresh's reserved op column; the transform " +
         "must not emit it")
-    // The transform output feeds BOTH the delete anti-join and the
-    // batch union — cache it so the (often join-shaped) transform
-    // chain evaluates once per drain, not once per consumer (r21).
-    val upserts = upserts0.persist()
-    try {
-      val dels = changedKeys.select(keys.map(col): _*).distinct()
-        .join(upserts.select(keys.map(col): _*), keys, "left_anti")
-      val batch = upserts.withColumn(Op, lit("U")).unionByName(
-        graft.schema.Normalize.alignToSchema(dels, upserts.schema)
-          .withColumn(Op, lit("D")))
-      mart.applyCdc(batch, Op)
-    } finally upserts.unpersist(false)
+    val dels = changedKeys.select(keys.map(col): _*)
+    val batch = upserts.withColumn(Op, lit("U")).unionByName(
+      graft.schema.Normalize.alignToSchema(dels, upserts.schema)
+        .withColumn(Op, lit("D")))
+    mart.applyCdc(batch, Op)
   }
 
   /** Patch `mart` = transform(source) for the source changes since
@@ -178,10 +182,21 @@ object IncrementalMart {
               val post = chC.where(col("change") =!= Diff.Removed)
                 .drop("change")
               // dim-affected rows re-read from the CURRENT source
-              // (bucket-pruned point lookup), deduped against the churn
-              // post-images they may overlap (identical content at cur)
-              val posts = dimKeys.flatMap(source.readForKeys)
-                .map(_.unionByName(post).dropDuplicates(keys))
+              // (bucket-pruned point lookup). The probe excludes the
+              // churned keys UP FRONT (one anti-join of two cached
+              // narrow key frames), so the union with the churn
+              // post-images is DISJOINT by construction — the old
+              // overlap-dedup (`dropDuplicates` after the union) was a
+              // full exchange of every re-derived PAYLOAD row per
+              // drain; content is identical either way because the
+              // source already sits at `cur` when this reads it
+              // (guide §2.3 — shuffle keys, not payloads). Fewer
+              // buckets read, too: keys in both sets resolve from the
+              // cached feed window instead of a store lookup.
+              val posts = dimKeys.map(_.join(
+                  chC.select(keys.map(col): _*), keys, "left_anti"))
+                .flatMap(source.readForKeys)
+                .map(_.unionByName(post))
                 .getOrElse(post)
               val changedKeys = dimKeys
                 .map(_.unionByName(chC.select(keys.map(col): _*)))

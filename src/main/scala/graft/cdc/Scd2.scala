@@ -13,10 +13,20 @@ import org.apache.spark.sql.types.TimestampType
   * missing from the staged batch stay open (dbt default — no hard
   * deletes).
   *
-  * Plan shape (designed for a 100 TB history table): exactly ONE
-  * full-outer shuffle join between the open rows and the staged batch,
-  * keyed on `key`; each joined row emits 0–2 output rows via an
-  * `explode` of a conditionally-built struct array — no second join, no
+  * Plan shape (designed for a 100 TB history table): the old form was
+  * ONE full-outer join — but a full outer can never broadcast, so it
+  * SORT-MERGE-shuffled every open row's full payload per snapshot run
+  * regardless of batch size. r22 splits it into the two legs the
+  * full outer was encoding (guide §2.3/§3.1):
+  *  - open LEFT JOIN staged — the matched + left-only cases; the
+  *    staged batch is the (churn-sized) build side, so AQE broadcasts
+  *    it and the open rows never cross an exchange;
+  *  - staged ANTI JOIN open KEYS — the brand-new keys; only the
+  *    narrow key projection of the open set shuffles, never payloads.
+  * Row-for-row identical output (matched/open-only/staged-only map
+  * 1:1 onto the full outer's three cases, NULL keys match nowhere in
+  * either form — spec-pinned parity); each leg emits 0–2 output rows
+  * via an `explode` of a conditionally-built struct array — no
   * driver-side iteration, closed history rows pass through untouched
   * (and, with a month-partitioned [[TableStore]], unrewritten). Change
   * detection is a per-column null-safe comparison fold (`<=>`), matching
@@ -60,18 +70,24 @@ object Scd2 {
       attrCols.map(c => sCol(c).as(c)) :+ lit(asOf).as(ValidFrom)
         :+ lit(null).cast(TimestampType).as(ValidTo): _*)
 
-    // Presence markers that survive the outer join even for all-null rows.
-    val joined = open.withColumn("__open", lit(true))
-      .join(stg.withColumn("__staged", lit(true)), keys, "full_outer")
-
+    // Presence marker that survives the outer join even for all-null
+    // staged rows. Matched + open-only keys: one broadcast-able left
+    // join (open payloads never shuffle — see class doc).
+    val joined = open
+      .join(stg.withColumn("__staged", lit(true)), keys, "left")
     val emitted = joined.select(explode(
       when(col("__staged").isNull, array(openRow))           // key left as-is
-        .when(col("__open").isNull, array(newRow))           // brand-new key
         .when(unchanged, array(openRow))                     // unchanged
         .otherwise(array(closedRow, newRow))                 // changed: close+insert
     ).as("r")).select(col("r.*"))
+    // Brand-new keys: anti-join against the open KEY projection only.
+    val newOnly = stg
+      .join(open.select(keys.map(col): _*), keys, "left_anti")
+      .select(attrCols.map(c => sCol(c).as(c)) :+
+        lit(asOf).as(ValidFrom) :+
+        lit(null).cast(TimestampType).as(ValidTo): _*)
 
-    closed.unionByName(emitted)
+    closed.unionByName(emitted).unionByName(newOnly)
   }
 
   /** Current-row view (P8): `WHERE valid_to IS NULL` (dim_users.sql:15). */

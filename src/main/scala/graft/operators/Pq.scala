@@ -59,24 +59,43 @@ object Pq {
       "need m>0, k>1, iters>0, maxTrainRows>=k")
     val prep = if (normalize) l2Normalize(toDouble(col(vecCol)))
       else toDouble(col(vecCol))
-    // The deterministic hash-ordered sample, in two passes so the
-    // corpus-wide sort never carries vectors (guide §2.3 "shuffle keys
-    // and metadata instead of payloads" / §8's decide-small move-once):
-    // `limit(maxTrainRows)` exceeds Spark's TakeOrdered fallback
-    // threshold, so the old single-pass form planned a FULL SORT of
-    // (id, vector) — at corpus scale that shuffles every vector to
-    // pick 2^16 of them. Pass 1 sorts ids+hashes only (narrow);
-    // pass 2 attaches vectors by broadcast semi-join (map-only corpus
-    // scan) and re-sorts just the sample rows. Same ids, same collect
-    // order — the trained model is bit-identical (oracle-pinned).
-    val sampleIds = corpus
-      .select(col(idCol).as("__id"))
-      .orderBy(xxhash64(col("__id")))
-      .limit(maxTrainRows)
-    val sample = corpus
-      .select(col(idCol).as("__id"), prep.as("__v"))
-      .join(broadcast(sampleIds), Seq("__id"), "left_semi")
-      .orderBy(xxhash64(col("__id")))
+    // The deterministic hash-ordered sample. `limit(maxTrainRows)`
+    // exceeds Spark's TakeOrdered fallback threshold, so the
+    // single-pass form plans a FULL SORT of (id, vector) — at corpus
+    // scale that shuffles every vector to pick 2^16 of them. Above a
+    // size gate we sample in two passes so the corpus-wide sort never
+    // carries vectors (guide §2.3 "shuffle keys and metadata instead
+    // of payloads" / §8's decide-small move-once): pass 1 sorts
+    // ids+hashes only (narrow); pass 2 attaches vectors by broadcast
+    // semi-join (map-only corpus scan) and re-sorts just the sample
+    // rows, with the hard `limit(maxTrainRows)` re-applied so a
+    // duplicate-id corpus still trains on exactly ≤ maxTrainRows rows
+    // (the semi-join alone would return every row sharing a sampled
+    // id). Same ids, same collect order — the trained model is
+    // bit-identical (oracle-pinned). Below the gate (estimated from
+    // plan stats — no job) the one-pass sort is cheaper: the two-pass
+    // shape costs an extra broadcast + second corpus scan, which at
+    // toy scale is pure per-stage overhead.
+    val spark = corpus.sparkSession
+    val twoPassMinBytes = spark.conf
+      .getOption("spark.graft.pq.twoPassMinBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val prepped = corpus.select(col(idCol).as("__id"), prep.as("__v"))
+    val corpusBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sample = (if (corpusBytes >= twoPassMinBytes) {
+      val sampleIds = corpus
+        .select(col(idCol).as("__id"))
+        .orderBy(xxhash64(col("__id")))
+        .limit(maxTrainRows)
+      prepped
+        .join(broadcast(sampleIds), Seq("__id"), "left_semi")
+        .orderBy(xxhash64(col("__id")))
+        .limit(maxTrainRows)
+    } else {
+      prepped
+        .orderBy(xxhash64(col("__id")))
+        .limit(maxTrainRows)
+    })
       .select(col("__v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)

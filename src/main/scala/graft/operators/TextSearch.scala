@@ -324,23 +324,35 @@ object TextSearch {
       queryIdCol: String = "query_id"): DataFrame = {
     require(k > 0, "k must be positive")
     val uni = queries.select(col(queryIdCol).cast("long").as("query_id"))
+    // lazy local checkpoint (r22): the first consuming job pays the
+    // retrieval lineage once and later consumers read the blocks — the
+    // old EAGER form was one dedicated materialization job per system.
     val ret = retrieved.select(col("query_id").cast("long").as("query_id"),
         col("rank").cast("long").as("rank"), col("doc_id"))
       .where(col("rank") <= k)
       .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
-      .localCheckpoint(true) // consumed twice: n_ret + the hit join
+      .localCheckpoint(false) // consumed twice: n_ret + the hit join
     val qr = qrels.select(col("query_id"), col("doc_id")).distinct()
     val nret = ret.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
-    val nrel = qr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    val hit = qr.join(broadcast(ret), Seq("query_id", "doc_id"))
+    // ONE pass over the (corpus-fraction-sized) judgment set (r22 —
+    // VERDICT r21 ask #3): n_rel and the hit metrics were two separate
+    // aggregates over qr (one of them behind a join), i.e. the big
+    // side shuffled twice and fed two broadcast legs. A LEFT join
+    // against the broadcast |queries|·k ranking keeps every qrels row
+    // (n_rel = plain count) while the hit columns ride as null-skipped
+    // conditional aggregates — same values, one aggregate, one
+    // broadcast (min/sum ignore NULLs; round-6 absorbs sum-order ulps
+    // exactly as before).
+    val rel = qr.join(broadcast(ret), Seq("query_id", "doc_id"), "left")
       .groupBy("query_id").agg(
-        count(lit(1)).as("hits"),
+        count(lit(1)).as("n_rel"),
+        count(col("rank")).as("hits"),
         min("rank").as("rank_first"),
-        sum(lit(1.0) / log2(col("rank") + lit(1L))).as("__dcg"))
+        sum(when(col("rank").isNotNull,
+          lit(1.0) / log2(col("rank") + lit(1L)))).as("__dcg"))
     uni
-      .join(broadcast(nrel), Seq("query_id"), "left")
+      .join(broadcast(rel), Seq("query_id"), "left")
       .join(broadcast(nret), Seq("query_id"), "left")
-      .join(broadcast(hit), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("n_ret"), lit(0L)).as("n_ret"),
@@ -407,25 +419,39 @@ object TextSearch {
         col("rank").cast("long").as("rank"), col("doc_id"))
       .where(col("rank") <= k)
       .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
+    // ONE pass over the judgment set (r22 — VERDICT r21 ask #3, same
+    // fusion as [[evalRanking]]'s): n_rel, the hit metrics and the
+    // IDCG histogram were THREE separate aggregates over qr (which is
+    // why it was eagerly checkpointed). A LEFT join against the
+    // broadcast ranking keeps every judged row, the per-(query, gain)
+    // stage folds both the histogram count and the null-skipped hit
+    // metrics, and the per-query stage (≤ |gain levels| rows each)
+    // finishes both — one corpus-side aggregate, one broadcast, no
+    // checkpoint. Values are identical: sums/mins ignore NULLs and
+    // round-6 absorbs sum-order ulps, as before.
     val qr = qrels
       .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
         col("gain").cast("long").as("gain"))
       .groupBy("query_id", "doc_id").agg(max("gain").as("gain"))
-      .localCheckpoint(true) // consumed by n_rel, the hit join, and idcg
-    val nrel = qr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    val hit = qr.join(broadcast(ret), Seq("query_id", "doc_id"))
-      .groupBy("query_id").agg(
-        count(lit(1)).as("hits"),
-        min("rank").as("rank_first"),
-        sum((pow(lit(2.0), col("gain")) - lit(1.0)) /
-          log2(col("rank") + lit(1L))).as("__dcg"))
+    val perGain = qr.join(broadcast(ret), Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id", "gain").agg(
+        count(lit(1)).as("c"),
+        count(col("rank")).as("__hits"),
+        min("rank").as("__rf"),
+        sum(when(col("rank").isNotNull,
+          (pow(lit(2.0), col("gain")) - lit(1.0)) /
+            log2(col("rank") + lit(1L)))).as("__dcgg"))
     // Ideal DCG from the gain histogram (scaladoc): descending-gain
     // fold carrying the running ideal position offset.
-    val ideal = qr.groupBy("query_id", "gain").agg(count(lit(1)).as("c"))
-      .groupBy("query_id")
-      .agg(reverse(sort_array(collect_list(struct(col("gain"), col("c")))))
-        .as("__h"))
-      .select(col("query_id"), expr(
+    val rel = perGain.groupBy("query_id")
+      .agg(sum(col("c")).as("n_rel"),
+        sum(col("__hits")).as("hits"),
+        min(col("__rf")).as("rank_first"),
+        sum(col("__dcgg")).as("__dcg"),
+        reverse(sort_array(collect_list(struct(col("gain"), col("c")))))
+          .as("__h"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        col("rank_first"), col("__dcg"), expr(
         s"""aggregate(
            |  __h,
            |  named_struct('off', 0L, 'idcg', 0D),
@@ -438,9 +464,7 @@ object TextSearch {
            |      ELSE 0D END),
            |  acc -> acc.idcg)""".stripMargin).as("__idcg"))
     uni
-      .join(broadcast(nrel), Seq("query_id"), "left")
-      .join(broadcast(hit), Seq("query_id"), "left")
-      .join(broadcast(ideal), Seq("query_id"), "left")
+      .join(broadcast(rel), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),

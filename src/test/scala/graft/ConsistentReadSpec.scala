@@ -262,11 +262,23 @@ class ConsistentReadSpec extends AnyFunSuite {
       .contains(true))
     assert(driverFoldLteq(Seq((micros + 1).toString),
       Some(TimestampType), t).contains(false))
-    // date: zero-padded ISO strings compare lexicographically
+    // date: compared as epoch days (ADVICE r21 — lexicographic order
+    // breaks outside years 0–9999)
     assert(driverFoldLteq(Seq("2024-02-29"), Some(DateType),
       java.sql.Date.valueOf("2024-03-01")).contains(true))
     assert(driverFoldLteq(Seq("2024-03-02"), Some(DateType),
       java.sql.Date.valueOf("2024-03-01")).contains(false))
+    // year 10000+ renders "+10000-…", which sorts lexicographically
+    // BEFORE any 4-digit year — the epoch-day compare must say false
+    assert(driverFoldLteq(Seq("+10000-01-01"), Some(DateType),
+      java.sql.Date.valueOf("2024-03-01")).contains(false),
+      "a far-future max is NOT <= a 2024 watermark")
+    assert(driverFoldLteq(Seq("-0001-12-31"), Some(DateType),
+      java.time.LocalDate.of(0, 1, 1)).contains(true),
+      "BC years compare by value, not reversed byte order")
+    // unparseable stored form → engine fallback, never a verdict
+    assert(driverFoldLteq(Seq("01/02/2024"), Some(DateType),
+      java.sql.Date.valueOf("2024-03-01")).isEmpty)
     // string: UTF-8 byte order (Spark's binary collation), where JVM
     // UTF-16 order diverges — U+10000 (surrogate pair, bytes F0 90…)
     // sorts ABOVE U+FFFD (bytes EF BF BD) in UTF-8 but BELOW it in

@@ -86,4 +86,31 @@ class IvfPqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(full == brute, "all-cells + corpus-wide re-rank must be exact")
   }
+
+  test("Pq.train caps the sample at maxTrainRows even with duplicate " +
+      "ids: two-pass (scale) shape == one-pass shape") {
+    import spark.implicits._
+    // 100 distinct ids, each with THREE copies of the same vector: the
+    // hash sort ties only among identical rows, so the sampled CONTENT
+    // is deterministic in both shapes. Without the re-applied
+    // limit(maxTrainRows), the two-pass semi-join returns every copy
+    // of each sampled id (51 rows for the 50-row cap) and trains a
+    // different model.
+    val rows = (0 until 100).flatMap { id =>
+      val v = Seq.tabulate(8)(i => (id * 31 + i * 7 % 13).toDouble)
+      Seq.fill(3)((id.toLong, v))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    def model(gateBytes: Long) = {
+      spark.conf.set("spark.graft.pq.twoPassMinBytes", gateBytes.toString)
+      try graft.operators.Pq.train(corpus, m = 4, k = 8, iters = 4,
+        maxTrainRows = 50)
+      finally spark.conf.unset("spark.graft.pq.twoPassMinBytes")
+    }
+    val twoPass = model(0L)          // force the at-scale two-pass shape
+    val onePass = model(Long.MaxValue) // force the toy one-pass shape
+    assert(twoPass.codebooks.map(_.toSeq).toSeq ==
+      onePass.codebooks.map(_.toSeq).toSeq,
+      "two-pass sample must train the identical model (hard cap held)")
+  }
 }
